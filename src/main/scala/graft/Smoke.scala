@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev smoke runner: drives SparkEntry.entry exactly like the driver's t1
+  * check (rows > 0) and prints a sample. Usage: sbt "runMain graft.Smoke".
+  */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    val n = df.count()
+    println(s"SMOKE entry rows=$n")
+    df.show(5, truncate = false)
+    require(n > 0, "entry returned 0 rows")
+    spark.stop()
+  }
+}

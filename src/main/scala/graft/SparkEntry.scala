@@ -1,13 +1,36 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    *
+    * SURVEY §7.5: the reference's core slice (cleaned name + category per
+    * entity in feed order, main.py:572–636) re-shaped onto driver data:
+    * customer ⨝ nation (broadcast) with normalized names, in key order.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val d = "/root/testdata/sf0.001"
+    val c = spark.read.parquet(s"$d/customer.parquet")
+    val n = spark.read.parquet(s"$d/nation.parquet")
+    c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("c_custkey"),
+        initcap(regexp_replace(trim(col("c_name")), "\\s+", " ")).as("full_name"),
+        initcap(lower(col("n_name"))).as("nation"),
+        col("c_mktsegment").as("category"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.queries.Core.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.queries.Core.oracleSql
 }

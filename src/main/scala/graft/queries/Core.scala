@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Core relational operator queries over the driver test tables.
+  *
+  * Each entry maps one operator family from SURVEY.md §2 onto the TPC-H-ish
+  * tables so the driver's DuckDB oracle can hash-verify it (Verify.scala).
+  *
+  * Determinism rules (hash-compare safety):
+  *   - every multi-row result ends in an orderBy over a unique key, mirrored
+  *     by ORDER BY in the oracle SQL;
+  *   - double aggregates go through DECIMAL(18,2) so the sum is exact and
+  *     order-independent, then CAST back to DOUBLE on both sides;
+  *   - no raw timestamps in output columns (formatted to strings/dates).
+  */
+object Core {
+
+  /** Exact, order-independent sum of a double column: sum in decimal, emit double. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,2)")).cast("double")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/A-class aggregation (SURVEY §2.6): TPC-H Q1-shaped partial-aggregable
+    // group-by. Map-side combine makes this shuffle O(groups), not O(rows).
+    "q1_agg" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Join + agg + top-k (TPC-H Q3-shaped): two shuffled joins on keys, then
+    // group-by and a global top-10. Filters push to the parquet scans.
+    "q3_topk_revenue" -> ((s, d) => {
+      val c = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = orders(s, d)
+      val l = lineitem(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+                 (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+               .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // A1 global count + A5 distinct aggregation (SURVEY §2.6).
+    "a1_counts" -> ((s, d) => {
+      lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+    }),
+
+    // F7 date reformat (main.py:620–636): yyyy-MM-dd -> dd-MM-yyyy, a pure
+    // projection that stays inside whole-stage codegen.
+    "f7_date_reformat" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"),
+                date_format(col("o_orderdate"), "dd-MM-yyyy").as("dob_fmt"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // O1 numeric-suffix ordering (main.py:543–546): order rows by the integer
+    // embedded in a string column — never by partition/file order.
+    "o1_numeric_suffix_sort" -> ((s, d) => {
+      customer(s, d)
+        .select(col("c_custkey"),
+                regexp_extract(col("c_name"), "(\\d+)", 1).cast("long").as("name_seq"))
+        .orderBy(col("name_seq"), col("c_custkey"))
+    }),
+
+    // A3/J1 first-wins group reduce (main.py:516–520): first order per
+    // customer by (date, key) — window rank, partial-aggregable at scale via
+    // min_by; expressed as row_number to match the reference's tie-break.
+    "j1_first_wins" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey").as("first_orderkey"),
+                date_format(col("o_orderdate"), "yyyy-MM-dd").as("first_orderdate"))
+        .orderBy(col("o_custkey"))
+    }),
+
+    // P4 coalesce-to-UNKNOWN + review flag (main.py:572–581): left join with
+    // deliberate misses; missing value becomes the UNKNOWN sentinel plus a
+    // boolean flag column (the Excel yellow fill re-expressed, SURVEY S10).
+    "p4_unknown_sentinel" -> ((s, d) => {
+      val c = customer(s, d)
+      val n = nation(s, d).filter(col("n_regionkey") < 2)
+        .select(col("n_nationkey"), col("n_name"))
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .select(
+          col("c_custkey"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+          col("n_name").isNull.as("flag_missing"))
+        .orderBy(col("c_custkey"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_topk_revenue" ->
+      """SELECT o_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "a1_counts" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(DISTINCT l_orderkey) AS n_orders,
+        |  COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem""".stripMargin,
+
+    "f7_date_reformat" ->
+      """SELECT o_orderkey, strftime(o_orderdate, '%d-%m-%Y') AS dob_fmt
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "o1_numeric_suffix_sort" ->
+      """SELECT c_custkey,
+        |  CAST(regexp_extract(c_name, '(\d+)', 1) AS BIGINT) AS name_seq
+        |FROM customer ORDER BY name_seq, c_custkey""".stripMargin,
+
+    "j1_first_wins" ->
+      """SELECT o_custkey, first_orderkey, first_orderdate FROM (
+        |  SELECT o_custkey, o_orderkey AS first_orderkey,
+        |    strftime(o_orderdate, '%Y-%m-%d') AS first_orderdate,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""".stripMargin,
+
+    "p4_unknown_sentinel" ->
+      """SELECT c_custkey,
+        |  COALESCE(n_name, 'UNKNOWN') AS nation_name,
+        |  n_name IS NULL AS flag_missing
+        |FROM customer LEFT JOIN (
+        |  SELECT n_nationkey, n_name FROM nation WHERE n_regionkey < 2
+        |) ON c_nationkey = n_nationkey
+        |ORDER BY c_custkey""".stripMargin
+  )
+}
