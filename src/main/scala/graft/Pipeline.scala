@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.enrich.{Fields, Rem2Fill}
+import graft.ingest.{PdfChunks, XmlEntities}
+import graft.matching.{PdfIndex, Rem2Join}
+import graft.norm.Normalize
+
+/** The full sanctions pipeline, end to end (SURVEY §3.1 stages 4–7 as one
+  * lazy plan): XML feed → entity rows → enrichment → PDF match index →
+  * candidate-priority broadcast join → order-dependent fill passes →
+  * 28-column output frame + review-flag columns.
+  *
+  * The Excel conditional fills become boolean flag columns (SURVEY S10):
+  * yellow ⇒ flag_name_missing / flag_category_missing / flag_rem2_missing,
+  * red ⇒ flag_rem2_conflict (the whole-row red propagation of
+  * main.py:1030–1040 is the row-level flag itself).
+  */
+object Pipeline {
+
+  /** The 28 output columns (main.py:61–67). */
+  val CsvColumns: Seq[String] = Seq(
+    "FULL_NAME", "CATEGORY", "F_NAME", "M_NAME", "L_NAME", "GENDER", "DOB",
+    "ADD_CITY", "ADD_COUNTRY", "STATE", "NATIONALITIES", "ADDRESS",
+    "IDENTITY NUMBER", "IDENTITY TYPE", "REF_DATE", "DETAILS", "WEB_LINK",
+    "VIOLATION_ID", "SOURCE", "ALIAS", "ASSOCIATES", "MAIN ACTIVITY",
+    "CITIZENSHIP INFORMATION", "STATUS", "REM1", "REM2", "REM3", "REMARKS")
+
+  /** Template constants (main.py:69–70, :192–195). */
+  val DefaultWebLink = "https://www.sanctionsmap.eu/#/main/travel/ban"
+  val DefaultSource = "EU TRAVEL BAN"
+
+  /** Columns declared but never populated by the reference (main.py:189). */
+  private val emptyColumns = Seq(
+    "F_NAME", "M_NAME", "L_NAME", "IDENTITY NUMBER", "IDENTITY TYPE",
+    "REF_DATE", "VIOLATION_ID", "ASSOCIATES", "MAIN ACTIVITY",
+    "CITIZENSHIP INFORMATION", "STATUS", "REM3", "REMARKS")
+
+  /** entities: XmlEntities.parse output; pdfTexts: one whole PDF text per row
+    * (column `value`). Returns the 28-column frame + 4 flags + entity_seq,
+    * in feed order. */
+  def run(entities: DataFrame, pdfTexts: DataFrame): DataFrame = {
+    val enriched = Fields.enrich(entities)
+    val index = PdfIndex.build(PdfChunks.chunks(pdfTexts))
+    val candidates =
+      Rem2Join.probe(enriched.select("entity_seq", "candidates"), index)
+    val withCand = enriched.join(candidates, Seq("entity_seq"))
+    val filled = Rem2Fill(
+      withCand.select(col("entity_seq"), col("full_name"), col("rem2_candidate")))
+    val joined = withCand.join(filled, Seq("entity_seq"))
+
+    // final pass over FULL_NAME (main.py:1042–1046); UNKNOWN passes through
+    val fullNameFinal = when(col("full_name") =!= "UNKNOWN",
+      Normalize.cleanFullnameFinalUdf(col("full_name"))).otherwise(col("full_name"))
+
+    joined
+      .withColumn("FULL_NAME", fullNameFinal)
+      .withColumn("WEB_LINK", lit(DefaultWebLink))
+      .withColumn("SOURCE", lit(DefaultSource))
+      .withColumn("REM2", col("rem2"))
+      .select(Seq(col("entity_seq")) ++
+        CsvColumns.map(c =>
+          if (emptyColumns.contains(c)) lit("").as(c) else col(c).as(c)) ++
+        Seq(col("flag_name_missing"), col("flag_category_missing"),
+          col("flag_rem2_missing"), col("flag_rem2_conflict")): _*)
+      .orderBy(col("entity_seq"))
+  }
+
+  /** Convenience: run from feed paths. */
+  def runFromPaths(spark: SparkSession, xmlPath: String, pdfTextPath: String): DataFrame =
+    run(XmlEntities.parse(spark, xmlPath),
+      spark.read.option("wholetext", "true").text(pdfTextPath))
+}

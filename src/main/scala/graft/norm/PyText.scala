@@ -1,0 +1,223 @@
+package graft.norm
+
+import java.text.Normalizer
+import java.util.Locale
+import java.util.regex.Pattern
+import com.ibm.icu.lang.UCharacter
+
+/** Pure-Scala string kernel mirroring the reference's normalization helpers
+  * (semantics from /root/reference/main.py — citations inline). These are the
+  * "5 genuine UDFs" of SURVEY §2.11 plus their shared building blocks; they
+  * are kept free of Spark imports so they unit-test without a session and can
+  * be wrapped as UDFs or (later) codegen'd Catalyst expressions.
+  *
+  * Fidelity notes:
+  *  - Python `str.title()` capitalizes after ANY non-cased char (SURVEY H3):
+  *    replicated in [[pyTitle]] via the cased/uncased state machine.
+  *  - Python `unicodedata.combining(c) != 0` is the accent-strip test
+  *    (main.py:410): replicated via ICU's combining class (icu4j ships with
+  *    Spark), NOT `\p{Mn}` (which includes class-0 marks Python keeps).
+  *  - Python `re.\s` is Unicode-aware on str: all patterns here use `(?U)`.
+  */
+object PyText {
+
+  // -- character maps ------------------------------------------------------
+
+  /** Typographic replacements used by the Latin-script gate (main.py:339–347). */
+  private val latinTypoMap: Map[Char, Char] = Map(
+    '\u2018' -> '\'', '\u2019' -> '\'', '\u201B' -> '\'',
+    '\u201C' -> '"', '\u201D' -> '"', '\u201F' -> '"',
+    '\u00A0' -> ' ', '\u202F' -> ' ',
+    '\u2013' -> '-', '\u2014' -> '-', '\u2010' -> '-',
+    '\u2011' -> '-', '\u2012' -> '-')
+
+  /** Cyrillic confusables mapped into Latin (main.py:349–354). */
+  private val confusables: Map[Char, Char] =
+    Map('\u0406' -> 'I', '\u0456' -> 'i', '\u0401' -> 'E', '\u0451' -> 'e')
+
+  /** Smaller replacement map of the final display scrub (main.py:318–324). */
+  private val finalTypoMap: Map[Char, Char] = Map(
+    '\u2018' -> '\'', '\u2019' -> '\'', '\u201B' -> '\'',
+    '\u201C' -> '"', '\u201D' -> '"',
+    '\u2013' -> '-', '\u2014' -> '-',
+    '\u00A0' -> ' ')
+
+  private def mapChars(s: String, m: Map[Char, Char]): String = {
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) { sb.append(m.getOrElse(s.charAt(i), s.charAt(i))); i += 1 }
+    sb.toString
+  }
+
+  /** Unicode-aware whitespace collapse (Python `re.sub(r"\s+", " ", s)`). */
+  def collapseWs(s: String): String = s.replaceAll("(?U)\\s+", " ")
+
+  private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
+
+  // -- NFKD accent stripping (main.py:406–411) ------------------------------
+
+  /** Drop code points whose canonical combining class is non-zero after NFKD
+    * — the exact test `unicodedata.combining(c) != 0` (main.py:310, :410). */
+  def nfkdStripCombining(s: String): String = {
+    val nfkd = Normalizer.normalize(s, Normalizer.Form.NFKD)
+    val sb = new java.lang.StringBuilder(nfkd.length)
+    var i = 0
+    while (i < nfkd.length) {
+      val cp = nfkd.codePointAt(i)
+      if (UCharacter.getCombiningClass(cp) == 0) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    sb.toString
+  }
+
+  // -- Python str.title() (SURVEY H3) ---------------------------------------
+
+  private def isCased(c: Char): Boolean =
+    Character.isUpperCase(c) || Character.isLowerCase(c) ||
+      Character.getType(c) == Character.TITLECASE_LETTER
+
+  /** Python `str.title()`: first cased char of each cased run is titlecased,
+    * the rest lowercased; word boundaries are ANY uncased char. */
+  def pyTitle(s: String): String = {
+    if (s == null) return null
+    val sb = new java.lang.StringBuilder(s.length)
+    var prevCased = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      val cased = isCased(c)
+      if (cased && !prevCased) sb.append(Character.toTitleCase(c))
+      else if (cased) sb.append(Character.toLowerCase(c))
+      else sb.append(c)
+      prevCased = cased
+      i += 1
+    }
+    sb.toString
+  }
+
+  // -- F1 clean_name (main.py:364–366) --------------------------------------
+
+  def cleanName(name: String): String =
+    if (name == null) null else pyTitle(collapseWs(name).strip())
+
+  // -- F2/F3/F4/F5 key variants (main.py:393–418) ---------------------------
+
+  /** k3: NFKD accent-strip → collapse → strip → lower (main.py:406–411). */
+  def stripAccentsKey(s: String): String =
+    if (s == null || s.isEmpty) "" else lower(collapseWs(nfkdStripCombining(s)).strip())
+
+  /** k1: collapse → strip → lower, accents kept (main.py:393–396). */
+  def normKeepAccents(s: String): String =
+    if (s == null || s.isEmpty) "" else lower(collapseWs(s).strip())
+
+  private val punctPattern = Pattern.compile("(?U)[^\\p{L}\\p{N}\\s]")
+
+  /** k2: non letter/digit/space → space, collapse, strip, lower (main.py:399–403). */
+  def removePunctuationKey(s: String): String =
+    if (s == null || s.isEmpty) ""
+    else lower(collapseWs(punctPattern.matcher(s).replaceAll(" ")).strip())
+
+  /** F5: the (k1, k2, k3) probe/build key tuple (main.py:414–418). */
+  def allVariants(s: String): (String, String, String) =
+    (normKeepAccents(s), removePunctuationKey(s), stripAccentsKey(s))
+
+  // -- P2 is_latin_name (main.py:333–361) ------------------------------------
+
+  private val latinFull = Pattern.compile("[\\p{IsLatin}0-9 .,'\\-()]+")
+
+  /** Latin-script gate: typographic normalize, confusable map, drop `"`,
+    * collapse, then full-match over Latin script + name punctuation. */
+  def isLatinName(text: String): Boolean = {
+    if (text == null) return false
+    var s = text.strip()
+    s = mapChars(s, latinTypoMap)
+    s = mapChars(s, confusables)
+    s = s.replace('"', ' ')
+    s = collapseWs(s)
+    latinFull.matcher(s).matches()
+  }
+
+  // -- F6 clean_fullname_no_accents_final (main.py:309–330) ------------------
+
+  def cleanFullnameNoAccentsFinal(s: String): String = {
+    if (s == null || s.isEmpty) return ""
+    var t = nfkdStripCombining(s)
+    t = mapChars(t, finalTypoMap)
+    t = t.replaceAll("[^A-Za-z0-9 .,'\\-()]", "")
+    t = collapseWs(t).strip()
+    pyTitle(t)
+  }
+
+  // -- D1 forced-male dictionaries (main.py:369–390) --------------------------
+
+  val MaleTitles: Seq[String] = Seq(
+    "mullah", "maulavi", "mawlavi", "moulavi", "molvi", "qari", "ustad",
+    "imam", "amir", "haji", "hajji", "agha", "khan", "pir", "sardar",
+    "sayed", "sayyid", "syed", "janan agha")
+
+  val MaleNamePatterns: Seq[String] = Seq(
+    "gul ahmad", "gul ahmed", "abdul", "mohammad", "mohammed", "rahman",
+    "hakim", "hakimi", "ullah", "uddin", "ishakzai", "noorzai", "zai")
+
+  def isForcedMale(name: String): Boolean = {
+    if (name == null || name.isEmpty) return false
+    val n = lower(name)
+    MaleTitles.exists(n.contains) || MaleNamePatterns.exists(n.contains)
+  }
+
+  // -- F8 city/region token scrub + A2 dedup (main.py:651–680, :690–718) ------
+
+  private val tokenPunct = Pattern.compile("[,.\\-;:]")
+
+  /** Split on whitespace; token "province" removes itself AND the previous
+    * kept token; token "city" removes itself; per-token strip of `,.-;:`;
+    * then order-preserving case-insensitive dedup. */
+  def scrubPlaceTokens(s: String): String = {
+    if (s == null) return ""
+    val words = s.split("(?U)\\s+").filter(_.nonEmpty)
+    val filtered = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (w <- words) {
+      val wClean = tokenPunct.matcher(w).replaceAll("").strip()
+      val lw = lower(wClean)
+      if (lw == "province") { if (filtered.nonEmpty) filtered.remove(filtered.length - 1) }
+      else if (lw == "city") ()
+      else if (wClean.nonEmpty) filtered += wClean
+    }
+    dedupCaseInsensitive(filtered.toSeq).mkString(" ").strip()
+  }
+
+  /** A2: order-preserving case-insensitive dedup (main.py:672–678, :919–927). */
+  def dedupCaseInsensitive(values: Seq[String]): Seq[String] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    values.filter(v => seen.add(lower(v)))
+  }
+
+  // -- F14 detail birthdate sub-rules (main.py:853–884) -----------------------
+
+  /** Inputs are (birthdate, year, yearRangeFrom, yearRangeTo) per element.
+    * Rule (a): the FIRST well-formed full date contributes only its year to a
+    * suppression set; each SUBSEQUENT full date is emitted as dd-mm-yyyy and
+    * its year suppressed. (b): standalone all-digit years not suppressed are
+    * emitted. (c): complete ranges are emitted as "F to T". */
+  def detailBirthdates(
+      bds: Seq[(Option[String], Option[String], Option[String], Option[String])])
+      : Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val years = scala.collection.mutable.HashSet.empty[String]
+    var fullCount = 0
+    for ((bd, _, _, _) <- bds; v <- bd if v.nonEmpty) {
+      fullCount += 1
+      val parts = v.split("-", -1)
+      if (parts.length == 3) {
+        if (fullCount > 1) { out += s"${parts(2)}-${parts(1)}-${parts(0)}" }
+        years += parts(0)
+      }
+      // malformed dates: Python's tuple-unpack raises and is swallowed
+    }
+    for ((_, y, _, _) <- bds; v <- y if v.nonEmpty && v.forall(_.isDigit) && !years.contains(v))
+      out += v
+    for ((_, _, f, t) <- bds; fv <- f if fv.nonEmpty; tv <- t if tv.nonEmpty)
+      out += s"$fv to $tv"
+    out.toSeq
+  }
+}

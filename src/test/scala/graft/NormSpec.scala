@@ -1,0 +1,109 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import graft.norm.PyText
+
+/** Unit vectors for the normalization kernel — expected values were produced
+  * by the reference implementation itself (SURVEY §5.2-1). */
+class NormSpec extends AnyFunSuite {
+
+  /** Minimal property runner (scalatestplus bridge is not on the offline
+    * classpath; scalacheck Gen is). */
+  private def forAll(g: Gen[String])(f: String => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    for (_ <- 1 to 300) {
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  test("F6 clean_fullname_no_accents_final matches reference") {
+    for ((in, want) <- NormVectors.cleanFullnameNoAccentsFinal)
+      assert(PyText.cleanFullnameNoAccentsFinal(in) == want, s"input=<$in>")
+  }
+
+  test("F1 clean_name (Python str.title semantics) matches reference") {
+    for ((in, want) <- NormVectors.cleanName)
+      assert(PyText.cleanName(in) == want, s"input=<$in>")
+  }
+
+  test("F3 norm_keep_accents matches reference") {
+    for ((in, want) <- NormVectors.normKeepAccents)
+      assert(PyText.normKeepAccents(in) == want, s"input=<$in>")
+  }
+
+  test("F4 remove_punctuation matches reference") {
+    for ((in, want) <- NormVectors.removePunctuation)
+      assert(PyText.removePunctuationKey(in) == want, s"input=<$in>")
+  }
+
+  test("F2 strip_accents matches reference") {
+    for ((in, want) <- NormVectors.stripAccents)
+      assert(PyText.stripAccentsKey(in) == want, s"input=<$in>")
+  }
+
+  test("F8 scrub_place_tokens matches reference") {
+    for ((in, want) <- NormVectors.scrubPlaceTokens)
+      assert(PyText.scrubPlaceTokens(in) == want, s"input=<$in>")
+  }
+
+  test("P2 is_latin_name matches reference") {
+    for ((in, want) <- NormVectors.isLatinName)
+      assert(PyText.isLatinName(in) == want, s"input=<$in>")
+  }
+
+  test("D1 is_forced_male matches reference") {
+    for ((in, want) <- NormVectors.isForcedMale)
+      assert(PyText.isForcedMale(in) == want, s"input=<$in>")
+  }
+
+  test("F5 all_variants matches reference") {
+    for ((in, want) <- NormVectors.allVariants) {
+      val (k1, k2, k3) = PyText.allVariants(in)
+      assert(Seq(k1, k2, k3) == want, s"input=<$in>")
+    }
+  }
+
+  test("F14 detail_birthdates matches reference") {
+    for ((in, want) <- NormVectors.detailBirthdates)
+      assert(PyText.detailBirthdates(in) == want, s"input=<$in>")
+  }
+
+  // -- property tests (SURVEY §5.2-2) ---------------------------------------
+
+  private val weird = Gen.oneOf(' ', ' ', '’', '“', '—',
+    'é', 'Ё', 'і', 'ß', 'A', 'z', '0', '.', ',', '\'', '-', '(', ')', '\t',
+    'Ω', '中', 'م')
+  private val textGen: Gen[String] =
+    Gen.listOf(Gen.frequency(5 -> Gen.alphaNumChar, 2 -> weird)).map(_.mkString)
+
+  test("F1/F3/F6 are idempotent") {
+    forAll(textGen) { s =>
+      val c1 = PyText.cleanName(s)
+      assert(PyText.cleanName(c1) == c1)
+      val n1 = PyText.normKeepAccents(s)
+      assert(PyText.normKeepAccents(n1) == n1)
+      val f1 = PyText.cleanFullnameNoAccentsFinal(s)
+      assert(PyText.cleanFullnameNoAccentsFinal(f1) == f1)
+    }
+  }
+
+  test("F2 output is lowercase and accent-free") {
+    forAll(textGen) { s =>
+      val k = PyText.stripAccentsKey(s)
+      assert(k == k.toLowerCase(java.util.Locale.ROOT))
+      assert(PyText.stripAccentsKey(k) == k)
+    }
+  }
+
+  test("F5 variants are probe/build symmetric (J3 self-consistency)") {
+    forAll(textGen) { s =>
+      val (k1, k2, k3) = PyText.allVariants(s)
+      assert(PyText.allVariants(k1)._1 == k1)
+      assert(PyText.allVariants(k2)._2 == k2)
+      assert(PyText.allVariants(k3)._3 == k3)
+    }
+  }
+}

@@ -25,7 +25,7 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
