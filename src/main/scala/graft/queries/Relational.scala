@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Join-family / set-operation / grouping-set coverage (SURVEY §2.4, §2.8,
+  * §2.13 "absent" families — implemented so a reference user gains them).
+  *
+  * Scale notes per query are inline; the common rules:
+  *   - dimension sides of joins are `broadcast()` (nation/region: O(10)–O(100)
+  *     rows at any SF — never shuffle the fact side for them);
+  *   - the as-of join is the union+window formulation: ONE shuffle on the
+  *     partition key instead of a per-row backward probe (the naive
+  *     correlated form is O(n·m) and unusable at 100 TB);
+  *   - the range join is rewritten as an equi-join on a computed bucket key —
+  *     a broadcast-nested-loop range join would not survive scale-up.
+  */
+object Relational {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Set operations: UNION (distinct), INTERSECT, EXCEPT on key sets.
+    // Each set op shuffles on the full row as key; inputs are pre-projected
+    // to the single join column so the exchange carries minimum bytes.
+    "s1_setops" -> ((s, d) => {
+      val building = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val rich = customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey"))
+      val u = building.union(rich).distinct().withColumn("op", lit("union"))
+      val i = building.intersect(rich).withColumn("op", lit("intersect"))
+      val e = building.except(rich).withColumn("op", lit("except"))
+      u.union(i).union(e).orderBy(col("op"), col("c_custkey"))
+    }),
+
+    // Left-semi / left-anti joins (EXISTS / NOT EXISTS): customers with and
+    // without orders. Semi/anti keep the probe side narrow — no payload from
+    // the build side crosses the exchange.
+    "j5_semi_anti" -> ((s, d) => {
+      val c = customer(s, d).select(col("c_custkey"))
+      val o = orders(s, d).select(col("o_custkey"))
+      val withOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("has_orders", lit(true))
+      val withoutOrders = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .withColumn("has_orders", lit(false))
+      withOrders.union(withoutOrders).orderBy(col("c_custkey"))
+    }),
+
+    // Full outer join: per-nation customer counts against the nation dim,
+    // keeping nations with zero customers AND (synthetically filtered)
+    // customers with no nation row. Aggregate BEFORE the join so the outer
+    // join sees one row per key on each side.
+    "j6_full_outer" -> ((s, d) => {
+      val counts = customer(s, d).groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+      val n = nation(s, d).filter(col("n_nationkey") % 2 === 0)
+        .select(col("n_nationkey"), col("n_name"))
+      counts.join(n, col("c_nationkey") === col("n_nationkey"), "full_outer")
+        .select(
+          coalesce(col("c_nationkey"), col("n_nationkey")).as("nationkey"),
+          coalesce(col("n_name"), lit("UNKNOWN")).as("nation_name"),
+          coalesce(col("n_customers"), lit(0L)).as("n_customers"))
+        .orderBy(col("nationkey"))
+    }),
+
+    // As-of join: for each purchase event, the most recent view (ts <= purchase
+    // ts) by the same user. Union+window formulation: mark both streams, sort
+    // once per user by (ts, marker), take the running last view timestamp.
+    // One shuffle on user_id; no correlated probe, no range join.
+    "j7_asof" -> ((s, d) => {
+      val e = events(s, d)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("ts_ns"),
+          lit(1).as("is_probe"))
+      val views = e.filter(col("event_type") === "view")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+          col("ts_ns"), lit(0).as("is_probe"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("is_probe"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.union(views)
+        .withColumn("last_view_ts",
+          last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("is_probe") === 1)
+        .select(col("event_id"),
+          date_format(col("last_view_ts"), "yyyy-MM-dd HH:mm:ss").as("last_view"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Range join rewritten as equi-join: bucket events.value into fixed-width
+    // bands and join the (broadcast) band dim on the computed key. The
+    // scalable shape for "value BETWEEN lo AND hi" when bands are regular.
+    "j8_range_bucket" -> ((s, d) => {
+      val bands = region(s, d).select(
+        col("r_regionkey").cast("long").as("band_id"),
+        col("r_name").as("band_name"))
+      val e = events(s, d).select(col("event_id"),
+        least(floor(col("value") / 100), lit(4L)).as("band_id"))
+      e.join(broadcast(bands), Seq("band_id"))
+        .select(col("event_id"), col("band_id"), col("band_name"))
+        .orderBy(col("event_id"))
+    }),
+
+    // JSON extraction from the events.props string column (the extension
+    // surface's typed-metadata path, SURVEY X5).
+    "f_json_extract" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.missing").as("missing_str"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ROLLUP grouping sets with GROUPING() markers; null group keys coalesced
+    // to a sentinel so the hash compare is dialect-neutral.
+    "g1_rollup" -> ((s, d) => {
+      lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "s1_setops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+        |SELECT c_custkey, op FROM (
+        |  SELECT c_custkey, 'union' AS op FROM (SELECT c_custkey FROM building UNION SELECT c_custkey FROM rich)
+        |  UNION ALL
+        |  SELECT c_custkey, 'intersect' AS op FROM (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM rich)
+        |  UNION ALL
+        |  SELECT c_custkey, 'except' AS op FROM (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM rich)
+        |) ORDER BY op, c_custkey""".stripMargin,
+
+    "j5_semi_anti" ->
+      """SELECT c_custkey, TRUE AS has_orders FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, FALSE AS has_orders FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "j6_full_outer" ->
+      """SELECT COALESCE(c_nationkey, n_nationkey) AS nationkey,
+        |  COALESCE(n_name, 'UNKNOWN') AS nation_name,
+        |  COALESCE(n_customers, 0) AS n_customers
+        |FROM (SELECT c_nationkey, count(*) AS n_customers FROM customer GROUP BY c_nationkey) counts
+        |FULL OUTER JOIN (SELECT n_nationkey, n_name FROM nation WHERE n_nationkey % 2 = 0) n
+        |  ON c_nationkey = n_nationkey
+        |ORDER BY nationkey""".stripMargin,
+
+    "j7_asof" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, 1 AS is_probe FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT NULL AS event_id, user_id, ts, 0 AS is_probe FROM events WHERE event_type = 'view'
+        |), f AS (
+        |  SELECT event_id, is_probe,
+        |    last_value(CASE WHEN is_probe = 0 THEN ts END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, is_probe
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view_ts
+        |  FROM u
+        |)
+        |SELECT event_id, strftime(last_view_ts, '%Y-%m-%d %H:%M:%S') AS last_view
+        |FROM f WHERE is_probe = 1 ORDER BY event_id""".stripMargin,
+
+    "j8_range_bucket" ->
+      """SELECT event_id, band_id, band_name
+        |FROM (SELECT event_id, LEAST(CAST(floor(value / 100) AS BIGINT), 4) AS band_id FROM events) e
+        |JOIN (SELECT CAST(r_regionkey AS BIGINT) AS band_id, r_name AS band_name FROM region) b
+        |  USING (band_id)
+        |ORDER BY event_id""".stripMargin,
+
+    "f_json_extract" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  json_extract_string(props, '$.missing') AS missing_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "g1_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  GROUPING(l_returnflag) AS g_rf,
+        |  GROUPING(l_linestatus) AS g_ls
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin
+  )
+}

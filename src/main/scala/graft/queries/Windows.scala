@@ -1,0 +1,154 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+
+/** Window-function operator queries (SURVEY §2.5: W1/W2 fill passes, J4
+  * duplicate counts) plus the standard analytic family for coverage.
+  *
+  * Scale notes:
+  *   - w1_gap_fill uses a single global ordering (the reference's feed-order
+  *     semantics, SURVEY H1) — a one-partition window. At 100 TB the same
+  *     result comes from range-partitioning on the order key, computing
+  *     per-partition prefix/suffix non-null states, and exchanging 2×P
+  *     boundary rows (documented in enrich/Rem2Fill.scala); at driver scale
+  *     the degenerate window is exact and cheap.
+  *   - every PARTITION BY window shuffles once on its partition key and
+  *     sorts within partitions — no global sort.
+  *   - frame aggregates over DOUBLE go through DECIMAL(18,2) so the result
+  *     does not depend on summation order (Spark's sliding-frame update vs
+  *     DuckDB's segment tree would otherwise disagree in the last ulp).
+  */
+object Windows {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W1 (main.py:950–993) re-expressed: nearest non-null value above/below
+    // in global order; gap filled only when both neighbors agree, else a
+    // conflict flag (the red fill of main.py:991–993).
+    "w1_gap_fill" -> ((s, d) => {
+      val wPrev = Window.orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.orderBy(col("event_id"))
+        .rowsBetween(1, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"),
+          when(col("value") >= 100, col("event_type")).as("cand"))
+        .withColumn("prev_cand", last(col("cand"), ignoreNulls = true).over(wPrev))
+        .withColumn("next_cand", first(col("cand"), ignoreNulls = true).over(wNext))
+        .select(
+          col("event_id"),
+          coalesce(col("cand"),
+            when(col("prev_cand") === col("next_cand"), col("prev_cand")),
+            lit("")).as("filled"),
+          (col("cand").isNull &&
+            !(col("prev_cand").isNotNull && col("next_cand").isNotNull &&
+              col("prev_cand") === col("next_cand"))).as("flag_conflict"))
+        .orderBy(col("event_id"))
+    }),
+
+    // J4 (main.py:958, :1004): per-key occurrence count as a window — the
+    // O(n) replacement for the reference's O(n²) full-column rescans.
+    "w4_dup_count" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"),
+          count(lit(1)).over(w).as("n_orders_of_cust"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Ranking/analytic family over a deterministic total order per partition.
+    "w5_rank_family" -> ((s, d) => {
+      val full = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      orders(s, d)
+        .select(
+          col("o_orderkey"),
+          row_number().over(full).as("rn"),
+          rank().over(byDate).as("rnk"),
+          dense_rank().over(byDate).as("drnk"),
+          lag(col("o_orderkey"), 1).over(full).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(full).as("next_key"),
+          ntile(4).over(full).as("quartile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Frame aggregates: running total + trailing-4 moving window, per user in
+    // event-time order. Decimal accumulation ⇒ order-independent exactness.
+    "w6_running_frames" -> ((s, d) => {
+      // ts_ns (exact nanos) as the ordering key — matches DuckDB's
+      // TIMESTAMP_NS sort; the truncated micros ts could merge ties.
+      val ord = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+      val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = ord.rowsBetween(-3, Window.currentRow)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("value").cast("decimal(18,2)").as("v"))
+        .select(
+          col("event_id"),
+          sum(col("v")).over(run).cast("double").as("run_sum"),
+          sum(col("v")).over(mov).cast("double").as("mov_sum"),
+          count(lit(1)).over(mov).as("mov_n"),
+          (sum(col("v")).over(mov).cast("double") /
+            count(lit(1)).over(mov)).as("mov_avg"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "w1_gap_fill" ->
+      """WITH base AS (
+        |  SELECT event_id,
+        |    CASE WHEN value >= 100 THEN event_type END AS cand
+        |  FROM events
+        |), nn AS (
+        |  SELECT event_id, cand,
+        |    last_value(cand IGNORE NULLS) OVER (ORDER BY event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_cand,
+        |    first_value(cand IGNORE NULLS) OVER (ORDER BY event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_cand
+        |  FROM base
+        |)
+        |SELECT event_id,
+        |  COALESCE(cand,
+        |    CASE WHEN prev_cand = next_cand THEN prev_cand END, '') AS filled,
+        |  (cand IS NULL AND NOT (prev_cand IS NOT NULL AND next_cand IS NOT NULL
+        |     AND prev_cand = next_cand)) AS flag_conflict
+        |FROM nn ORDER BY event_id""".stripMargin,
+
+    "w4_dup_count" ->
+      """SELECT o_orderkey, o_custkey,
+        |  count(*) OVER (PARTITION BY o_custkey) AS n_orders_of_cust
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w5_rank_family" ->
+      """SELECT o_orderkey,
+        |  row_number() OVER full_w AS rn,
+        |  rank() OVER date_w AS rnk,
+        |  dense_rank() OVER date_w AS drnk,
+        |  lag(o_orderkey, 1) OVER full_w AS prev_key,
+        |  lead(o_orderkey, 1) OVER full_w AS next_key,
+        |  ntile(4) OVER full_w AS quartile
+        |FROM orders
+        |WINDOW full_w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |       date_w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "w6_running_frames" ->
+      """SELECT event_id,
+        |  CAST(sum(v) OVER run_w AS DOUBLE) AS run_sum,
+        |  CAST(sum(v) OVER mov_w AS DOUBLE) AS mov_sum,
+        |  count(*) OVER mov_w AS mov_n,
+        |  CAST(sum(v) OVER mov_w AS DOUBLE) / count(*) OVER mov_w AS mov_avg
+        |FROM (SELECT event_id, user_id, ts, CAST(value AS DECIMAL(18,2)) AS v
+        |      FROM events)
+        |WINDOW run_w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |       mov_w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin
+  )
+}

@@ -1,6 +1,8 @@
 package graft.tables
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Loaders for the driver's parquet test tables (TESTDATA.md).
   *
@@ -19,7 +21,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; sessions set spark.sql.legacy.parquet.nanosAsLong=true so it
+    * arrives as a LongType of epoch-nanoseconds. Expose both the exact
+    * nanosecond key (`ts_ns`, for ordering — matches DuckDB's TIMESTAMP_NS
+    * order) and a micros-truncated TimestampType `ts` (for formatting and
+    * event-time windows). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts_ns", col("ts"))
+        .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+    else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }
