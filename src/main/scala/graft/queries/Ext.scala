@@ -1,0 +1,394 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import graft.ext.{Similarity, TextOps}
+
+/** Extension operators (SURVEY §2.12): the LLM-training-data-pipeline
+  * surface — dedup (exact / normalized / MinHash-LSH / n-gram Jaccard /
+  * SimHash), similarity search (brute-force cosine + bucketed IVF variant),
+  * text analysis (stats, language ID, fingerprint), and binary-column
+  * metadata. Every query has a DuckDB oracle built from the same md5-based
+  * hash primitive and the same sequential-fold float math (see ext/TextOps,
+  * ext/Similarity).
+  *
+  * Scale design notes:
+  *   - no crossJoin anywhere in the dedup family: candidate pairs come from
+  *     an inverted index (shared shingle / shared LSH band) groupBy-join,
+  *     so cost tracks the number of COLLIDING pairs, not n²;
+  *   - signatures (minhash, simhash, fingerprints) are pure per-row
+  *     expression trees — one scan, no shuffle, fully codegen'd;
+  *   - similarity search: the brute-force form is the correctness baseline
+  *     (broadcast the small query set, never shuffle the corpus); the IVF
+  *     form joins on a bucket key (here the `label` column as the posting
+  *     list id) — at 100 TB the bucket join prunes the corpus scan by the
+  *     partition key instead of touching every vector.
+  */
+object Ext {
+
+  private val P = TextOps.MinHashP
+
+  /** doc_id + whitespace tokens + distinct 3-shingles, shared by the dedup
+    * family. The input is repartitioned first: the test table is one small
+    * parquet file (= one input split), and the shingle/hash expression work
+    * is the dominant cost — without the repartition it would all run on a
+    * single core. At real scale the scan has natural parallelism and AQE
+    * coalesces this exchange to a no-op-sized shuffle. */
+  private def docShingles(df: DataFrame): DataFrame = {
+    val w = TextOps.words(col("text"))
+    df.repartition(col("doc_id"))
+      .select(col("doc_id"), w.as("w"))
+      .withColumn("ss", TextOps.shingles3(col("w")))
+  }
+
+  /** floor-truncate to 6 decimals: deterministic across engines (floor of an
+    * identical double is exact; round() half-up implementations differ). */
+  private def trunc6(c: Column): Column = floor(c * 1e6).cast("double") / 1e6
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X1 exact dedup: hash-groupBy on the raw text; survivor = min doc_id.
+    "x1_exact_dedup" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text").cast("binary")).as("text_md5"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // X1b normalized dedup: key = sorted distinct token set (bag-of-words
+    // fingerprint) — catches shuffled/reordered duplicates.
+    "x2_normalized_dedup" -> ((s, d) => {
+      val key = concat_ws(" ", array_sort(array_distinct(TextOps.words(col("text")))))
+      documents(s, d)
+        .groupBy(key.as("bow_key"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // X2 MinHash + LSH near-dup: 8 signature values, 4 bands × 2 rows;
+    // candidate pairs share a band bucket; verified with exact Jaccard ≥ 0.5.
+    "x3_minhash_lsh" -> ((s, d) => {
+      // persist: the signature frame feeds both sides of the band self-join
+      // and the verify joins — without it Spark recomputes the whole
+      // scan→shingle→hash chain once per branch.
+      val sh = docShingles(documents(s, d))
+        .withColumn("hs", transform(col("ss"), TextOps.hash32(_)))
+        .persist()
+      val banded = sh.select(col("doc_id"),
+          explode(TextOps.bandKeys(col("hs"), 4)).as("bk"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val sets = sh.select(col("doc_id"), col("ss"))
+      val jac = TextOps.jaccard(col("x.ss"), col("y.ss"))
+      cand.join(sets.as("x"), col("id1") === col("x.doc_id"))
+        .join(sets.as("y"), col("id2") === col("y.doc_id"))
+        .select(col("id1"), col("id2"), jac.as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // X2b n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin): for
+    // Jaccard ≥ t, two docs must share a shingle within each one's prefix of
+    // the (n − ⌈t·n⌉ + 1) globally-rarest shingles — so only prefixes are
+    // indexed. Candidate count tracks rare-shingle collisions instead of
+    // hot-shingle f² blowup (naive inverted index: 83 s at sf0.1; this: ~5 s)
+    // and the final exact-Jaccard verify makes the output provably identical.
+    "x4_ngram_jaccard" -> ((s, d) => {
+      val t = 0.6
+      val sh = docShingles(documents(s, d))
+        .withColumn("hs", array_distinct(transform(col("ss"), TextOps.hash32(_))))
+        .persist()
+      val inv = sh.select(col("doc_id"), size(col("hs")).as("n"),
+        explode(col("ss")).as("shingle"))
+      val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+      val ranked = inv.join(freq, Seq("shingle"))
+        .withColumn("pos", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
+      val prefix = ranked.filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
+        .select(col("doc_id"), col("n"), col("shingle"))
+        .persist()
+      // length filter: Jaccard ≥ t ⇒ ⌈t·n1⌉ ≤ n2 (both directions)
+      val cand = prefix.as("a").join(prefix.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
+            col("b.n") >= ceil(col("a.n") * t) && col("a.n") >= ceil(col("b.n") * t))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      // verify on the md5-hashed shingle sets: longs intersect far faster than
+      // strings, and the oracle hashes identically, so the output is bit-equal.
+      // The intersection is projected ONCE into `inter` before the ratio —
+      // inlining it into the jaccard expression would evaluate it twice
+      // (array HOFs run interpreted, with no common-subexpression reuse).
+      val sets = sh.select(col("doc_id"), col("hs"))
+      cand.join(sets.as("x"), col("id1") === col("x.doc_id"))
+        .join(sets.as("y"), col("id2") === col("y.doc_id"))
+        .select(col("id1"), col("id2"),
+          size(array_intersect(col("x.hs"), col("y.hs"))).as("inter"),
+          size(col("x.hs")).as("n1"), size(col("y.hs")).as("n2"))
+        .select(col("id1"), col("id2"),
+          (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+            .as("jaccard"))
+        .filter(col("jaccard") >= t)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // X2c SimHash: 16-bit fingerprint per document, computed as a pure
+    // expression fold (no explode, no shuffle).
+    "x5_simhash" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.simhash16(array_distinct(TextOps.words(col("text"))))
+            .as("simhash16"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X3 brute-force cosine top-k: query set broadcast against the corpus;
+    // exact double cosine, rank by truncated similarity with id tie-break.
+    "x6_cosine_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val cos6 = trunc6(Similarity.cosine(col("qv"), col("v")))
+      val ranked = q.join(e, col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+      ranked.filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos6"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // X3b IVF-style bucketed ANN: restrict the search to the query's bucket
+    // (label = posting-list id) — the join is equi on the bucket key, so the
+    // corpus side prunes instead of broadcasting everything.
+    "x7_ivf_topk" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"))
+      val cos6 = trunc6(Similarity.cosine(col("qv"), col("v")))
+      val ranked = q.join(e,
+          col("q_label") === col("label") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+      ranked.filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos6"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // X4 text stats + quality score: counts exact, ratios as IEEE doubles of
+    // exact integers (deterministic).
+    "x8_text_stats" -> ((s, d) => {
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val w = TextOps.words(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), col("text"), w.as("w"))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          (aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
+            size(col("w"))).as("avg_token_len"),
+          size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
+            .as("n_bpe_tokens"),
+          (size(filter(col("w"), x => x.isInCollection(stops))).cast("double") /
+            size(col("w"))).as("stopword_ratio"),
+          ((size(array_distinct(col("w"))).cast("double") / size(col("w"))) -
+            (size(filter(col("w"), x => x.isInCollection(stops))).cast("double") /
+              size(col("w"))) * 0.5).as("quality_score"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4b language ID: marker-word voting with a fixed tie-break order.
+    "x9_lang_id" -> ((s, d) => {
+      val w = TextOps.words(col("text"))
+      def score(markers: Seq[String]) =
+        size(filter(w, x => x.isInCollection(markers)))
+      val sDe = score(Seq("der", "die", "das", "und"))
+      val sEn = score(Seq("the", "a", "of", "and"))
+      val sEs = score(Seq("el", "los", "las", "y"))
+      val sFr = score(Seq("le", "les", "des", "et"))
+      val m = greatest(sDe, sEn, sEs, sFr)
+      documents(s, d)
+        .select(col("doc_id"),
+          when(m === 0, "und")
+            .when(sDe === m, "de").when(sEn === m, "en")
+            .when(sEs === m, "es").otherwise("fr").as("lang_guess"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4c rolling-hash document fingerprint (order-sensitive).
+    "x10_fingerprint" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"),
+          TextOps.polyFingerprint(TextOps.words(col("text"))).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X5 multimodal/binary plumbing: treat text bytes as an opaque binary
+    // payload; byte length + content digests (md5/sha256) are the metadata
+    // extraction that image/audio decode would hang off (ext/Multimodal).
+    "x11_binary_meta" -> ((s, d) => {
+      val bin = col("text").cast("binary")
+      documents(s, d)
+        .select(col("doc_id"),
+          octet_length(col("text")).as("n_bytes"),
+          md5(bin).as("md5_hex"),
+          sha2(bin, 256).as("sha256_hex"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x1_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+
+    "x2_normalized_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents
+        |GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+        |ORDER BY keep_id""".stripMargin,
+
+    "x3_minhash_lsh" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |h AS (SELECT doc_id, ss,
+        |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
+        |mh AS (SELECT doc_id,
+        |  list_min(list_transform(hs, x -> (7*x+3) % 2147483647)) AS m0,
+        |  list_min(list_transform(hs, x -> (11*x+5) % 2147483647)) AS m1,
+        |  list_min(list_transform(hs, x -> (13*x+7) % 2147483647)) AS m2,
+        |  list_min(list_transform(hs, x -> (17*x+11) % 2147483647)) AS m3,
+        |  list_min(list_transform(hs, x -> (19*x+13) % 2147483647)) AS m4,
+        |  list_min(list_transform(hs, x -> (23*x+17) % 2147483647)) AS m5,
+        |  list_min(list_transform(hs, x -> (29*x+19) % 2147483647)) AS m6,
+        |  list_min(list_transform(hs, x -> (31*x+23) % 2147483647)) AS m7 FROM h),
+        |bk AS (SELECT doc_id, unnest([
+        |  concat_ws('_', 0, m0, m1), concat_ws('_', 1, m2, m3),
+        |  concat_ws('_', 2, m4, m5), concat_ws('_', 3, m6, m7)]) AS bk FROM mh),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ver AS (SELECT id1, id2, len(list_intersect(x.ss, y.ss)) AS inter,
+        |    len(x.ss) AS n1, len(y.ss) AS n2
+        |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2)
+        |SELECT id1, id2, CAST(inter AS DOUBLE)/(n1+n2-inter) AS jaccard
+        |FROM ver WHERE CAST(inter AS DOUBLE)/(n1+n2-inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "x4_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |hsets AS (SELECT doc_id, list_distinct(list_transform(ss,
+        |    s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))) AS hs FROM sh),
+        |inv AS (SELECT doc_id, unnest(ss) AS shingle FROM sh),
+        |shared AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ver AS (SELECT id1, id2, len(list_intersect(x.hs, y.hs)) AS inter,
+        |    len(x.hs) AS n1, len(y.hs) AS n2
+        |  FROM shared JOIN hsets x ON x.doc_id = id1 JOIN hsets y ON y.doc_id = id2)
+        |SELECT id1, id2, CAST(inter AS DOUBLE)/(n1 + n2 - inter) AS jaccard
+        |FROM ver WHERE CAST(inter AS DOUBLE)/(n1 + n2 - inter) >= 0.6
+        |ORDER BY id1, id2""".stripMargin,
+
+    "x5_simhash" -> {
+      val sums = (0 until 16).map(i =>
+        s"sum(CASE WHEN (wh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n|  ")
+      val fp = (0 until 16).map(i =>
+        s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w),1,8)) AS BIGINT) AS wh FROM t),
+        |b AS (SELECT doc_id,
+        |  $sums
+        |  FROM h GROUP BY doc_id)
+        |SELECT doc_id, $fp AS simhash16 FROM b ORDER BY doc_id""".stripMargin
+    },
+
+    "x6_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |p AS (SELECT q_id, vec_id AS n_id,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b) AS d,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])), (a,b) -> a+b) AS na,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1), i -> v[i]*v[i])), (a,b) -> a+b) AS nb
+        |  FROM q, e WHERE vec_id <> q_id),
+        |c AS (SELECT q_id, n_id, CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 AS cos6 FROM p),
+        |r AS (SELECT q_id, n_id, cos6,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rnk FROM c)
+        |SELECT q_id, n_id, rnk, cos6 FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+
+    "x7_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id % 100 = 0),
+        |p AS (SELECT q_id, vec_id AS n_id,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b) AS d,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])), (a,b) -> a+b) AS na,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1), i -> v[i]*v[i])), (a,b) -> a+b) AS nb
+        |  FROM q JOIN e ON q_label = label AND vec_id <> q_id),
+        |c AS (SELECT q_id, n_id, CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 AS cos6 FROM p),
+        |r AS (SELECT q_id, n_id, cos6,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rnk FROM c)
+        |SELECT q_id, n_id, rnk, cos6 FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x8_text_stats" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  length(text) AS n_chars,
+        |  len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(w, x -> CAST(length(x) AS BIGINT))), (a,b) -> a+b) AS DOUBLE) / len(w) AS avg_token_len,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_bpe_tokens,
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(w) AS stopword_ratio,
+        |  (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) -
+        |    (CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(w)) * 0.5 AS quality_score
+        |FROM w ORDER BY doc_id""".stripMargin,
+
+    "x9_lang_id" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT doc_id,
+        |  len(list_filter(w, x -> list_contains(['der','die','das','und'], x))) AS s_de,
+        |  len(list_filter(w, x -> list_contains(['the','a','of','and'], x))) AS s_en,
+        |  len(list_filter(w, x -> list_contains(['el','los','las','y'], x))) AS s_es,
+        |  len(list_filter(w, x -> list_contains(['le','les','des','et'], x))) AS s_fr
+        |  FROM w)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+        |       ELSE 'fr' END AS lang_guess
+        |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "x10_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      x -> CAST(concat('0x', substr(md5(x),1,8)) AS BIGINT))),
+        |    (a, b) -> (a*31 + b) % 1000000007) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x11_binary_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS md5_hex,
+        |  sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
