@@ -1,0 +1,186 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Row
+import graft.ingest.XmlEntities
+
+/** Golden end-to-end test (SURVEY §5.2-3): synthetic XML feed + PDF text →
+  * full Pipeline.run → assert the 28-column frame + flags row by row.
+  * Expected values are hand-derived from the reference semantics
+  * (main.py:525–1049); the duplicate scenarios cover every W1/W2 branch,
+  * including the pass-3-only chain fill (SURVEY H2).
+  */
+class PipelineSpec extends AnyFunSuite {
+
+  private val xml =
+    """<export xmlns="http://eu.europa.ec/fpi/fsd/export">
+      | <sanctionEntity>
+      |  <subjectType classificationCode="P"/>
+      |  <nameAlias wholeName="Alice Rivera"/>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="P"/>
+      |  <nameAlias wholeName="Сергей Иванов"/>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="P"/>
+      |  <nameAlias wholeName="John Smith" gender="F"/>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="P"/>
+      |  <nameAlias wholeName="Maria Lopez"/>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="P"/>
+      |  <nameAlias wholeName="Maria Lopez"/>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="P"/>
+      |  <nameAlias wholeName="John  Smith"/>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="E"/>
+      |  <nameAlias wholeName="Bob Stone"/>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="P"/>
+      |  <nameAlias wholeName="Абдул Рахман" gender="M"/>
+      |  <nameAlias wholeName="abdul  rahman o'brien" function="Deputy Minister (a) Chief (b) Commander" title="Mullah, (a)Haji"/>
+      |  <nameAlias wholeName="Abd-Al Rahman"/>
+      |  <citizenship countryDescription="UNKNOWN"/>
+      |  <citizenship countryDescription="afghanistan"/>
+      |  <birthdate birthdate="1963-04-21" place="Kandahar Province"/>
+      |  <birthdate birthdate="1965-01-02"/>
+      |  <birthdate year="1964"/>
+      |  <birthdate yearRangeFrom="1962" yearRangeTo="1966"/>
+      |  <address city="Kabul City Kabul" countryDescription="afghanistan" region="Kabul Province" street="St 5" zipCode="1001"/>
+      |  <regulation numberTitle="(EU) 2023/123"/>
+      |  <remark>Senior member.</remark>
+      |  <remark>none</remark>
+      | </sanctionEntity>
+      | <sanctionEntity>
+      |  <subjectType classificationCode="E"/>
+      |  <nameAlias wholeName="Acme Trading Ltd"/>
+      | </sanctionEntity>
+      |</export>""".stripMargin
+
+  private val pdfText =
+    """EU Sanctions PDF report page 1
+      |Entity 1
+      |Name/Alias: Alice Rivera
+      |Number: X-1
+      |Programme: SYRIA
+      |Entity 2
+      |Name/Alias: Maria Lopez
+      |Number: ML-7
+      |Programme: LIBYA
+      |Entity 3
+      |Name/Alias: Bob Stone
+      |Number: X-1
+      |Programme: SYRIA
+      |Entity 4
+      |Name/Alias: Abdul  Rahman O'Brien Title: Mullah
+      |Number: AFG-001
+      |Number:
+      |
+      |AFG-002
+      |Programme: EU|TALIBAN
+      |Entity 5
+      |Name/Alias: Сергей Иванов
+      |Number: RU-9
+      |Programme: RUSSIA
+      |""".stripMargin
+
+  private val R = "Number: X-1; Programme: SYRIA"
+  private val R0 = "Number: AFG-001 / AFG-002; Programme: TALIBAN"
+
+  private lazy val rows: Map[Long, Row] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val entities = XmlEntities.fromXmlStrings(Seq(xml).toDF("value"))
+    val out = Pipeline.run(entities, Seq(pdfText).toDF("value"))
+    out.collect().map(r => r.getAs[Long]("entity_seq") -> r).toMap
+  }
+
+  private def s(seq: Long, colName: String): String =
+    rows(seq).getAs[String](colName)
+  private def b(seq: Long, colName: String): Boolean =
+    rows(seq).getAs[Boolean](colName)
+
+  test("all 9 entities come out in feed order with the 28-column schema") {
+    assert(rows.size == 9)
+    val cols = rows(0L).schema.fieldNames.toSeq
+    for (c <- Pipeline.CsvColumns) assert(cols.contains(c), s"missing column $c")
+  }
+
+  test("simple person rows: names, category, gender dictionary paths") {
+    assert(s(0, "FULL_NAME") == "Alice Rivera")
+    assert(s(0, "CATEGORY") == "P")
+    assert(s(0, "GENDER") == "Female")   // dictionary: alice -> female
+    assert(s(2, "GENDER") == "Female")   // XML @gender=F beats dictionary
+    assert(s(3, "GENDER") == "Female")   // dictionary: maria -> female
+    assert(s(5, "GENDER") == "Male")     // john -> not female
+    assert(s(6, "FULL_NAME") == "Bob Stone")
+    assert(s(6, "CATEGORY") == "E")
+    assert(s(6, "GENDER") == "Male")
+    assert(s(8, "FULL_NAME") == "Acme Trading Ltd")
+  }
+
+  test("no-Latin-alias entity becomes UNKNOWN with name flag") {
+    assert(s(1, "FULL_NAME") == "UNKNOWN")
+    assert(b(1, "flag_name_missing"))
+    assert(s(1, "GENDER") == "Male") // no name ⇒ Male (main.py:785–786)
+  }
+
+  test("whitespace-variant alias cleans to the duplicate name and stays in ALIAS") {
+    assert(s(5, "FULL_NAME") == "John Smith")
+    // raw "John  Smith".lower != cleaned selected.lower ⇒ kept (main.py:764)
+    assert(s(5, "ALIAS") == "John Smith")
+    assert(s(2, "ALIAS") == "") // exact raw match ⇒ excluded
+  }
+
+  test("rich entity: alias selection, enrichment fields") {
+    assert(s(7, "FULL_NAME") == "Abdul Rahman O'Brien") // Cyrillic first alias skipped
+    assert(s(7, "GENDER") == "Male")                    // @gender=M on skipped alias
+    assert(s(7, "DOB") == "21-04-1963")
+    assert(s(7, "ADD_CITY") == "Kabul")                 // "city" token dropped, dedup
+    assert(s(7, "ADD_COUNTRY") == "Afghanistan")
+    assert(s(7, "STATE") == "")                         // "province" eats "Kabul"
+    assert(s(7, "NATIONALITIES") == "")                 // first citizenship UNKNOWN
+    assert(s(7, "ADDRESS") == "Afghanistan Kabul City Kabul St 5 Kabul Province 1001")
+    assert(s(7, "ALIAS") == "Abdul Rahman O'Brien; Abd-Al Rahman")
+    assert(s(7, "REM1") == "Designation: Deputy Minister; Chief; Commander")
+    assert(s(7, "DETAILS") ==
+      "Title: (EU) 2023/123 / Mullah / Haji; " +
+      "Birth date: 02-01-1965 / 1964 / 1962 to 1966; " +
+      "Birth place: Kandahar Province; Remark: Senior member.")
+  }
+
+  test("constants and never-populated columns") {
+    assert(s(0, "WEB_LINK") == Pipeline.DefaultWebLink)
+    assert(s(0, "SOURCE") == Pipeline.DefaultSource)
+    assert(s(7, "F_NAME") == "" && s(7, "REMARKS") == "" && s(7, "STATUS") == "")
+  }
+
+  test("REM2 match + continuation-line numbers + pipe-split programme") {
+    assert(s(0, "REM2") == R)   // direct hit
+    assert(s(7, "REM2") == R0)  // truncated name line, 2 numbers, last |-part
+  }
+
+  test("REM2 fill passes: pass-3 chain fill with red flags cleared (H2)") {
+    // candidates were [R, "", "", S, S, "", R, R0, ""] — pass 2 reds all four
+    // middle rows, pass 3 fills them all with R from the cell sequence
+    for (seq <- Seq(2L, 3L, 4L, 5L)) {
+      assert(s(seq, "REM2") == R, s"row $seq")
+      assert(!b(seq, "flag_rem2_conflict"), s"row $seq")
+      assert(!b(seq, "flag_rem2_missing"), s"row $seq")
+    }
+    assert(s(6, "REM2") == R)
+  }
+
+  test("unmatched rows go yellow; UNKNOWN row always yellow") {
+    assert(s(1, "REM2") == "" && b(1, "flag_rem2_missing"))
+    assert(s(8, "REM2") == "" && b(8, "flag_rem2_missing"))
+    assert(!b(8, "flag_rem2_conflict"))
+  }
+}
