@@ -235,6 +235,29 @@ object Ext {
         .orderBy(col("doc_id"))
     }),
 
+    // X6 approx distinct (HLL sketch): mergeable partial aggregation — the
+    // scale path for distinct counts (exact twin: a1_counts). No SQL oracle:
+    // sketch internals differ across engines, so the driver does a rows-only
+    // check; the HLL error bound is spec-tested instead (ExtSpec).
+    "x12_approx_distinct" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // X5b multimodal decode: binary payloads → typed media metadata via the
+    // mapPartitions decode stub (ext/Multimodal; not SQL-expressible —
+    // rows-only check; determinism is spec-tested).
+    "x13_multimodal_decode" -> ((s, d) => {
+      graft.ext.Multimodal.decodeStub(
+        documents(s, d).select(col("doc_id"),
+          col("text").cast("binary").as("payload")))
+        .toDF()
+        .orderBy(col("doc_id"))
+    }),
+
     // X5 multimodal/binary plumbing: treat text bytes as an opaque binary
     // payload; byte length + content digests (md5/sha256) are the metadata
     // extraction that image/audio decode would hang off (ext/Multimodal).

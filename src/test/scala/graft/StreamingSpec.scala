@@ -1,0 +1,100 @@
+package graft
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Event, Session}
+
+/** Streaming semantics: the same transform over readStream (MemoryStream)
+  * must agree with its batch run, watermarks must drop late data, and the
+  * custom sessionizer must split on gaps and flush on timeout. */
+class StreamingSpec extends AnyFunSuite {
+
+  private def ts(minute: Int, second: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2026-01-01 10:$minute%02d:$second%02d")
+
+  private val events = Seq(
+    Event(1, ts(0, 10), "click", 1.0),
+    Event(1, ts(0, 40), "click", 2.0),
+    Event(2, ts(1, 5), "view", 3.0),
+    Event(1, ts(2, 0), "click", 4.0),
+    Event(2, ts(8, 0), "view", 5.0))   // > 5 min gap for user 2
+
+  test("tumbling window agg: streaming result equals batch result") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+
+    val batch = EventStreams.tumblingCounts(events.toDF())
+      .orderBy("w_start", "event_type").collect().toSeq
+
+    val input = MemoryStream[Event](spark)
+    input.addData(events: _*)
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumbling")
+      .orderBy("w_start", "event_type").collect().toSeq
+
+    assert(streamed == batch)
+    assert(batch.exists(r => r.getAs[String]("event_type") == "click" &&
+      r.getAs[Long]("n") == 2)) // two clicks in minute 0
+  }
+
+  test("watermark drops data later than 10 minutes behind the max event time") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.tumblingCounts(input.toDF())
+      .writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), "click", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(30), "click", 1.0)) // advances watermark to :20
+      q.processAllAvailable()
+      input.addData(Event(1, ts(1), "late", 9.0))   // :01 < :20 ⇒ dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late").collect()
+    assert(!out.exists(_.getAs[String]("event_type") == "late"))
+    assert(out.exists(_.getAs[String]("event_type") == "click")) // :00 window closed
+  }
+
+  test("custom sessionizer splits on gap and flushes on timeout") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.sessionize(input.toDS())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(events: _*)
+      q.processAllAvailable()
+      // push event time far forward so open sessions time out
+      input.addData(Event(99, ts(59), "click", 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("sessions").as[Session].collect().toSeq
+
+    // user 1: one session :00:10–:02:00 with 3 events, sum 7.0
+    val u1 = out.filter(_.user_id == 1)
+    assert(u1.map(s => (s.n_events, s.sum_value)) == Seq((3, 7.0)))
+    assert(u1.head.start == ts(0, 10) && u1.head.end == ts(2, 0))
+    // user 2: the >5-min gap split into two 1-event sessions
+    val u2 = out.filter(_.user_id == 2).sortBy(_.start.getTime)
+    assert(u2.map(_.n_events) == Seq(1, 1))
+    assert(u2.map(_.sum_value) == Seq(3.0, 5.0))
+  }
+
+  test("built-in session_window agrees with the custom sessionizer on counts") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val batch = EventStreams.sessionCounts(events.toDF())
+      .orderBy("user_id", "s_start").collect().toSeq
+    assert(batch.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))) ==
+      Seq((1L, 3L), (2L, 1L), (2L, 1L)))
+  }
+}
