@@ -189,41 +189,50 @@ object Ext {
     // exact integers (deterministic).
     "x8_text_stats" -> ((s, d) => {
       val stops = Seq("the", "a", "of", "and", "to", "in", "is")
-      val w = TextOps.words(col("text"))
+      // staged projections: every base count evaluates exactly once; the
+      // ratio stage reads attributes (inlined, stopword filtering and
+      // array_distinct would each run twice per row)
       documents(s, d)
-        .select(col("doc_id"), col("text"), w.as("w"))
+        .select(col("doc_id"), col("text"), TextOps.words(col("text")).as("w"))
         .select(
           col("doc_id"),
           length(col("text")).as("n_chars"),
           size(col("w")).as("n_tokens"),
           size(array_distinct(col("w"))).as("n_distinct"),
-          (aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).cast("double") /
-            size(col("w"))).as("avg_token_len"),
+          aggregate(col("w"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
           size(expr("regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0)"))
             .as("n_bpe_tokens"),
-          (size(filter(col("w"), x => x.isInCollection(stops))).cast("double") /
-            size(col("w"))).as("stopword_ratio"),
-          ((size(array_distinct(col("w"))).cast("double") / size(col("w"))) -
-            (size(filter(col("w"), x => x.isInCollection(stops))).cast("double") /
-              size(col("w"))) * 0.5).as("quality_score"))
+          size(filter(col("w"), x => x.isInCollection(stops))).as("n_stop"))
+        .select(
+          col("doc_id"), col("n_chars"), col("n_tokens"), col("n_distinct"),
+          (col("sum_len").cast("double") / col("n_tokens")).as("avg_token_len"),
+          col("n_bpe_tokens"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stopword_ratio"),
+          ((col("n_distinct").cast("double") / col("n_tokens")) -
+            (col("n_stop").cast("double") / col("n_tokens")) * 0.5)
+            .as("quality_score"))
         .orderBy(col("doc_id"))
     }),
 
     // X4b language ID: marker-word voting with a fixed tie-break order.
+    // Staged projections: tokenize once, score each language once, then the
+    // argmax reads score ATTRIBUTES — inlining would re-evaluate each
+    // filter-count in both greatest() and every comparison branch.
     "x9_lang_id" -> ((s, d) => {
-      val w = TextOps.words(col("text"))
       def score(markers: Seq[String]) =
-        size(filter(w, x => x.isInCollection(markers)))
-      val sDe = score(Seq("der", "die", "das", "und"))
-      val sEn = score(Seq("the", "a", "of", "and"))
-      val sEs = score(Seq("el", "los", "las", "y"))
-      val sFr = score(Seq("le", "les", "des", "et"))
-      val m = greatest(sDe, sEn, sEs, sFr)
+        size(filter(col("w"), x => x.isInCollection(markers)))
+      val m = greatest(col("s_de"), col("s_en"), col("s_es"), col("s_fr"))
       documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          score(Seq("der", "die", "das", "und")).as("s_de"),
+          score(Seq("the", "a", "of", "and")).as("s_en"),
+          score(Seq("el", "los", "las", "y")).as("s_es"),
+          score(Seq("le", "les", "des", "et")).as("s_fr"))
         .select(col("doc_id"),
           when(m === 0, "und")
-            .when(sDe === m, "de").when(sEn === m, "en")
-            .when(sEs === m, "es").otherwise("fr").as("lang_guess"))
+            .when(col("s_de") === m, "de").when(col("s_en") === m, "en")
+            .when(col("s_es") === m, "es").otherwise("fr").as("lang_guess"))
         .orderBy(col("doc_id"))
     }),
 

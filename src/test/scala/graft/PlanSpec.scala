@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan regression guards: these assert the plan SHAPES that make
+  * the queries scale — pushdown, pruning, broadcast vs nested-loop, top-k
+  * without a global sort, single-shuffle as-of, and no duplicated expensive
+  * expression subtrees. A correctness-preserving edit that breaks one of
+  * these would silently cost 10–100× at cluster scale. */
+class PlanSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(TestSpark.spark, sf)
+      .queryExecution.explainString(FormattedMode)
+
+  private def count(hay: String, needle: String): Int =
+    hay.sliding(needle.length).count(_ == needle)
+
+  test("q3: filter pushed to scan, columns pruned, top-k avoids global sort") {
+    val p = plan("q3_topk_revenue")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "filter not pushed to scan")
+    assert(p.contains("struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>"),
+      "lineitem scan reads more than the 3 needed columns")
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must not global-sort")
+  }
+
+  test("p4: dimension joined via broadcast, left outer preserved") {
+    val p = plan("p4_unknown_sentinel")
+    assert(p.contains("BroadcastHashJoin LeftOuter"), "expected broadcast left join")
+  }
+
+  test("q1: partial (map-side) aggregation before the exchange") {
+    val p = plan("q1_agg")
+    assert(count(p, "HashAggregate") >= 2, "missing partial aggregate")
+  }
+
+  test("j8: range join rewritten as bucket equi-join, not nested loop") {
+    val p = plan("j8_range_bucket")
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast hash join")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "range join degenerated to BNLJ")
+  }
+
+  test("j7 as-of: exactly one hash-partition shuffle (on user_id)") {
+    val p = plan("j7_asof")
+    assert(count(p, "hashpartitioning(user_id") == 1,
+      s"as-of join should shuffle once on user_id:\n$p")
+  }
+
+  test("x5 simhash: the tokenize+hash subtree is evaluated once, not 16 times") {
+    val p = plan("x5_simhash")
+    assert(count(p, "md5(") == 1,
+      "simhash plan duplicates the md5 token-hash subtree")
+  }
+
+  test("x6 cosine top-k: broadcast join, no cartesian product") {
+    val p = plan("x6_cosine_topk")
+    assert(p.contains("Broadcast"), "query set should broadcast")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("entry: nation dim broadcast into customer scan") {
+    val p = SparkEntry.entry(TestSpark.spark)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastHashJoin"))
+  }
+}
