@@ -1,0 +1,19 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extension registering graft's native Catalyst functions, enabled
+  * with `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (Sessions.local does this) — the documented injection point, so the
+  * functions are usable from SQL text as well as the Column API. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("strip_accents_key"),
+      new ExpressionInfo(classOf[StripAccentsKey].getName, "strip_accents_key"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        StripAccentsKey(children.head)))
+  }
+}

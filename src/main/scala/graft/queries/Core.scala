@@ -94,6 +94,22 @@ object Core {
         .orderBy(col("o_custkey"))
     }),
 
+    // F2–F5 lookup-key variants (main.py:393–418): k1 keep-accents, k2
+    // punctuation-stripped, k3 accent-stripped via the NATIVE codegen'd
+    // strip_accents_key expression (functions/StripAccentsKey, injected
+    // through SparkSessionExtensions).
+    "f5_key_variants" -> ((s, d) => {
+      val base = trim(col("p_name"))
+      part(s, d)
+        .select(col("p_partkey"),
+          lower(regexp_replace(base, "\\s+", " ")).as("k1"),
+          lower(regexp_replace(
+            regexp_replace(base, "[^\\p{L}\\p{N}\\s]", " "), "\\s+", " "))
+            .as("k2"),
+          call_function("strip_accents_key", col("p_name")).as("k3"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // P4 coalesce-to-UNKNOWN + review flag (main.py:572–581): left join with
     // deliberate misses; missing value becomes the UNKNOWN sentinel plus a
     // boolean flag column (the Excel yellow fill re-expressed, SURVEY S10).
@@ -151,6 +167,13 @@ object Core {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "f5_key_variants" ->
+      """SELECT p_partkey,
+        |  lower(regexp_replace(trim(p_name), '\s+', ' ', 'g')) AS k1,
+        |  lower(regexp_replace(regexp_replace(trim(p_name), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS k2,
+        |  lower(trim(regexp_replace(strip_accents(p_name), '\s+', ' ', 'g'))) AS k3
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "p4_unknown_sentinel" ->
       """SELECT c_custkey,

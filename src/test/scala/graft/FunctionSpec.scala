@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.norm.{Normalize, PyText}
+
+/** Native strip_accents_key expression: SQL registration via
+  * SparkSessionExtensions, codegen execution, byte parity with the UDF path. */
+class FunctionSpec extends AnyFunSuite {
+
+  test("registered in SQL via the session extension") {
+    val spark = TestSpark.spark
+    val out = spark.sql("SELECT strip_accents_key('  Crème  Brûlée ') AS k")
+      .collect()(0).getString(0)
+    assert(out == "creme brulee")
+    assert(out == PyText.stripAccentsKey("  Crème  Brûlée "))
+  }
+
+  test("expression output is byte-identical to the UDF on unicode inputs") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val inputs = Seq("Crème Brûlée", "ﬁancé", "Ñoño", "ABD-AL  RAHMAN",
+      "Где-то", "café au lait", "", "Ω≈ç√∫", "áé")
+    val df = inputs.toDF("s")
+      .select(col("s"),
+        call_function("strip_accents_key", col("s")).as("native"),
+        Normalize.stripAccentsUdf(col("s")).as("viaUdf"))
+    val rows = df.collect()
+    for (r <- rows)
+      assert(r.getString(1) == r.getString(2), s"input=<${r.getString(0)}>")
+  }
+
+  test("null-safe and codegen-compiled") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq(Some("Ā"), None).toDF("s")
+      .select(call_function("strip_accents_key", col("s")).as("k"))
+    assert(df.collect().map(r => Option(r.getString(0))).toSeq == Seq(Some("a"), None))
+    // over a real scan (not foldable literals) the projection must sit inside
+    // a WholeStageCodegen stage (the "*(n)" prefix), not an interpreted
+    // fallback — doGenCode is what's being exercised here
+    val scanned = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+      .select(call_function("strip_accents_key", col("p_name")).as("k"))
+    assert(scanned.queryExecution.executedPlan.toString.contains("*(1)"))
+    assert(scanned.collect().length > 0)
+  }
+}
