@@ -71,4 +71,20 @@ object Pipeline {
   def runFromPaths(spark: SparkSession, xmlPath: String, pdfTextPath: String): DataFrame =
     run(XmlEntities.parse(spark, xmlPath),
       spark.read.option("wholetext", "true").text(pdfTextPath))
+
+  private def resource(path: String): String = {
+    val in = getClass.getResourceAsStream(path)
+    require(in != null, s"missing resource $path")
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** Run end-to-end over the bundled fixture feed (the golden-test inputs,
+    * src/main/resources/graft/fixtures) — lets the driver's query gate and
+    * the bench exercise the full pipeline without external files. */
+  def runFixture(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    run(XmlEntities.fromXmlStrings(Seq(resource("/graft/fixtures/feed.xml")).toDF("value")),
+      Seq(resource("/graft/fixtures/pdf.txt")).toDF("value"))
+  }
 }

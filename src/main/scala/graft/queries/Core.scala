@@ -94,6 +94,32 @@ object Core {
         .orderBy(col("o_custkey"))
     }),
 
+    // The flagship: the complete sanctions pipeline (parse → enrich → match
+    // → two-pass fill → 28-column projection) over the bundled fixture feed.
+    // UDF-bearing end to end, so no SQL oracle (rows-only check here); the
+    // golden PipelineSpec asserts every cell of this exact output.
+    "pipeline_sanctions_e2e" -> ((s, _) => graft.Pipeline.runFixture(s)),
+
+    // A2 order-preserving case-insensitive dedup (main.py:672–678, :919–927)
+    // in pure SQL: posexplode to keep positions, row_number over the
+    // case-folded value picks each value's FIRST occurrence, re-collect in
+    // position order. The set-based twin of the PyText.dedupCaseInsensitive
+    // kernel used inside the pipeline.
+    "a2_ordered_dedup" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val exploded = documents(s, d)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+      val firsts = exploded
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"), lower(col("w"))).orderBy(col("pos"))))
+        .filter(col("rn") === 1)
+      firsts
+        .groupBy(col("doc_id"))
+        .agg(array_join(array_sort(collect_list(struct(col("pos"), col("w"))))
+          .getField("w").as("ws"), " ").as("dedup_text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // F2–F5 lookup-key variants (main.py:393–418): k1 keep-accents, k2
     // punctuation-stripped, k3 accent-stripped via the NATIVE codegen'd
     // strip_accents_key expression (functions/StripAccentsKey, injected
@@ -167,6 +193,15 @@ object Core {
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
         |  FROM orders) WHERE rn = 1
         |ORDER BY o_custkey""".stripMargin,
+
+    "a2_ordered_dedup" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |e AS (SELECT doc_id, ws, unnest(range(1, len(ws)+1)) AS pos FROM t),
+        |f AS (SELECT doc_id, pos, ws[pos] AS w FROM e),
+        |r AS (SELECT doc_id, pos, w,
+        |  row_number() OVER (PARTITION BY doc_id, lower(w) ORDER BY pos) AS rn FROM f)
+        |SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS dedup_text
+        |FROM r WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "f5_key_variants" ->
       """SELECT p_partkey,

@@ -2,7 +2,6 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.Row
-import graft.ingest.XmlEntities
 
 /** Golden end-to-end test (SURVEY §5.2-3): synthetic XML feed + PDF text →
   * full Pipeline.run → assert the 28-column frame + flags row by row.
@@ -12,93 +11,15 @@ import graft.ingest.XmlEntities
   */
 class PipelineSpec extends AnyFunSuite {
 
-  private val xml =
-    """<export xmlns="http://eu.europa.ec/fpi/fsd/export">
-      | <sanctionEntity>
-      |  <subjectType classificationCode="P"/>
-      |  <nameAlias wholeName="Alice Rivera"/>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="P"/>
-      |  <nameAlias wholeName="Сергей Иванов"/>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="P"/>
-      |  <nameAlias wholeName="John Smith" gender="F"/>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="P"/>
-      |  <nameAlias wholeName="Maria Lopez"/>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="P"/>
-      |  <nameAlias wholeName="Maria Lopez"/>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="P"/>
-      |  <nameAlias wholeName="John  Smith"/>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="E"/>
-      |  <nameAlias wholeName="Bob Stone"/>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="P"/>
-      |  <nameAlias wholeName="Абдул Рахман" gender="M"/>
-      |  <nameAlias wholeName="abdul  rahman o'brien" function="Deputy Minister (a) Chief (b) Commander" title="Mullah, (a)Haji"/>
-      |  <nameAlias wholeName="Abd-Al Rahman"/>
-      |  <citizenship countryDescription="UNKNOWN"/>
-      |  <citizenship countryDescription="afghanistan"/>
-      |  <birthdate birthdate="1963-04-21" place="Kandahar Province"/>
-      |  <birthdate birthdate="1965-01-02"/>
-      |  <birthdate year="1964"/>
-      |  <birthdate yearRangeFrom="1962" yearRangeTo="1966"/>
-      |  <address city="Kabul City Kabul" countryDescription="afghanistan" region="Kabul Province" street="St 5" zipCode="1001"/>
-      |  <regulation numberTitle="(EU) 2023/123"/>
-      |  <remark>Senior member.</remark>
-      |  <remark>none</remark>
-      | </sanctionEntity>
-      | <sanctionEntity>
-      |  <subjectType classificationCode="E"/>
-      |  <nameAlias wholeName="Acme Trading Ltd"/>
-      | </sanctionEntity>
-      |</export>""".stripMargin
 
-  private val pdfText =
-    """EU Sanctions PDF report page 1
-      |Entity 1
-      |Name/Alias: Alice Rivera
-      |Number: X-1
-      |Programme: SYRIA
-      |Entity 2
-      |Name/Alias: Maria Lopez
-      |Number: ML-7
-      |Programme: LIBYA
-      |Entity 3
-      |Name/Alias: Bob Stone
-      |Number: X-1
-      |Programme: SYRIA
-      |Entity 4
-      |Name/Alias: Abdul  Rahman O'Brien Title: Mullah
-      |Number: AFG-001
-      |Number:
-      |
-      |AFG-002
-      |Programme: EU|TALIBAN
-      |Entity 5
-      |Name/Alias: Сергей Иванов
-      |Number: RU-9
-      |Programme: RUSSIA
-      |""".stripMargin
 
   private val R = "Number: X-1; Programme: SYRIA"
   private val R0 = "Number: AFG-001 / AFG-002; Programme: TALIBAN"
 
+  // fixtures live in src/main/resources/graft/fixtures — the same inputs
+  // the driver-checked pipeline_sanctions_e2e query runs over
   private lazy val rows: Map[Long, Row] = {
-    val spark = TestSpark.spark
-    import spark.implicits._
-    val entities = XmlEntities.fromXmlStrings(Seq(xml).toDF("value"))
-    val out = Pipeline.run(entities, Seq(pdfText).toDF("value"))
+    val out = Pipeline.runFixture(TestSpark.spark)
     out.collect().map(r => r.getAs[Long]("entity_seq") -> r).toMap
   }
 
