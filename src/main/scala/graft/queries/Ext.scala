@@ -185,6 +185,22 @@ object Ext {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // X2d embedding-cosine near-dup: pairs above a similarity threshold,
+    // bucket-prefiltered by label (IVF posting list) so the pair join is
+    // equi on the bucket key — the dedup-flavored twin of x7_ivf_topk.
+    "x14_embedding_neardup" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cos6 = trunc6(Similarity.cosine(col("a.v"), col("b.v")))
+      e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          cos6.as("cos6"))
+        .filter(col("cos6") >= 0.35)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // X4 text stats + quality score: counts exact, ratios as IEEE doubles of
     // exact integers (deterministic).
     "x8_text_stats" -> ((s, d) => {
@@ -377,6 +393,17 @@ object Ext {
         |r AS (SELECT q_id, n_id, cos6,
         |  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rnk FROM c)
         |SELECT q_id, n_id, rnk, cos6 FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
+
+    "x14_embedding_neardup" ->
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])), (x,y) -> x+y) AS d,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])), (x,y) -> x+y) AS na,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])), (x,y) -> x+y) AS nb
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id)
+        |SELECT id1, id2, CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 AS cos6
+        |FROM p WHERE CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 >= 0.35
+        |ORDER BY id1, id2""".stripMargin,
 
     "x8_text_stats" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)

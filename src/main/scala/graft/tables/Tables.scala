@@ -36,4 +36,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every test table as a temp view so the whole catalog is
+    * reachable from `spark.sql(...)` (events via the loader, so `ts_ns` and
+    * the micros `ts` are available in SQL too). */
+  def registerViews(s: SparkSession, d: String): Unit =
+    for (n <- names) {
+      val df = if (n == "events") events(s, d) else table(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }
