@@ -25,9 +25,19 @@ object TextOps {
 
   /** Deterministic 32-bit string hash shared with the oracle: the first 8 hex
     * digits of md5, as a long in [0, 2^32). DuckDB spelling:
-    * `CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)`. */
-  def hash32(c: Column): Column =
+    * `CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)`. Routed through the
+    * native graft_hash32 expression (functions/GraftHash32) — digest bytes
+    * straight to long, no hex round-trip; value-equal to the SQL form
+    * (parity pinned in FunctionSpec). */
+  def hash32(c: Column): Column = call_function("graft_hash32", c)
+
+  /** The pure-SQL spelling of [[hash32]] — kept for parity testing. */
+  def hash32Sql(c: Column): Column =
     conv(substring(md5(c.cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** 8-value MinHash signature via the native one-pass expression. */
+  def minhashSig(shingles: Column): Column =
+    call_function("graft_minhash8", shingles)
 
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
@@ -40,15 +50,16 @@ object TextOps {
         concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
-  /** MinHash signature value j over a pre-hashed shingle array. */
+  /** MinHash signature value j over a pre-hashed shingle array (HOF
+    * formulation — the verification twin of the native signature). */
   def minhash(hashes: Column, j: Int): Column =
     array_min(transform(hashes, x => (lit(MinHashA(j)) * x + lit(MinHashB(j))) % MinHashP))
 
-  /** LSH band keys: bands of 2 signature values each, tagged with the band
-    * index so different bands never collide. */
-  def bandKeys(hashes: Column, nBands: Int): Column =
+  /** LSH band keys from a [[minhashSig]] signature: bands of 2 values each,
+    * tagged with the band index so different bands never collide. */
+  def bandKeys(sig: Column, nBands: Int): Column =
     array((0 until nBands).map { b =>
-      concat_ws("_", lit(b), minhash(hashes, 2 * b), minhash(hashes, 2 * b + 1))
+      concat_ws("_", lit(b), element_at(sig, 2 * b + 1), element_at(sig, 2 * b + 2))
     }: _*)
 
   /** 16-bit SimHash over a distinct-token array: bit i of the fingerprint is

@@ -15,5 +15,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[StripAccentsKey].getName, "strip_accents_key"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         StripAccentsKey(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hash32"),
+      new ExpressionInfo(classOf[GraftHash32].getName, "graft_hash32"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftHash32(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash8"),
+      new ExpressionInfo(classOf[GraftMinHash8].getName, "graft_minhash8"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftMinHash8(children.head)))
   }
 }

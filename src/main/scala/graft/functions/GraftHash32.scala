@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native 32-bit string hash (ext/TextOps.hash32's codegen'd form): value-
+  * equal to `conv(substring(md5(s),1,8),16,10)::long`, but computed straight
+  * from the digest bytes — no hex string, no base conversion, no
+  * per-element UTF8String churn in the dedup hot path. */
+case class GraftHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${child.dataType.sql}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_hash32"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.hash32(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.hash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftHash32 =
+    copy(child = newChild)
+}
+
+/** One-pass 8-value MinHash signature over array<string> (SURVEY X2): each
+  * element md5-hashed once, all permutation minima maintained together.
+  * Value-equal to 8 × `array_min(transform(hashes, x -> (a*x+b) % P))`. */
+case class GraftMinHash8(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash8"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.minhash8(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhash8($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftMinHash8 =
+    copy(child = newChild)
+}

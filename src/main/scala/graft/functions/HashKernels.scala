@@ -1,0 +1,60 @@
+package graft.functions
+
+import java.security.MessageDigest
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+import graft.ext.TextOps
+
+/** Static kernels behind the native hash expressions — called directly from
+  * generated code, so they must be plain JVM statics with no Spark state.
+  *
+  * Contract: [[hash32]] returns EXACTLY the value of the SQL expression
+  * `CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT)` — i.e. the first
+  * 4 md5 digest bytes read as an unsigned big-endian 32-bit integer — which
+  * is also what the DuckDB oracle computes. FunctionSpec pins the parity.
+  */
+object HashKernels {
+
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
+  /** First 4 md5 bytes of the string's UTF-8 encoding, as unsigned 32-bit. */
+  def hash32(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+      ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+  }
+
+  /** One-pass 8-value MinHash signature over a string array: each element is
+    * md5-hashed ONCE and all 8 permutation minima update together (the
+    * HOF formulation rehashes the array once per permutation and boxes every
+    * intermediate). Empty input ⇒ all-null signature, matching
+    * `array_min(transform(empty, …))`. */
+  def minhash8(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val a = TextOps.MinHashA
+    val b = TextOps.MinHashB
+    val p = TextOps.MinHashP
+    if (n == 0) return new GenericArrayData(Array.fill[Any](a.length)(null))
+    val mins = Array.fill(a.length)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val h = hash32(arr.getUTF8String(i))
+        var j = 0
+        while (j < mins.length) {
+          val v = (a(j) * h + b(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (mins(0) == Long.MaxValue) // only-null elements behave like empty
+      new GenericArrayData(Array.fill[Any](a.length)(null))
+    else new GenericArrayData(mins.map(Long.box(_): Any))
+  }
+}

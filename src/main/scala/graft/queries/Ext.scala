@@ -74,12 +74,13 @@ object Ext {
     "x3_minhash_lsh" -> ((s, d) => {
       // persist: the signature frame feeds both sides of the band self-join
       // and the verify joins — without it Spark recomputes the whole
-      // scan→shingle→hash chain once per branch.
+      // scan→shingle→hash chain once per branch. Signatures come from the
+      // native one-pass graft_minhash8 expression (each shingle hashed once).
       val sh = docShingles(documents(s, d))
-        .withColumn("hs", transform(col("ss"), TextOps.hash32(_)))
+        .withColumn("sig", TextOps.minhashSig(col("ss")))
         .persist()
       val banded = sh.select(col("doc_id"),
-          explode(TextOps.bandKeys(col("hs"), 4)).as("bk"))
+          explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
       val cand = banded.as("a").join(banded.as("b"),
           col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -150,11 +151,15 @@ object Ext {
     // X3 brute-force cosine top-k: query set broadcast against the corpus;
     // exact double cosine, rank by truncated similarity with id tie-break.
     "x6_cosine_topk" -> ((s, d) => {
+      // squared norms precomputed per vector (one fold each) — inlining
+      // Similarity.cosine would re-fold both norms for every PAIR
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))
-      val cos6 = trunc6(Similarity.cosine(col("qv"), col("v")))
+        .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nv").as("qnv"))
+      val cos6 = trunc6(
+        Similarity.dot(col("qv"), col("v")) / sqrt(col("qnv") * col("nv")))
       val ranked = q.join(e, col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
         .withColumn("rnk", row_number().over(
@@ -171,10 +176,12 @@ object Ext {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
       val q = e.filter(col("vec_id") % 100 === 0)
         .select(col("vec_id").as("q_id"), col("label").as("q_label"),
-          col("v").as("qv"))
-      val cos6 = trunc6(Similarity.cosine(col("qv"), col("v")))
+          col("v").as("qv"), col("nv").as("qnv"))
+      val cos6 = trunc6(
+        Similarity.dot(col("qv"), col("v")) / sqrt(col("qnv") * col("nv")))
       val ranked = q.join(e,
           col("q_label") === col("label") && col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
@@ -192,7 +199,9 @@ object Ext {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("label"),
           col("embedding").cast("array<double>").as("v"))
-      val cos6 = trunc6(Similarity.cosine(col("a.v"), col("b.v")))
+        .withColumn("nv", Similarity.norm2(col("v")))
+      val cos6 = trunc6(Similarity.dot(col("a.v"), col("b.v")) /
+        sqrt(col("a.nv") * col("b.nv")))
       e.as("a").join(e.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),

@@ -30,6 +30,31 @@ class FunctionSpec extends AnyFunSuite {
       assert(r.getString(1) == r.getString(2), s"input=<${r.getString(0)}>")
   }
 
+  test("graft_hash32 equals the SQL md5-prefix form; minhash8 equals the HOF form") {
+    val spark = TestSpark.spark
+    import graft.ext.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val w = split(col("text"), " ")
+    val mismatch = docs
+      .select(col("doc_id"), w.as("w"))
+      .select(col("doc_id"), col("w"),
+        transform(col("w"), x => TextOps.hash32(x)).as("native"),
+        transform(col("w"), x => TextOps.hash32Sql(x)).as("sql"))
+      .filter(not(col("native") <=> col("sql")))
+      .count()
+    assert(mismatch == 0)
+
+    val sigMismatch = docs
+      .select(array_distinct(w).as("toks"))
+      .select(TextOps.minhashSig(col("toks")).as("native"),
+        array((0 until 8).map(j =>
+          TextOps.minhash(transform(col("toks"), x => TextOps.hash32Sql(x)), j)): _*)
+          .as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(sigMismatch == 0)
+  }
+
   test("null-safe and codegen-compiled") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -51,8 +51,8 @@ class PlanSpec extends AnyFunSuite {
 
   test("x5 simhash: the tokenize+hash subtree is evaluated once, not 16 times") {
     val p = plan("x5_simhash")
-    assert(count(p, "md5(") == 1,
-      "simhash plan duplicates the md5 token-hash subtree")
+    assert(count(p, "graft_hash32(") == 1,
+      "simhash plan duplicates the token-hash subtree")
   }
 
   test("x6 cosine top-k: broadcast join, no cartesian product") {
