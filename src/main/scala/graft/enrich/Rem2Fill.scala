@@ -19,9 +19,11 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * back by entity_seq. The wide row never leaves its executor; only the
   * (seq, name, candidate) triple funnels through the single task — at the
   * reference's feed size (O(10³)–O(10⁶) entities) that is kilobytes to a
-  * few hundred MB. The 100 TB growth path (documented, not needed for this
-  * workload): range-partition by entity_seq, compute per-partition
-  * prefix/suffix states, exchange 2×P boundary rows, then fill locally.
+  * few hundred MB. The 100 TB growth path — range-partition by entity_seq,
+  * per-partition prefix/suffix states, 2×P boundary-row exchange, local
+  * fill — is implemented and equivalence-tested for the window semantics in
+  * [[BoundaryFill]]; this class keeps the reference's exact mutation-aware
+  * two-pass scan, whose feed sizes stay single-task-safe.
   *
   * Unlike the reference's O(n²) rescans (main.py:958, :972–986), both
   * passes here are O(n): running prev values + precomputed next-non-empty
