@@ -20,7 +20,12 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       finally spark.catalog.clearCache()
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // settle the heap between measurements: interpreted-HOF queries
+      // allocate heavily and a deferred GC otherwise lands inside a later
+      // query's timing window
+      System.gc()
+      t
     }
     val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
       name -> math.min(once(name), once(name))

@@ -25,5 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[GraftMinHash8].getName, "graft_minhash8"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftMinHash8(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_intersect_card"),
+      new ExpressionInfo(classOf[SortedIntersectCard].getName, "graft_intersect_card"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SortedIntersectCard(children(0), children(1))))
   }
 }

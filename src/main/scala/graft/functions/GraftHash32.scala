@@ -52,3 +52,34 @@ case class GraftMinHash8(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(newChild: Expression): GraftMinHash8 =
     copy(child = newChild)
 }
+
+/** Linear-merge |a ∩ b| over two sorted duplicate-free array<long> columns —
+  * set-equal to `size(array_intersect(a, b))`, built for the candidate-pair
+  * verify joins of the dedup family (no per-row hash set, no boxing). */
+case class SortedIntersectCard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  private val longArray = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_intersect_card"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sortedIntersectCard(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.HashKernels.sortedIntersectCard($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCard =
+    copy(left = newLeft, right = newRight)
+}

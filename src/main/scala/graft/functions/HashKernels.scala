@@ -57,4 +57,23 @@ object HashKernels {
       new GenericArrayData(Array.fill[Any](a.length)(null))
     else new GenericArrayData(mins.map(Long.box(_): Any))
   }
+
+  /** |a ∩ b| for two SORTED, duplicate-free long arrays via a linear merge —
+    * set-equal to `size(array_intersect(a, b))` but with no hash set and no
+    * boxing (the near-dup verify join calls this once per candidate pair). */
+  def sortedIntersectCard(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
 }

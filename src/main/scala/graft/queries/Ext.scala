@@ -102,8 +102,11 @@ object Ext {
     // and the final exact-Jaccard verify makes the output provably identical.
     "x4_ngram_jaccard" -> ((s, d) => {
       val t = 0.6
+      // hashed shingle sets kept SORTED so the verify join can use the
+      // native linear-merge intersection (graft_intersect_card)
       val sh = docShingles(documents(s, d))
-        .withColumn("hs", array_distinct(transform(col("ss"), TextOps.hash32(_))))
+        .withColumn("hs",
+          array_sort(array_distinct(transform(col("ss"), TextOps.hash32(_)))))
         .persist()
       val inv = sh.select(col("doc_id"), size(col("hs")).as("n"),
         explode(col("ss")).as("shingle"))
@@ -129,7 +132,8 @@ object Ext {
       cand.join(sets.as("x"), col("id1") === col("x.doc_id"))
         .join(sets.as("y"), col("id2") === col("y.doc_id"))
         .select(col("id1"), col("id2"),
-          size(array_intersect(col("x.hs"), col("y.hs"))).as("inter"),
+          call_function("graft_intersect_card", col("x.hs"), col("y.hs"))
+            .cast("int").as("inter"),
           size(col("x.hs")).as("n1"), size(col("y.hs")).as("n2"))
         .select(col("id1"), col("id2"),
           (col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))

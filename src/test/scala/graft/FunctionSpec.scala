@@ -55,6 +55,22 @@ class FunctionSpec extends AnyFunSuite {
     assert(sigMismatch == 0)
   }
 
+  test("graft_intersect_card equals size(array_intersect) on sorted sets") {
+    val spark = TestSpark.spark
+    import graft.ext.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val sets = docs.select(col("doc_id"),
+      array_sort(array_distinct(transform(split(col("text"), " "),
+        x => TextOps.hash32(x)))).as("hs"))
+    val mismatch = sets.as("a").crossJoin(sets.as("b").limit(20))
+      .select(
+        call_function("graft_intersect_card", col("a.hs"), col("b.hs")).as("fast"),
+        size(array_intersect(col("a.hs"), col("b.hs"))).as("ref"))
+      .filter(col("fast") =!= col("ref"))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("null-safe and codegen-compiled") {
     val spark = TestSpark.spark
     import spark.implicits._
