@@ -25,6 +25,25 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Skew mitigation: SALTED two-phase aggregation. A hot group key (here
+    // l_returnflag: 3 values over the whole table — maximal skew) would pin
+    // the entire partial-aggregate output of one key on one reducer; salting
+    // splits each group 16 ways, the final phase merges 16 subtotals per
+    // key. Decimal sums make the result bit-identical to the unsalted plan,
+    // which is what the oracle runs.
+    "a4_salted_agg" -> ((s, d) => {
+      val salted = lineitem(s, d)
+        .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(count(lit(1)).as("n_part"),
+          sum(col("l_quantity").cast("decimal(18,2)")).as("qty_part"))
+      salted
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("n_part")).as("n"),
+          sum(col("qty_part")).cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // W1 (main.py:950–993) re-expressed: nearest non-null value above/below
     // in global order; gap filled only when both neighbors agree, else a
     // conflict flag (the red fill of main.py:991–993).
@@ -99,6 +118,12 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a4_salted_agg" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
     "w1_gap_fill" ->
       """WITH base AS (
         |  SELECT event_id,

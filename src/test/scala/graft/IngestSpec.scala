@@ -20,6 +20,14 @@ class IngestSpec extends AnyFunSuite {
     assert(out.filter(col("subjectType.classificationCode") === "P").count() == 1)
   }
 
+  test("malformed XML degrades to zero entities, no exception (main.py:1101–1103)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val out = XmlEntities.fromXmlStrings(
+      Seq("not xml at all <<<", "<export><unclosed>").toDF("value"))
+    assert(out.count() == 0)
+  }
+
   test("PDF chunking: header dropped, programme sniff, GEN default") {
     val spark = TestSpark.spark
     import spark.implicits._
