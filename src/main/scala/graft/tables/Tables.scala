@@ -27,13 +27,15 @@ object Tables {
     * nanosecond key (`ts_ns`, for ordering — matches DuckDB's TIMESTAMP_NS
     * order) and a micros-truncated TimestampType `ts` (for formatting and
     * event-time windows). */
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = eventsFrom(table(s, d, "events"))
+
+  /** Shared by batch and readStream paths (streaming: pass
+    * `spark.readStream.schema(batchSchema).parquet(dir)` through here). */
+  def eventsFrom(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts_ns", col("ts"))
         .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
-  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

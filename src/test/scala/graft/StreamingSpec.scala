@@ -89,6 +89,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(u2.map(_.sum_value) == Seq(3.0, 5.0))
   }
 
+  test("file-source stream over the real events parquet equals the batch run") {
+    val spark = TestSpark.spark
+    // the file stream source requires a DIRECTORY; stage the single file
+    val src = java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet")
+    val dirP = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(src, dirP.resolve("part-0.parquet"))
+    val dir = dirP.toString
+    val batchDf = graft.tables.Tables.events(spark, "/root/testdata/sf0.001")
+    val batch = EventStreams.tumblingCounts(batchDf)
+      .orderBy("w_start", "event_type").collect().toSeq
+
+    val streamRaw = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(dir)
+    val q = EventStreams.tumblingCounts(graft.tables.Tables.eventsFrom(streamRaw))
+      .writeStream.format("memory").queryName("filesrc")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("filesrc")
+      .orderBy("w_start", "event_type").collect().toSeq
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("built-in session_window agrees with the custom sessionizer on counts") {
     val spark = TestSpark.spark
     import spark.implicits._
