@@ -52,6 +52,21 @@ object PyText {
   /** Unicode-aware whitespace collapse (Python `re.sub(r"\s+", " ", s)`). */
   def collapseWs(s: String): String = s.replaceAll("(?U)\\s+", " ")
 
+  /** Python `str.isspace()` set: Zs/Zl/Zp + the control whitespaces —
+    * includes NBSP and \x1c–\x1f, which Java's `String.strip` leaves. */
+  private def pyIsSpace(cp: Int): Boolean =
+    Character.isSpaceChar(cp) || (cp >= 0x09 && cp <= 0x0D) ||
+      (cp >= 0x1C && cp <= 0x1F) || cp == 0x85
+
+  /** Python `str.strip()` (no-args form). */
+  def pyStrip(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && pyIsSpace(s.charAt(a))) a += 1
+    while (b > a && pyIsSpace(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+
   private def lower(s: String): String = s.toLowerCase(Locale.ROOT)
 
   // -- NFKD accent stripping (main.py:406–411) ------------------------------
@@ -72,25 +87,34 @@ object PyText {
 
   // -- Python str.title() (SURVEY H3) ---------------------------------------
 
-  private def isCased(c: Char): Boolean =
-    Character.isUpperCase(c) || Character.isLowerCase(c) ||
-      Character.getType(c) == Character.TITLECASE_LETTER
+  private def isCased(cp: Int): Boolean =
+    Character.isUpperCase(cp) || Character.isLowerCase(cp) ||
+      Character.getType(cp) == Character.TITLECASE_LETTER
 
   /** Python `str.title()`: first cased char of each cased run is titlecased,
-    * the rest lowercased; word boundaries are ANY uncased char. */
+    * the rest lowercased; word boundaries are ANY uncased char. Uses FULL
+    * Unicode case mappings (ICU), matching CPython: ligatures expand
+    * (`ﬁancé` → `Fiancé`), İ lowercases to `i̇` — a 1:1
+    * `Character.toTitleCase` silently diverges on these (caught by the
+    * reference-generated fuzz corpus, ParityVectorsSpec). */
   def pyTitle(s: String): String = {
     if (s == null) return null
     val sb = new java.lang.StringBuilder(s.length)
     var prevCased = false
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      val cased = isCased(c)
-      if (cased && !prevCased) sb.append(Character.toTitleCase(c))
-      else if (cased) sb.append(Character.toLowerCase(c))
-      else sb.append(c)
+      val cp = s.codePointAt(i)
+      val cased = isCased(cp)
+      if (!cased) sb.appendCodePoint(cp)
+      else {
+        val one = new String(Character.toChars(cp))
+        if (!prevCased)
+          sb.append(UCharacter.toTitleCase(java.util.Locale.ROOT, one, null))
+        else
+          sb.append(UCharacter.toLowerCase(java.util.Locale.ROOT, one))
+      }
       prevCased = cased
-      i += 1
+      i += Character.charCount(cp)
     }
     sb.toString
   }
@@ -98,24 +122,24 @@ object PyText {
   // -- F1 clean_name (main.py:364–366) --------------------------------------
 
   def cleanName(name: String): String =
-    if (name == null) null else pyTitle(collapseWs(name).strip())
+    if (name == null) null else pyTitle(pyStrip(collapseWs(name)))
 
   // -- F2/F3/F4/F5 key variants (main.py:393–418) ---------------------------
 
   /** k3: NFKD accent-strip → collapse → strip → lower (main.py:406–411). */
   def stripAccentsKey(s: String): String =
-    if (s == null || s.isEmpty) "" else lower(collapseWs(nfkdStripCombining(s)).strip())
+    if (s == null || s.isEmpty) "" else lower(pyStrip(collapseWs(nfkdStripCombining(s))))
 
   /** k1: collapse → strip → lower, accents kept (main.py:393–396). */
   def normKeepAccents(s: String): String =
-    if (s == null || s.isEmpty) "" else lower(collapseWs(s).strip())
+    if (s == null || s.isEmpty) "" else lower(pyStrip(collapseWs(s)))
 
   private val punctPattern = Pattern.compile("(?U)[^\\p{L}\\p{N}\\s]")
 
   /** k2: non letter/digit/space → space, collapse, strip, lower (main.py:399–403). */
   def removePunctuationKey(s: String): String =
     if (s == null || s.isEmpty) ""
-    else lower(collapseWs(punctPattern.matcher(s).replaceAll(" ")).strip())
+    else lower(pyStrip(collapseWs(punctPattern.matcher(s).replaceAll(" "))))
 
   /** F5: the (k1, k2, k3) probe/build key tuple (main.py:414–418). */
   def allVariants(s: String): (String, String, String) =
@@ -129,7 +153,7 @@ object PyText {
     * collapse, then full-match over Latin script + name punctuation. */
   def isLatinName(text: String): Boolean = {
     if (text == null) return false
-    var s = text.strip()
+    var s = pyStrip(text)
     s = mapChars(s, latinTypoMap)
     s = mapChars(s, confusables)
     s = s.replace('"', ' ')
@@ -144,7 +168,7 @@ object PyText {
     var t = nfkdStripCombining(s)
     t = mapChars(t, finalTypoMap)
     t = t.replaceAll("[^A-Za-z0-9 .,'\\-()]", "")
-    t = collapseWs(t).strip()
+    t = pyStrip(collapseWs(t))
     pyTitle(t)
   }
 
@@ -177,13 +201,13 @@ object PyText {
     val words = s.split("(?U)\\s+").filter(_.nonEmpty)
     val filtered = scala.collection.mutable.ArrayBuffer.empty[String]
     for (w <- words) {
-      val wClean = tokenPunct.matcher(w).replaceAll("").strip()
+      val wClean = pyStrip(tokenPunct.matcher(w).replaceAll(""))
       val lw = lower(wClean)
       if (lw == "province") { if (filtered.nonEmpty) filtered.remove(filtered.length - 1) }
       else if (lw == "city") ()
       else if (wClean.nonEmpty) filtered += wClean
     }
-    dedupCaseInsensitive(filtered.toSeq).mkString(" ").strip()
+    pyStrip(dedupCaseInsensitive(filtered.toSeq).mkString(" "))
   }
 
   /** A2: order-preserving case-insensitive dedup (main.py:672–678, :919–927). */
