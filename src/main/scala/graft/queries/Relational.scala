@@ -103,6 +103,38 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // Pivot: per-user event-type counts as columns. Spark's pivot plans as a
+    // single partial-aggregable groupBy with conditional counts — exactly
+    // the CASE-WHEN formulation the oracle runs.
+    "g2_pivot" -> ((s, d) => {
+      events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+
+    // TPC-H Q5-shaped 5-way join: two broadcast dims (region→nation chain),
+    // three fact hops, decimal-exact revenue aggregation.
+    "q5_region_revenue" -> ((s, d) => {
+      val r = region(s, d).filter(col("r_name") === "ASIA")
+      val n = nation(s, d)
+      val c = customer(s, d)
+      val o = orders(s, d)
+      val l = lineitem(s, d)
+      r.join(broadcast(n), col("r_regionkey") === col("n_regionkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("n_name"))
+    }),
+
     // JSON extraction from the events.props string column (the extension
     // surface's typed-metadata path, SURVEY X5).
     "f_json_extract" -> ((s, d) => {
@@ -180,6 +212,27 @@ object Relational {
         |JOIN (SELECT CAST(r_regionkey AS BIGINT) AS band_id, r_name AS band_name FROM region) b
         |  USING (band_id)
         |ORDER BY event_id""".stripMargin,
+
+    "g2_pivot" ->
+      """SELECT user_id,
+        |  count(*) FILTER (event_type = 'click') AS click,
+        |  count(*) FILTER (event_type = 'view') AS view,
+        |  count(*) FILTER (event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (event_type = 'signup') AS signup,
+        |  count(*) FILTER (event_type = 'error') AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM region
+        |JOIN nation ON r_regionkey = n_regionkey
+        |JOIN customer ON n_nationkey = c_nationkey
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "f_json_extract" ->
       """SELECT event_id,
