@@ -136,6 +136,40 @@ object Core {
         .orderBy(col("p_partkey"))
     }),
 
+    // Datetime scalar family: truncation, part extraction, arithmetic —
+    // all calendar-exact (no timezone math beyond the UTC session).
+    "f9_datetime" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          quarter(col("o_orderdate")).as("q"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(date_add(col("o_orderdate").cast("date"), 30), "yyyy-MM-dd")
+            .as("plus30"),
+          datediff(lit("2026-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .as("days_to_2026"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Math scalar family: only IEEE-exact operations (no transcendentals —
+    // libm rounding differs across engines).
+    "f10_math" -> ((s, d) => {
+      events(s, d)
+        .select(col("event_id"),
+          abs(col("value") - 250).as("abs_c"),
+          ceil(col("value")).as("ceil_v"),
+          floor(col("value")).as("floor_v"),
+          sqrt(col("value")).as("sqrt_v"),
+          (col("value") * col("value")).as("sq_v"),
+          pmod(col("event_id"), lit(7)).as("mod7"),
+          greatest(col("value"), lit(100.0)).as("hi"),
+          least(col("value"), lit(100.0)).as("lo"))
+        .orderBy(col("event_id"))
+    }),
+
     // P4 coalesce-to-UNKNOWN + review flag (main.py:572–581): left join with
     // deliberate misses; missing value becomes the UNKNOWN sentinel plus a
     // boolean flag column (the Excel yellow fill re-expressed, SURVEY S10).
@@ -209,6 +243,29 @@ object Core {
         |  lower(regexp_replace(regexp_replace(trim(p_name), '[^\p{L}\p{N}\s]', ' ', 'g'), '\s+', ' ', 'g')) AS k2,
         |  lower(trim(regexp_replace(strip_accents(p_name), '\s+', ' ', 'g'))) AS k3
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f9_datetime" ->
+      """SELECT o_orderkey,
+        |  CAST(extract(year FROM o_orderdate) AS INT) AS y,
+        |  CAST(extract(month FROM o_orderdate) AS INT) AS m,
+        |  CAST(extract(day FROM o_orderdate) AS INT) AS dom,
+        |  CAST(extract(quarter FROM o_orderdate) AS INT) AS q,
+        |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+        |  strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2026-01-01') AS INT) AS days_to_2026
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f10_math" ->
+      """SELECT event_id,
+        |  abs(value - 250) AS abs_c,
+        |  CAST(ceil(value) AS BIGINT) AS ceil_v,
+        |  CAST(floor(value) AS BIGINT) AS floor_v,
+        |  sqrt(value) AS sqrt_v,
+        |  value * value AS sq_v,
+        |  event_id % 7 AS mod7,
+        |  greatest(value, 100.0) AS hi,
+        |  least(value, 100.0) AS lo
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "p4_unknown_sentinel" ->
       """SELECT c_custkey,
