@@ -170,6 +170,42 @@ object Core {
         .orderBy(col("event_id"))
     }),
 
+    // Array scalar family: build/slice/sort/dedup/flatten/membership —
+    // array outputs serialized via array_join (list types repr-differ
+    // across the compare harness's readers).
+    "f11_arrays" -> ((s, d) => {
+      val w = split(col("text"), " ")
+      documents(s, d)
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"),
+          array_join(slice(col("w"), 1, 5), ",").as("first5"),
+          array_join(array_sort(array_distinct(slice(col("w"), 1, 8))), ",")
+            .as("sorted_distinct8"),
+          array_contains(col("w"), "spark").as("has_spark"),
+          array_position(col("w"), "the").cast("int").as("first_the"),
+          array_join(array_repeat(element_at(col("w"), 1), 3), ",").as("rep3"),
+          array_join(reverse(slice(col("w"), 1, 4)), ",").as("rev4"),
+          size(flatten(array(slice(col("w"), 1, 2), slice(col("w"), 3, 2))))
+            .as("flat_n"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // String scalar family: padding, slicing, search, translate, repeat.
+    "f12_strings" -> ((s, d) => {
+      part(s, d)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("lpadded"),
+          rpad(col("p_brand"), 12, "-").as("rpadded"),
+          substring(col("p_name"), 3, 8).as("sub"),
+          instr(col("p_name"), "a").cast("int").as("first_a"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("vowels_up"),
+          repeat(col("p_brand"), 2).as("twice"),
+          reverse(col("p_brand")).as("revd"),
+          length(col("p_name")).as("len"),
+          concat_ws("|", col("p_brand"), col("p_type")).as("joined"))
+        .orderBy(col("p_partkey"))
+    }),
+
     // P4 coalesce-to-UNKNOWN + review flag (main.py:572–581): left join with
     // deliberate misses; missing value becomes the UNKNOWN sentinel plus a
     // boolean flag column (the Excel yellow fill re-expressed, SURVEY S10).
@@ -266,6 +302,31 @@ object Core {
         |  greatest(value, 100.0) AS hi,
         |  least(value, 100.0) AS lo
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "f11_arrays" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  array_to_string(w[1:5], ',') AS first5,
+        |  array_to_string(list_sort(list_distinct(w[1:8])), ',') AS sorted_distinct8,
+        |  list_contains(w, 'spark') AS has_spark,
+        |  CAST(COALESCE(list_position(w, 'the'), 0) AS INT) AS first_the,
+        |  array_to_string([w[1], w[1], w[1]], ',') AS rep3,
+        |  array_to_string(list_reverse(w[1:4]), ',') AS rev4,
+        |  len(flatten([w[1:2], w[3:4]])) AS flat_n
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "f12_strings" ->
+      """SELECT p_partkey,
+        |  lpad(p_brand, 12, '*') AS lpadded,
+        |  rpad(p_brand, 12, '-') AS rpadded,
+        |  substring(p_name, 3, 8) AS sub,
+        |  CAST(instr(p_name, 'a') AS INT) AS first_a,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS vowels_up,
+        |  repeat(p_brand, 2) AS twice,
+        |  reverse(p_brand) AS revd,
+        |  CAST(length(p_name) AS INT) AS len,
+        |  concat_ws('|', p_brand, p_type) AS joined
+        |FROM part ORDER BY p_partkey""".stripMargin,
 
     "p4_unknown_sentinel" ->
       """SELECT c_custkey,
