@@ -55,6 +55,27 @@ object EventStreams {
   final case class Session(user_id: Long, start: Timestamp, end: Timestamp,
       n_events: Int, sum_value: Double)
 
+  final case class UserTotals(user_id: Long, n_events: Long, sum_value: Double)
+
+  /** Running per-user totals via mapGroupsWithState (Update-mode state:
+    * one output row per user per micro-batch, state never expires here —
+    * a production deployment would add a timeout like [[sessionize]]). */
+  def runningTotals(events: Dataset[Event]): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(
+        (userId: Long, it: Iterator[Event], state: GroupState[UserTotals]) => {
+          val prev = state.getOption.getOrElse(UserTotals(userId, 0L, 0.0))
+          val batch = it.toSeq
+          val next = UserTotals(userId,
+            prev.n_events + batch.size,
+            prev.sum_value + batch.map(_.value).sum)
+          state.update(next)
+          next
+        })
+  }
+
   /** Gap-based sessionizer with explicit state: emits a session when the gap
     * between consecutive events exceeds `gapMs`, or on event-time timeout.
     * The custom-state twin of [[sessionCounts]] — for session logic the

@@ -20,6 +20,19 @@ class IngestSpec extends AnyFunSuite {
     assert(out.filter(col("subjectType.classificationCode") === "P").count() == 1)
   }
 
+  test("parseGlobalSeq: one contiguous entity_seq across multiple feed files") {
+    val spark = TestSpark.spark
+    val dir = java.nio.file.Files.createTempDirectory("feeds")
+    def write(name: String, n: Int): Unit =
+      java.nio.file.Files.writeString(dir.resolve(name),
+        "<export>" + ("<sanctionEntity/>" * n) + "</export>")
+    write("feed_a.xml", 2)
+    write("feed_b.xml", 3)
+    val out = XmlEntities.parseGlobalSeq(spark, dir.toString)
+    val seqs = out.select("entity_seq").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seqs == (0L until 5L))
+  }
+
   test("malformed XML degrades to zero entities, no exception (main.py:1101–1103)") {
     val spark = TestSpark.spark
     import spark.implicits._

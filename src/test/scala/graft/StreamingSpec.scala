@@ -114,6 +114,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
   }
 
+  test("mapGroupsWithState running totals accumulate across micro-batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("totals")
+      .outputMode(OutputMode.Update).start()
+    try {
+      input.addData(Event(1, ts(0), "click", 1.0), Event(1, ts(1), "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(2), "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    // update mode: the LAST row for user 1 carries the accumulated state
+    val rows = spark.table("totals").as[EventStreams.UserTotals].collect()
+    assert(rows.exists(r => r.user_id == 1 && r.n_events == 3 && r.sum_value == 7.0))
+  }
+
   test("built-in session_window agrees with the custom sessionizer on counts") {
     val spark = TestSpark.spark
     import spark.implicits._
