@@ -214,6 +214,20 @@ object Ext {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // UDAF: per-source collection signature via the union-minhash property
+    // (element-wise min is a mergeable aggregate — ext/SignatureAgg).
+    "x15_group_signature" -> ((s, d) => {
+      val sigAgg = udaf(graft.ext.SignatureAgg)
+      val sig = docShingles(documents(s, d))
+        .join(documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .select(col("source"), TextOps.minhashSig(col("ss")).as("sig"))
+        .groupBy(col("source"))
+        .agg(sigAgg(col("sig").cast("array<long>")).as("gsig"))
+      sig.select(Seq(col("source")) ++
+          (0 until 8).map(j => element_at(col("gsig"), j + 1).as(s"m$j")): _*)
+        .orderBy(col("source"))
+    }),
+
     // X4 text stats + quality score: counts exact, ratios as IEEE doubles of
     // exact integers (deterministic).
     "x8_text_stats" -> ((s, d) => {
@@ -417,6 +431,26 @@ object Ext {
         |SELECT id1, id2, CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 AS cos6
         |FROM p WHERE CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    "x15_group_signature" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |h AS (SELECT doc_id, source,
+        |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
+        |mh AS (SELECT source,
+        |  list_min(list_transform(hs, x -> (7*x+3) % 2147483647)) AS m0,
+        |  list_min(list_transform(hs, x -> (11*x+5) % 2147483647)) AS m1,
+        |  list_min(list_transform(hs, x -> (13*x+7) % 2147483647)) AS m2,
+        |  list_min(list_transform(hs, x -> (17*x+11) % 2147483647)) AS m3,
+        |  list_min(list_transform(hs, x -> (19*x+13) % 2147483647)) AS m4,
+        |  list_min(list_transform(hs, x -> (23*x+17) % 2147483647)) AS m5,
+        |  list_min(list_transform(hs, x -> (29*x+19) % 2147483647)) AS m6,
+        |  list_min(list_transform(hs, x -> (31*x+23) % 2147483647)) AS m7 FROM h)
+        |SELECT source, min(m0) AS m0, min(m1) AS m1, min(m2) AS m2, min(m3) AS m3,
+        |  min(m4) AS m4, min(m5) AS m5, min(m6) AS m6, min(m7) AS m7
+        |FROM mh GROUP BY source ORDER BY source""".stripMargin,
 
     "x8_text_stats" ->
       """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
