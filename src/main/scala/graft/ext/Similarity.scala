@@ -12,8 +12,13 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product of two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential left-fold dot product of two array<double> columns, routed
+    * through the native graft_dot expression (functions/GraftDot) — same
+    * IEEE operation order as the HOF form, no boxing (parity spec-pinned). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** The HOF spelling of [[dot]] — kept for parity testing. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   /** Squared L2 norm via the same fold. */

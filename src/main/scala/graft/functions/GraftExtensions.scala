@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftMinHash8(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftDot(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_intersect_card"),
       new ExpressionInfo(classOf[SortedIntersectCard].getName, "graft_intersect_card"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

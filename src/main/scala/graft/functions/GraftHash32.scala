@@ -53,6 +53,37 @@ case class GraftMinHash8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Sequential-fold dot product over two array<double> columns, bit-identical
+  * to the HOF `aggregate(zip_with(...))` form and the oracle's list_reduce
+  * (same ascending-index IEEE operation order), minus the per-element boxing
+  * and lambda dispatch — the hot path of every cosine query. */
+case class GraftDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.DoubleType, _),
+            ArrayType(org.apache.spark.sql.types.DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<double> arguments, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.dotSeq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.dotSeq($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Linear-merge |a ∩ b| over two sorted duplicate-free array<long> columns —
   * set-equal to `size(array_intersect(a, b))`, built for the candidate-pair
   * verify joins of the dedup family (no per-row hash set, no boxing). */

@@ -58,6 +58,18 @@ object HashKernels {
     else new GenericArrayData(mins.map(Long.box(_): Any))
   }
 
+  /** Strictly-sequential (ascending index) double dot product — the exact
+    * IEEE operation order of `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and of
+    * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))`, so results are
+    * bit-identical across all three forms. */
+  def dotSeq(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
   /** |a ∩ b| for two SORTED, duplicate-free long arrays via a linear merge —
     * set-equal to `size(array_intersect(a, b))` but with no hash set and no
     * boxing (the near-dup verify join calls this once per candidate pair). */

@@ -55,6 +55,19 @@ class FunctionSpec extends AnyFunSuite {
     assert(sigMismatch == 0)
   }
 
+  test("graft_dot is bit-identical to the HOF fold dot product") {
+    val spark = TestSpark.spark
+    import graft.ext.Similarity
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val mismatch = e.as("a").crossJoin(e.as("b").limit(20))
+      .select(Similarity.dot(col("a.v"), col("b.v")).as("native"),
+        Similarity.dotHof(col("a.v"), col("b.v")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatch == 0)
+  }
+
   test("graft_intersect_card equals size(array_intersect) on sorted sets") {
     val spark = TestSpark.spark
     import graft.ext.TextOps
