@@ -41,7 +41,12 @@ object Pipeline {
     * (column `value`). Returns the 28-column frame + 4 flags + entity_seq,
     * in feed order. */
   def run(entities: DataFrame, pdfTexts: DataFrame): DataFrame = {
-    val enriched = Fields.enrich(entities)
+    // a single-file feed explodes into ONE partition: spread the UDF-heavy
+    // enrichment across cores (order is carried by entity_seq, never by
+    // partitioning), and persist it — the enriched frame feeds the probe,
+    // the candidate join, and the final projection, and each branch would
+    // otherwise re-run from_xml + the enrichment UDFs from scratch.
+    val enriched = Fields.enrich(entities.repartition(col("entity_seq"))).persist()
     val index = PdfIndex.build(PdfChunks.chunks(pdfTexts))
     val candidates =
       Rem2Join.probe(enriched.select("entity_seq", "candidates"), index)
