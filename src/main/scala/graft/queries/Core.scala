@@ -206,6 +206,20 @@ object Core {
         .orderBy(col("p_partkey"))
     }),
 
+    // Outer generator: explode_outer keeps rows whose array is empty (a
+    // plain explode silently drops them — the classic fan-out data-loss
+    // bug). Tokens starting with 'z' are rare, so most docs hit the
+    // null-preserving path.
+    "f13_explode_outer" -> ((s, d) => {
+      val zTokens = filter(split(col("text"), " "), w => w.startsWith("z"))
+      documents(s, d)
+        .select(col("doc_id"), explode_outer(zTokens).as("z_token"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("z_token")).as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // P4 coalesce-to-UNKNOWN + review flag (main.py:572–581): left join with
     // deliberate misses; missing value becomes the UNKNOWN sentinel plus a
     // boolean flag column (the Excel yellow fill re-expressed, SURVEY S10).
@@ -327,6 +341,15 @@ object Core {
         |  CAST(length(p_name) AS INT) AS len,
         |  concat_ws('|', p_brand, p_type) AS joined
         |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "f13_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split(text, ' '), w -> starts_with(w, 'z')) AS z
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |  unnest(CASE WHEN len(z) = 0 THEN [NULL] ELSE z END) AS z_token FROM t)
+        |SELECT doc_id, count(*) AS n_rows, count(z_token) AS n_tokens
+        |FROM e GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p4_unknown_sentinel" ->
       """SELECT c_custkey,
