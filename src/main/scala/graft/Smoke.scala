@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
 
 /** Dev smoke runner: drives SparkEntry.entry exactly like the driver's t1
   * check (rows > 0) and prints a sample. Usage: sbt "runMain graft.Smoke".

@@ -28,7 +28,6 @@ import graft.ext.{Similarity, TextOps}
   */
 object Ext {
 
-  private val P = TextOps.MinHashP
 
   /** doc_id + whitespace tokens + distinct 3-shingles, shared by the dedup
     * family. The input is repartitioned first: the test table is one small
