@@ -11,10 +11,15 @@ object Verify {
     val spark = Sessions.local("graft-verify")
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name.parquet")
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name.parquet")
+        rowCounts(name) = spark.read.parquet(s"$outDir/$name.parquet").count()
+      }
       catch { case e: Throwable =>
+        rowCounts(name) = -1L
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       finally spark.catalog.clearCache() // drop intra-query persists
@@ -31,9 +36,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver's CORRECTNESS keys carry the .parquet suffix while the
+    // catalog names don't — emit every oracle entry under BOTH keys so
+    // either lookup convention hits, plus a per-query .sql sidecar.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+    }
+    // One-line diagnostics so a future no_oracle round is debuggable
+    // from the driver log alone.
+    val counts = rowCounts.map { case (k, n) => s"${q(k)}: $n" }
+      .mkString("{", ",", "}")
+    val keys = SparkEntry.oracleSql.keys.toSeq.sorted.map(q).mkString("[", ",", "]")
+    println(s"""{"verify_rows": $counts, "oracle_keys": $keys}""")
     spark.stop()
   }
 }

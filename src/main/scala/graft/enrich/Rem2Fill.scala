@@ -14,16 +14,12 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * own non-empty candidate is overwritten by neighbor consensus — so for
   * parity this is implemented as an exact linear scan.
   *
-  * Execution shape: project to 3 narrow columns, sort into ONE partition,
-  * run the O(n) two-pass scan in `mapPartitions`, join the 4 result columns
-  * back by entity_seq. The wide row never leaves its executor; only the
-  * (seq, name, candidate) triple funnels through the single task — at the
-  * reference's feed size (O(10³)–O(10⁶) entities) that is kilobytes to a
-  * few hundred MB. The 100 TB growth path — range-partition by entity_seq,
-  * per-partition prefix/suffix states, 2×P boundary-row exchange, local
-  * fill — is implemented and equivalence-tested for the window semantics in
-  * [[BoundaryFill]]; this class keeps the reference's exact mutation-aware
-  * two-pass scan, whose feed sizes stay single-task-safe.
+  * Execution shape: [[apply]] delegates to [[ChainFill]], the distributed
+  * exact form — range partitions on entity_seq, per-partition transfer
+  * functions (Identity/Const/Branch) composed on the driver, O(P) exchanges
+  * only. [[fillSeq]] below is the single-sequence reference implementation
+  * (and the spec baseline); [[applyLocal]] wraps it for comparison. The
+  * window-semantics twin (no candidate mutation) lives in [[BoundaryFill]].
   *
   * Unlike the reference's O(n²) rescans (main.py:958, :972–986), both
   * passes here are O(n): running prev values + precomputed next-non-empty
@@ -103,8 +99,17 @@ object Rem2Fill {
   }
 
   /** df: (entity_seq, full_name, rem2_candidate) →
-    * (entity_seq, rem2, flag_rem2_missing, flag_rem2_conflict). */
-  def apply(df: DataFrame): DataFrame = {
+    * (entity_seq, rem2, flag_rem2_missing, flag_rem2_conflict).
+    *
+    * Delegates to [[ChainFill]] — the distributed exact form (range
+    * partitions + O(P) transfer-function composition, ChainFillSpec proves
+    * bit-equality with [[fillSeq]]) — so the pipeline never funnels the
+    * feed through one task. */
+  def apply(df: DataFrame): DataFrame =
+    ChainFill(df, df.sparkSession.sparkContext.defaultParallelism)
+
+  /** The original single-task form, kept as the equivalence baseline. */
+  def applyLocal(df: DataFrame): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val ds: Dataset[FillIn] = df

@@ -64,12 +64,16 @@ object TextOps {
 
   /** 16-bit SimHash over a distinct-token array: bit i of the fingerprint is
     * set iff sum over tokens of ±1 (by bit i of the token hash) is >= 0.
-    *
-    * Single fold with a 16-long array accumulator: the token array is hashed
-    * exactly once. (The naive per-bit formulation references the hashed array
-    * 16 times, and each reference DUPLICATES the tokenize+md5 subtree in the
-    * plan — a 16× slowdown visible in `.explain("formatted")`.) */
-  def simhash16(tokens: Column): Column = {
+    * Routed through the native one-pass graft_simhash16 expression (each
+    * token md5-hashed once, all 16 counters updated in generated code);
+    * [[simhash16Hof]] is the interpreted HOF twin kept for parity testing. */
+  def simhash16(tokens: Column): Column =
+    call_function("graft_simhash16", tokens)
+
+  /** HOF-fold formulation of [[simhash16]] — single fold with a 16-long
+    * array accumulator so the token array is hashed exactly once; runs
+    * interpreted (array HOFs don't codegen). Parity pinned in FunctionSpec. */
+  def simhash16Hof(tokens: Column): Column = {
     val hs = transform(tokens, hash32(_))
     val zeros = array((0 until 16).map(_ => lit(0L)): _*)
     val bitSums = aggregate(hs, zeros, (acc, x) =>

@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftMinHash8(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash16"),
+      new ExpressionInfo(classOf[GraftSimHash16].getName, "graft_simhash16"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSimHash16(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

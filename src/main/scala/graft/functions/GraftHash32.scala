@@ -53,6 +53,42 @@ case class GraftMinHash8(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass 16-bit SimHash over array<string> (SURVEY X2c): each element
+  * md5-hashed once, all 16 bit-counters maintained together. Value-equal to
+  * the HOF fold twin TextOps.simhash16Hof (which runs interpreted and
+  * re-dispatches a lambda per element per bit). */
+case class GraftSimHash16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash16"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash16(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // kernel may return null (null element parity with the HOF fold), so
+    // the generated code boxes and null-checks rather than using the
+    // primitive-value fast path of defineCodeGen.
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |Object r = graft.functions.HashKernels.simhash16($c);
+         |if (r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) r).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftSimHash16 =
+    copy(child = newChild)
+}
+
 /** Sequential-fold dot product over two array<double> columns, bit-identical
   * to the HOF `aggregate(zip_with(...))` form and the oracle's list_reduce
   * (same ascending-index IEEE operation order), minus the per-element boxing

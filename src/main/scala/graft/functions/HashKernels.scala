@@ -58,6 +58,31 @@ object HashKernels {
     else new GenericArrayData(mins.map(Long.box(_): Any))
   }
 
+  /** One-pass 16-bit SimHash over a string array: each element md5-hashed
+    * once, all 16 bit-counters updated together. Value-equal to
+    * TextOps.simhash16Hof (the HOF fold formulation): empty input ⇒ all
+    * counters 0 ⇒ every bit set (0 >= 0) ⇒ 0xFFFF; a null element makes the
+    * HOF accumulator null, so return null for parity. */
+  def simhash16(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    val sums = new Array[Long](16)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val h = hash32(arr.getUTF8String(i))
+      var j = 0
+      while (j < 16) {
+        sums(j) += (((h >>> j) & 1L) * 2L - 1L)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 16) { if (sums(j) >= 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
   /** Strictly-sequential (ascending index) double dot product — the exact
     * IEEE operation order of `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and of
     * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))`, so results are

@@ -2,7 +2,6 @@ package graft.ingest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** S7/S8: PDF text → per-entity chunks with programme tag
   * (SURVEY §2.1-S7, main.py:261–304).
@@ -25,10 +24,11 @@ object PdfChunks {
       .withColumn("chunk", regexp_replace(col("raw_chunk"), "(?U)^\\s+|(?U)\\s+$", ""))
       .filter(col("chunk") =!= "" && lower(col("chunk")).startsWith("entity"))
     val prog = regexp_extract(col("chunk"), "(?i)Programme\\s*[:\\-]\\s*([A-Za-z0-9]+)", 1)
-    parts
+    val tagged = parts
       .withColumn("programme", when(prog =!= "", upper(prog)).otherwise(lit("GEN")))
-      .withColumn("chunk_seq",
-        row_number().over(Window.orderBy(col("pos"))).cast("long") - 1)
+    // document-order sequencing via range-sort + zipWithIndex (GlobalSeq) —
+    // no single-partition window
+    GlobalSeq.withSeq(tagged, Seq(col("pos")), "chunk_seq")
       .select(col("chunk_seq"), col("programme"), col("chunk"))
   }
 

@@ -63,19 +63,16 @@ object XmlEntities {
   /** Multi-file feeds: entity_seq from [[fromXmlStrings]] restarts per feed
     * file; this re-derives ONE global feed order as (file name, position) —
     * the Spark analogue of the reference's numeric-suffix filename sort
-    * (O1, main.py:543–546). Single-partition window: the count being
-    * ordered is entities (O(10³–10⁶)), not bytes. */
+    * (O1, main.py:543–546) — via the GlobalSeq range-sort + zipWithIndex
+    * plan, never a single-partition window. */
   def parseGlobalSeq(spark: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val opts = Map("attributePrefix" -> "", "valueTag" -> "_VALUE")
     val perFile = spark.read.option("wholetext", "true").text(path)
       .withColumn("_file", input_file_name())
       .withColumn("doc", from_xml(stripNamespaces(col("value")), docType,
         scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava))
       .select(col("_file"), posexplode(col("doc.sanctionEntity")).as(Seq("pos", "entity")))
-    val w = Window.orderBy(col("_file"), col("pos"))
-    perFile
-      .withColumn("entity_seq", row_number().over(w).cast("long") - 1)
+    GlobalSeq.withSeq(perFile, Seq(col("_file"), col("pos")), "entity_seq")
       .select(col("entity_seq"), col("entity.*"))
   }
 

@@ -114,12 +114,21 @@ object Ext {
         .withColumn("pos", row_number().over(
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       val prefix = ranked.filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
-        .select(col("doc_id"), col("n"), col("shingle"))
+        .select(col("doc_id"), col("n"), col("pos"), col("shingle"))
         .persist()
-      // length filter: Jaccard ≥ t ⇒ ⌈t·n1⌉ ≤ n2 (both directions)
+      // length filter: Jaccard ≥ t ⇒ ⌈t·n1⌉ ≤ n2 (both directions).
+      // POSITIONAL filter (full PPJoin): at a shared token sitting at
+      // 1-based rank pos within each doc's df-sorted order, the remaining
+      // overlap is at most 1 + min(n1-pos1, n2-pos2); Jaccard ≥ t needs
+      // overlap ≥ ⌈t·(n1+n2)/(1+t)⌉. The FIRST common prefix token of a
+      // true pair always satisfies the bound (all common tokens sort after
+      // it in both docs), so keeping pairs where ANY occurrence passes
+      // loses nothing — the exact-Jaccard verify below stays authoritative.
       val cand = prefix.as("a").join(prefix.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id") &&
-            col("b.n") >= ceil(col("a.n") * t) && col("a.n") >= ceil(col("b.n") * t))
+            col("b.n") >= ceil(col("a.n") * t) && col("a.n") >= ceil(col("b.n") * t) &&
+            least(col("a.n") - col("a.pos"), col("b.n") - col("b.pos")) + 1 >=
+              ceil((col("a.n") + col("b.n")) * (t / (1 + t))))
         .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
         .distinct()
       // verify on the md5-hashed shingle sets: longs intersect far faster than

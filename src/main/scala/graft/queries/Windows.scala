@@ -9,12 +9,10 @@ import graft.tables.Tables._
   * duplicate counts) plus the standard analytic family for coverage.
   *
   * Scale notes:
-  *   - w1_gap_fill uses a single global ordering (the reference's feed-order
-  *     semantics, SURVEY H1) — a one-partition window. At 100 TB the same
-  *     result comes from range-partitioning on the order key, computing
-  *     per-partition prefix/suffix non-null states, and exchanging 2×P
-  *     boundary rows (documented in enrich/Rem2Fill.scala); at driver scale
-  *     the degenerate window is exact and cheap.
+  *   - w1_gap_fill implements the reference's global feed-order semantics
+  *     (SURVEY H1) via enrich/BoundaryFill: range partitioning on the order
+  *     key, per-partition prefix/suffix non-null states, and an O(P)
+  *     boundary exchange — never a single-partition window.
   *   - every PARTITION BY window shuffles once on its partition key and
   *     sorts within partitions — no global sort.
   *   - frame aggregates over DOUBLE go through DECIMAL(18,2) so the result
@@ -46,25 +44,17 @@ object Windows {
 
     // W1 (main.py:950–993) re-expressed: nearest non-null value above/below
     // in global order; gap filled only when both neighbors agree, else a
-    // conflict flag (the red fill of main.py:991–993).
+    // conflict flag (the red fill of main.py:991–993). Runs the scale-safe
+    // boundary-exchange plan (range shuffle + O(P) boundary collect) rather
+    // than a single-partition global window — BoundaryFillSpec proves the
+    // two equivalent; the window twin stays in BoundaryFill.gapFillWindow.
     "w1_gap_fill" -> ((s, d) => {
-      val wPrev = Window.orderBy(col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wNext = Window.orderBy(col("event_id"))
-        .rowsBetween(1, Window.unboundedFollowing)
-      events(s, d)
-        .select(col("event_id"),
-          when(col("value") >= 100, col("event_type")).as("cand"))
-        .withColumn("prev_cand", last(col("cand"), ignoreNulls = true).over(wPrev))
-        .withColumn("next_cand", first(col("cand"), ignoreNulls = true).over(wNext))
-        .select(
-          col("event_id"),
-          coalesce(col("cand"),
-            when(col("prev_cand") === col("next_cand"), col("prev_cand")),
-            lit("")).as("filled"),
-          (col("cand").isNull &&
-            !(col("prev_cand").isNotNull && col("next_cand").isNotNull &&
-              col("prev_cand") === col("next_cand"))).as("flag_conflict"))
+      val base = events(s, d).select(
+        col("event_id").as("seq"),
+        when(col("value") >= 100, col("event_type")).as("value"))
+      graft.enrich.BoundaryFill
+        .gapFill(base, s.sparkContext.defaultParallelism)
+        .select(col("seq").as("event_id"), col("filled"), col("flag_conflict"))
         .orderBy(col("event_id"))
     }),
 

@@ -55,6 +55,26 @@ class FunctionSpec extends AnyFunSuite {
     assert(sigMismatch == 0)
   }
 
+  test("graft_simhash16 equals the HOF fold; empty array parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ext.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatch = docs
+      .select(array_distinct(split(col("text"), " ")).as("toks"))
+      .select(TextOps.simhash16(col("toks")).as("native"),
+        TextOps.simhash16Hof(col("toks")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatch == 0)
+    // empty token set: all 16 counters are 0, every bit set — both forms
+    val edge = Seq(Seq.empty[String]).toDF("toks")
+      .select(TextOps.simhash16(col("toks")).as("native"),
+        TextOps.simhash16Hof(col("toks")).as("hof"))
+      .collect()(0)
+    assert(edge.getLong(0) == 0xFFFFL && edge.getLong(1) == 0xFFFFL)
+  }
+
   test("graft_dot is bit-identical to the HOF fold dot product") {
     val spark = TestSpark.spark
     import graft.ext.Similarity

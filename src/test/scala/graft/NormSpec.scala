@@ -59,6 +59,32 @@ class NormSpec extends AnyFunSuite {
       assert(PyText.isForcedMale(in) == want, s"input=<$in>")
   }
 
+  test("D2 dictionary covers female names beyond the round-1 core list") {
+    import graft.norm.Normalize.femaleFirstNames
+    // round-2 expansion: names absent from the original 428-entry list
+    for (n <- Seq("zeynep", "svetlana", "guadalupe", "magdalena", "aisha",
+        "ingrid", "valentina", "yvonne", "rosalind", "katarzyna"))
+      assert(femaleFirstNames.contains(n), s"missing female name: $n")
+    assert(femaleFirstNames.size >= 900)
+    // male / unknown names must NOT leak into the female class
+    for (n <- Seq("john", "pablo", "sergio", "xx-not-a-name"))
+      assert(!femaleFirstNames.contains(n), s"wrongly female: $n")
+  }
+
+  test("D2 cascade yields Female for an expansion name (no XML gender)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val out = Seq(
+        (null.asInstanceOf[String], "Zeynep Yilmaz"), // expansion dictionary hit
+        (null.asInstanceOf[String], "John Smith"),    // not female
+        ("F", "John Smith"))                          // XML gender beats dictionary
+      .toDF("xml_gender", "name")
+      .select(graft.norm.Normalize.genderCascade(col("xml_gender"), col("name")).as("g"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("Female", "Male", "Female"))
+  }
+
   test("F5 all_variants matches reference") {
     for ((in, want) <- NormVectors.allVariants) {
       val (k1, k2, k3) = PyText.allVariants(in)

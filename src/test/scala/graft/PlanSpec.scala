@@ -49,16 +49,28 @@ class PlanSpec extends AnyFunSuite {
       s"as-of join should shuffle once on user_id:\n$p")
   }
 
-  test("x5 simhash: the tokenize+hash subtree is evaluated once, not 16 times") {
+  test("x5 simhash: single native one-pass expression, no duplicated subtree") {
     val p = plan("x5_simhash")
-    assert(count(p, "graft_hash32(") == 1,
-      "simhash plan duplicates the token-hash subtree")
+    assert(count(p, "graft_simhash16(") == 1,
+      "simhash should be one native graft_simhash16 call")
+    assert(count(p, "graft_hash32(") == 0,
+      "token hashing should happen inside the kernel, not as a plan subtree")
   }
 
   test("x6 cosine top-k: broadcast join, no cartesian product") {
     val p = plan("x6_cosine_topk")
     assert(p.contains("Broadcast"), "query set should broadcast")
     assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("x7 IVF (the 100 TB default): equi-join on the bucket key") {
+    val p = plan("x7_ivf_topk")
+    // the posting-list prune must be an equi hash join on the bucket key —
+    // never a nested-loop over the corpus (x6 is the verification baseline)
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"bucket join should be an equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "corpus must be pruned by the bucket key, not scanned pairwise")
   }
 
   test("entry: nation dim broadcast into customer scan") {

@@ -23,6 +23,9 @@ def main(sf_dir, out_dir):
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Verify emits each entry under both "<name>" and "<name>.parquet"
+    # (driver lookup convention); check each query once, by base name.
+    oracle = {k: v for k, v in oracle.items() if not k.endswith(".parquet")}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         files = glob.glob(f"{out_dir}/{name}.parquet/*.parquet")
