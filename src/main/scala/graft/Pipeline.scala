@@ -72,10 +72,16 @@ object Pipeline {
       .orderBy(col("entity_seq"))
   }
 
-  /** Convenience: run from feed paths. */
+  /** Convenience: run from feed paths (pre-extracted PDF text files). */
   def runFromPaths(spark: SparkSession, xmlPath: String, pdfTextPath: String): DataFrame =
     run(XmlEntities.parse(spark, xmlPath),
       spark.read.option("wholetext", "true").text(pdfTextPath))
+
+  /** S6 end to end: run from the feed XML plus ACTUAL PDF files — decoded
+    * in the executors by [[graft.ingest.PdfText]] (the pdfplumber loop of
+    * main.py:250–258, pure JVM) over Spark's binaryFile source. */
+  def runFromPdfPaths(spark: SparkSession, xmlPath: String, pdfPath: String): DataFrame =
+    run(XmlEntities.parse(spark, xmlPath), graft.ingest.PdfText.fromPdfFiles(spark, pdfPath))
 
   private def resource(path: String): String = {
     val in = getClass.getResourceAsStream(path)

@@ -15,10 +15,16 @@ import org.apache.spark.sql.functions._
 object PdfChunks {
 
   /** Input: DataFrame with a `value` column holding one whole PDF text per
-    * row. Output: (chunk_seq, programme, chunk). */
+    * row, optionally a `doc_seq` column fixing cross-document order (as
+    * produced by [[PdfText.fromPdfFiles]]). Output:
+    * (chunk_seq, programme, chunk). */
   def chunks(pdfTexts: DataFrame): DataFrame = {
-    val parts = pdfTexts
-      .select(posexplode(split(col("value"), "(?U)(?=Entity\\s+\\d+\\b)"))
+    val withDoc =
+      if (pdfTexts.columns.contains("doc_seq")) pdfTexts
+      else pdfTexts.withColumn("doc_seq", lit(0L))
+    val parts = withDoc
+      .select(col("doc_seq"),
+        posexplode(split(col("value"), "(?U)(?=Entity\\s+\\d+\\b)"))
         .as(Seq("pos", "raw_chunk")))
       // Python chunk.strip() is Unicode-aware
       .withColumn("chunk", regexp_replace(col("raw_chunk"), "(?U)^\\s+|(?U)\\s+$", ""))
@@ -28,7 +34,7 @@ object PdfChunks {
       .withColumn("programme", when(prog =!= "", upper(prog)).otherwise(lit("GEN")))
     // document-order sequencing via range-sort + zipWithIndex (GlobalSeq) —
     // no single-partition window
-    GlobalSeq.withSeq(tagged, Seq(col("pos")), "chunk_seq")
+    GlobalSeq.withSeq(tagged, Seq(col("doc_seq"), col("pos")), "chunk_seq")
       .select(col("chunk_seq"), col("programme"), col("chunk"))
   }
 

@@ -1,0 +1,280 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable.ArrayBuffer
+import scala.util.matching.Regex
+
+/** S6: REAL PDF text extraction (SURVEY §2.1-S6; reference pdfplumber loop
+  * main.py:250–258), pure JVM — no external codec dependency.
+  *
+  * Scope: the classic PDF subset — objects with literal dictionaries,
+  * uncompressed or FlateDecode content streams, text drawn with the
+  * `Tj` / `'` / `"` / `TJ` operators, page order from the `/Pages` tree.
+  * That covers simple text-report PDFs (the reference's input class);
+  * exotic encodings (CID fonts, object streams, encryption) fall back to
+  * whatever pages remain parseable, never an exception. Like pdfplumber's
+  * `extract_text`, each page becomes newline-joined lines and pages are
+  * joined with a trailing "\n" per non-empty page (main.py:255–257).
+  *
+  * Distribution: decoding runs inside the executors over Spark's
+  * `binaryFile` source — one task per file group, no driver funnel — and
+  * document order follows the reference's numeric-suffix filename sort
+  * (O1, main.py:543–546) via the GlobalSeq boundary-exchange plan.
+  */
+object PdfText {
+
+  // ---------------------------------------------------------------- parsing
+
+  /** 1 byte = 1 char, offset-preserving view for regex work. */
+  private def latin1(bytes: Array[Byte]): String =
+    new String(bytes, StandardCharsets.ISO_8859_1)
+
+  private val objRe: Regex = """(?s)(\d+)\s+\d+\s+obj\b""".r
+  private val refRe: Regex = """(\d+)\s+\d+\s+R""".r
+
+  private final case class PdfObj(dict: String, stream: Option[Array[Byte]])
+
+  /** Scan every `N G obj … endobj` in the file; tolerate damage by skipping
+    * objects that fail to delimit. */
+  private def scanObjects(s: String, bytes: Array[Byte]): Map[Int, PdfObj] = {
+    val out = Map.newBuilder[Int, PdfObj]
+    for (m <- objRe.findAllMatchIn(s)) {
+      val num = m.group(1).toInt
+      val end = s.indexOf("endobj", m.end)
+      if (end >= 0) {
+        val body = s.substring(m.end, end)
+        val streamAt = body.indexOf("stream")
+        if (streamAt < 0) out += num -> PdfObj(body, None)
+        else {
+          val dict = body.substring(0, streamAt)
+          // stream data starts after "stream" + EOL (CRLF or LF)
+          var dataStart = m.end + streamAt + "stream".length
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+          val dataEnd = s.indexOf("endstream", dataStart)
+          if (dataEnd < 0) out += num -> PdfObj(dict, None)
+          else {
+            // trim the EOL that precedes "endstream"
+            var e = dataEnd
+            if (e > dataStart && s.charAt(e - 1) == '\n') e -= 1
+            if (e > dataStart && s.charAt(e - 1) == '\r') e -= 1
+            out += num -> PdfObj(dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, e)))
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n > 0) out.write(buf, 0, n)
+        else if (n == 0 && inf.needsDictionary()) return Array.emptyByteArray
+      }
+      out.toByteArray
+    } catch { case _: Exception => Array.emptyByteArray }
+    finally inf.end()
+  }
+
+  /** Decode a stream per its /Filter: none → raw, FlateDecode → inflate,
+    * anything else → unsupported (empty). */
+  private def decodeStream(obj: PdfObj): Array[Byte] = obj.stream match {
+    case None => Array.emptyByteArray
+    case Some(data) =>
+      val filters = """/Filter\s*(?:/(\w+)|\[([^\]]*)\])""".r.findFirstMatchIn(obj.dict) match {
+        case None => Nil
+        case Some(m) =>
+          if (m.group(1) != null) List(m.group(1))
+          else """/(\w+)""".r.findAllMatchIn(m.group(2)).map(_.group(1)).toList
+      }
+      filters match {
+        case Nil => data
+        case List("FlateDecode") => inflate(data)
+        case _ => Array.emptyByteArray // unsupported codec: skip, never throw
+      }
+  }
+
+  /** Page object numbers in reading order: walk /Root → /Pages → /Kids
+    * depth-first; fall back to file-order /Type /Page objects. */
+  private def pageOrder(s: String, objs: Map[Int, PdfObj]): Seq[Int] = {
+    val pageRe = """/Type\s*/Page(?!s)""".r
+    def isPage(n: Int) = objs.get(n).exists(o => pageRe.findFirstIn(o.dict).isDefined)
+    val fromTree: Seq[Int] = {
+      val root = """/Root\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+      val top = root.flatMap(r => objs.get(r)).flatMap(c =>
+        """/Pages\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(c.dict).map(_.group(1).toInt))
+      val seen = scala.collection.mutable.Set.empty[Int]
+      def walk(n: Int): Seq[Int] =
+        if (!seen.add(n)) Nil
+        else objs.get(n) match {
+          case None => Nil
+          case Some(o) if pageRe.findFirstIn(o.dict).isDefined => Seq(n)
+          case Some(o) =>
+            """/Kids\s*\[([^\]]*)\]""".r.findFirstMatchIn(o.dict) match {
+              case Some(k) => refRe.findAllMatchIn(k.group(1)).map(_.group(1).toInt)
+                .toSeq.flatMap(walk)
+              case None => Nil
+            }
+        }
+      top.map(walk).getOrElse(Nil)
+    }
+    if (fromTree.nonEmpty) fromTree
+    else objRe.findAllMatchIn(s).map(_.group(1).toInt).toSeq.distinct.filter(isPage)
+  }
+
+  /** Content stream bytes for one page (/Contents ref or array of refs). */
+  private def pageContent(page: PdfObj, objs: Map[Int, PdfObj]): Array[Byte] = {
+    val refs = """/Contents\s*(?:(\d+)\s+\d+\s+R|\[([^\]]*)\])""".r
+      .findFirstMatchIn(page.dict) match {
+      case None => Nil
+      case Some(m) =>
+        if (m.group(1) != null) List(m.group(1).toInt)
+        else refRe.findAllMatchIn(m.group(2)).map(_.group(1).toInt).toList
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    refs.foreach(r => objs.get(r).foreach { o => out.write(decodeStream(o)); out.write('\n') })
+    out.toByteArray
+  }
+
+  // ------------------------------------------------- content-stream text ops
+
+  /** Extract shown text from one content stream: literal/hex strings fed to
+    * the show operators (Tj, TJ, quote forms); the line-move operators
+    * (Td, TD, T-star, ET) start a new line — the layout subset matching
+    * pdfplumber's line reconstruction for simple one-column text. */
+  private[ingest] def contentText(content: Array[Byte]): String = {
+    val s = latin1(content)
+    val sb = new StringBuilder
+    val pending = ArrayBuffer.empty[String]
+    // every line-move appends a break (blank drawn lines survive; the
+    // page-level trim in extract() drops leading/trailing ones)
+    def newline(): Unit = if (sb.nonEmpty) sb.append('\n')
+    def flushShow(): Unit = { pending.foreach(sb ++= _); pending.clear() }
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '%') { // comment to EOL
+        while (i < n && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+      } else if (c == '(') { // literal string
+        val buf = new StringBuilder
+        var depth = 1
+        i += 1
+        while (i < n && depth > 0) {
+          val ch = s.charAt(i)
+          if (ch == '\\' && i + 1 < n) {
+            s.charAt(i + 1) match {
+              case 'n' => buf.append('\n'); i += 2
+              case 'r' => buf.append('\r'); i += 2
+              case 't' => buf.append('\t'); i += 2
+              case 'b' => buf.append('\b'); i += 2
+              case 'f' => buf.append('\f'); i += 2
+              case '(' => buf.append('('); i += 2
+              case ')' => buf.append(')'); i += 2
+              case '\\' => buf.append('\\'); i += 2
+              case '\r' => i += 2; if (i < n && s.charAt(i) == '\n') i += 1 // line continuation
+              case '\n' => i += 2
+              case d if d >= '0' && d <= '7' => // up to 3 octal digits
+                var j = i + 1; var v = 0
+                while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+                  v = v * 8 + (s.charAt(j) - '0'); j += 1
+                }
+                buf.append(v.toChar); i = j
+              case other => buf.append(other); i += 2
+            }
+          } else {
+            if (ch == '(') depth += 1
+            else if (ch == ')') depth -= 1
+            if (depth > 0) buf.append(ch)
+            i += 1
+          }
+        }
+        pending += buf.toString
+      } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') { // hex string
+        val end = s.indexOf('>', i + 1)
+        if (end < 0) i = n
+        else {
+          val hex = s.substring(i + 1, end).filterNot(_.isWhitespace)
+          val padded = if (hex.length % 2 == 1) hex + "0" else hex
+          val bs = padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+          val str =
+            if (bs.length >= 2 && (bs(0) & 0xff) == 0xfe && (bs(1) & 0xff) == 0xff)
+              new String(bs, 2, bs.length - 2, StandardCharsets.UTF_16BE)
+            else new String(bs, StandardCharsets.ISO_8859_1)
+          pending += str
+          i = end + 1
+        }
+      } else if (c == '<') { i += 2 } // << dict open (inline images etc.)
+      else if (c == '[' || c == ']' || c == '{' || c == '}' || c == '>') i += 1
+      else if (c == '/') { // name token
+        i += 1
+        while (i < n && !" \t\r\n()<>[]{}/%".contains(s.charAt(i))) i += 1
+      } else if (c.isWhitespace) i += 1
+      else if (c == '+' || c == '-' || c == '.' || c.isDigit) { // number
+        i += 1
+        while (i < n && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      } else { // operator token
+        val start = i
+        while (i < n && !" \t\r\n()<>[]{}/%".contains(s.charAt(i))) i += 1
+        s.substring(start, i) match {
+          case "Tj" | "TJ" => flushShow()
+          case "'" => newline(); flushShow()
+          case "\"" => newline(); flushShow()
+          case "Td" | "TD" | "T*" | "ET" => newline(); pending.clear()
+          case _ => pending.clear()
+        }
+      }
+    }
+    sb.toString
+  }
+
+  // --------------------------------------------------------------- public API
+
+  /** Whole-document text: pages in /Pages-tree order, each page's text
+    * suffixed "\n" when non-empty — byte-for-byte the pdfplumber
+    * accumulation loop of main.py:252–257. Never throws: undecodable
+    * streams/pages contribute nothing. */
+  def extract(bytes: Array[Byte]): String = {
+    val s = latin1(bytes)
+    if (!s.startsWith("%PDF")) return ""
+    val objs = scanObjects(s, bytes)
+    val pages = pageOrder(s, objs)
+    val sb = new StringBuilder
+    pages.foreach { p =>
+      val text = contentText(pageContent(objs(p), objs))
+        .linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
+        .replaceAll("\\n+$", "").replaceAll("^\\n+", "")
+      if (text.nonEmpty) { sb ++= text; sb += '\n' }
+    }
+    sb.toString
+  }
+
+  /** Spark source: every `*.pdf` under `path` → one row per document,
+    * (doc_seq, value) where value is the full extracted text and doc_seq
+    * follows the numeric-suffix filename sort (O1). Decode runs in the
+    * executors via the binaryFile source; only pre-extracted text shuffles. */
+  def fromPdfFiles(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    val decoded = spark.read.format("binaryFile").load(path)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (p, bytes) => (p, extract(bytes)) })
+      .toDF("path", "value")
+      .withColumn("file_seq",
+        regexp_extract(regexp_extract(col("path"), "([^/]+)$", 1), "(\\d+)", 1)
+          .cast("long"))
+    GlobalSeq.withSeq(decoded, Seq(col("file_seq"), col("path")), "doc_seq")
+      .select(col("doc_seq"), col("value"))
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.Deflater
+
+/** Test fixture generator: builds REAL, spec-valid PDF files — catalog,
+  * pages tree, Helvetica font, per-page content streams (FlateDecode or
+  * raw), correct xref offsets — so PdfText decodes an actual PDF byte
+  * stream, not a text stand-in. ASCII lines are written as literal
+  * strings, non-ASCII lines as UTF-16BE hex strings (both standard PDF
+  * string forms).
+  */
+object MiniPdf {
+
+  private def escape(s: String): String =
+    s.flatMap {
+      case '(' => "\\("
+      case ')' => "\\)"
+      case '\\' => "\\\\"
+      case c => c.toString
+    }
+
+  private def pdfString(line: String): String =
+    if (line.forall(c => c >= ' ' && c < 127)) s"(${escape(line)})"
+    else {
+      val bs = line.getBytes(StandardCharsets.UTF_16BE)
+      "<FEFF" + bs.map(b => f"${b & 0xff}%02X").mkString + ">"
+    }
+
+  private def contentStream(pageText: String): Array[Byte] = {
+    val body = new StringBuilder("BT\n/F1 11 Tf\n72 760 Td\n")
+    val lines = pageText.split("\n", -1)
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (i > 0) body ++= "0 -14 Td\n"
+      body ++= s"${pdfString(l)} Tj\n"
+    }
+    body ++= "ET\n"
+    body.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** One PDF: `pages(i)` becomes page i+1's text (lines Tj-drawn top-down). */
+  def write(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def raw(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      val num = offsets.size
+      raw(s"$num 0 obj\n"); body; raw("endobj\n")
+    }
+    raw("%PDF-1.4\n%âãÏÓ\n")
+    val n = pages.size
+    // object numbering: 1 catalog, 2 pages, 3 font, then (page, content)*
+    val pageObjNums = (0 until n).map(i => 4 + 2 * i)
+    obj { raw("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj { raw(s"<< /Type /Pages /Kids [${pageObjNums.map(k => s"$k 0 R").mkString(" ")}] /Count $n >>\n") }
+    obj { raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n") }
+    pages.foreach { p =>
+      val contentNum = offsets.size + 2
+      obj { raw(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>\n") }
+      val data0 = contentStream(p)
+      val data = if (compress) deflate(data0) else data0
+      obj {
+        raw(s"<< /Length ${data.length}${if (compress) " /Filter /FlateDecode" else ""} >>\nstream\n")
+        out.write(data)
+        raw("\nendstream\n")
+      }
+    }
+    val xrefAt = out.size()
+    raw(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => raw(f"$o%010d 00000 n \n"))
+    raw(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Write pages to a .pdf file on disk; returns the path. */
+  def writeFile(path: java.nio.file.Path, pages: Seq[String], compress: Boolean = true): java.nio.file.Path =
+    java.nio.file.Files.write(path, write(pages, compress))
+}

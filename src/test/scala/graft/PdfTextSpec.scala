@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ingest.{PdfChunks, PdfText}
+
+/** S6 real-PDF decode: PdfText must recover exactly the text MiniPdf drew —
+  * FlateDecode and raw streams, literal-string escapes, UTF-16BE hex
+  * strings, multi-page /Pages-tree order — and the binaryFile → decode →
+  * chunk → pipeline path must reproduce the text-fixture golden output.
+  */
+class PdfTextSpec extends AnyFunSuite {
+
+  test("round-trip: multi-page, compressed") {
+    val pages = Seq("Entity 1\nName: A\nProgramme: SYRIA", "Entity 2\nName: B")
+    val bytes = MiniPdf.write(pages, compress = true)
+    assert(PdfText.extract(bytes) == pages.mkString("\n") + "\n")
+  }
+
+  test("round-trip: uncompressed stream") {
+    val pages = Seq("line one\nline two")
+    assert(PdfText.extract(MiniPdf.write(pages, compress = false)) == "line one\nline two\n")
+  }
+
+  test("literal-string escapes and blank lines survive") {
+    val page = "paren (x) and \\slash\n\nafter blank"
+    assert(PdfText.extract(MiniPdf.write(Seq(page))) == page + "\n")
+  }
+
+  test("non-ASCII text via UTF-16BE hex strings") {
+    val page = "Entity 5\nName/Alias: Сергей Иванов\nProgramme: RUSSIA"
+    assert(PdfText.extract(MiniPdf.write(Seq(page))) == page + "\n")
+  }
+
+  test("page order follows the /Kids tree, not file order") {
+    // hand-built PDF whose content objects appear in REVERSE file order
+    // relative to the /Kids page sequence
+    val raw =
+      """%PDF-1.4
+        |1 0 obj
+        |<< /Type /Catalog /Pages 2 0 R >>
+        |endobj
+        |2 0 obj
+        |<< /Type /Pages /Kids [5 0 R 3 0 R] /Count 2 >>
+        |endobj
+        |3 0 obj
+        |<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+        |endobj
+        |4 0 obj
+        |<< /Length 32 >>
+        |stream
+        |BT 72 760 Td (second page) Tj ET
+        |endstream
+        |endobj
+        |5 0 obj
+        |<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>
+        |endobj
+        |6 0 obj
+        |<< /Length 31 >>
+        |stream
+        |BT 72 760 Td (first page) Tj ET
+        |endstream
+        |endobj
+        |trailer
+        |<< /Size 7 /Root 1 0 R >>
+        |%%EOF
+        |""".stripMargin
+    val bytes = raw.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(bytes) == "first page\nsecond page\n")
+  }
+
+  test("garbage and unsupported codecs yield empty text, never throw") {
+    assert(PdfText.extract(Array[Byte](1, 2, 3)) == "")
+    assert(PdfText.extract("%PDF-1.4 not really a pdf".getBytes) == "")
+  }
+
+  test("binaryFile source: doc_seq follows the numeric-suffix filename sort") {
+    val spark = TestSpark.spark
+    val dir = Files.createTempDirectory("graftpdf")
+    MiniPdf.writeFile(dir.resolve("report_10.pdf"), Seq("Entity 10 text"))
+    MiniPdf.writeFile(dir.resolve("report_2.pdf"), Seq("Entity 2 text"))
+    val rows = PdfText.fromPdfFiles(spark, dir.toString + "/*.pdf")
+      .orderBy("doc_seq").collect()
+    assert(rows.map(_.getString(1)).toSeq ==
+      Seq("Entity 2 text\n", "Entity 10 text\n")) // 2 < 10 numerically
+  }
+
+  test("pipeline from ACTUAL PDF bytes matches the text-fixture golden run") {
+    val spark = TestSpark.spark
+    val fixtureText = new String(
+      getClass.getResourceAsStream("/graft/fixtures/pdf.txt").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // split the report across two pages at a line boundary: page join must
+    // reconstruct the exact text
+    val lines = fixtureText.stripLineEnd.split("\n", -1)
+    val (p1, p2) = lines.splitAt(lines.length / 2)
+    val dir = Files.createTempDirectory("graftpdfe2e")
+    MiniPdf.writeFile(dir.resolve("sanctions_1.pdf"),
+      Seq(p1.mkString("\n"), p2.mkString("\n")))
+    val feed = getClass.getResourceAsStream("/graft/fixtures/feed.xml").readAllBytes()
+    Files.write(dir.resolve("feed.xml"), feed)
+
+    val fromPdf = Pipeline.runFromPdfPaths(spark,
+        dir.resolve("feed.xml").toString, dir.toString + "/*.pdf")
+      .collect().map(_.toSeq)
+    val golden = Pipeline.runFixture(spark).collect().map(_.toSeq)
+    assert(fromPdf.length == golden.length)
+    fromPdf.zip(golden).zipWithIndex.foreach { case ((a, g), i) =>
+      assert(a == g, s"row $i differs")
+    }
+  }
+
+  test("chunking from decoded PDF matches chunking from the raw text") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val text = "Entity 1\nName: A\nProgramme: SYRIA\nEntity 2\nName: B"
+    val viaPdf = {
+      val dir = Files.createTempDirectory("graftchunk")
+      MiniPdf.writeFile(dir.resolve("r_1.pdf"), Seq(text))
+      PdfChunks.chunks(PdfText.fromPdfFiles(spark, dir.toString + "/*.pdf"))
+        .orderBy("chunk_seq").collect().map(_.toSeq).toSeq
+    }
+    val viaText = PdfChunks.chunks(Seq(text).toDF("value"))
+      .orderBy("chunk_seq").collect().map(_.toSeq).toSeq
+    assert(viaPdf == viaText)
+  }
+}
