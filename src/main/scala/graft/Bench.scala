@@ -27,7 +27,13 @@ object Bench {
       System.gc()
       t
     }
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
+    // queries (driver never sets it → full suite)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+    val results = names.map { name =>
       name -> math.min(once(name), once(name))
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

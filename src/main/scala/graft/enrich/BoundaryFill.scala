@@ -25,12 +25,19 @@ object BoundaryFill {
     * the w1_gap_fill query. */
   def gapFill(df: DataFrame, numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
+    // ONE .rdd materialization shared by both jobs: calling .rdd twice
+    // builds two lineages, so the source scan, the range-sampler pass and
+    // the shuffle WRITE would all run twice. With a single shared RDD the
+    // fill job reuses the boundary job's shuffle map output (skipped
+    // stage): one scan + one shuffle write, two cheap shuffle reads — no
+    // cache storage needed.
     val narrowed = df.select(col("seq").cast("long"), col("value").cast("string"))
       .repartitionByRange(numPartitions, col("seq"))
       .sortWithinPartitions(col("seq"))
+      .rdd
 
     // pass A: per-partition (partitionId, firstNonNull, lastNonNull)
-    val summaries: Array[(Int, String, String)] = narrowed.rdd
+    val summaries: Array[(Int, String, String)] = narrowed
       .mapPartitionsWithIndex { (pid, it) =>
         var first: String = null
         var last: String = null
@@ -66,7 +73,7 @@ object BoundaryFill {
       StructField("seq", LongType, nullable = false),
       StructField("filled", StringType, nullable = false),
       StructField("flag_conflict", BooleanType, nullable = false)))
-    val outRdd = narrowed.rdd.mapPartitionsWithIndex { (pid, it) =>
+    val outRdd = narrowed.mapPartitionsWithIndex { (pid, it) =>
       val rows = it.toArray
       val n = rows.length
       val seqs = new Array[Long](n)
