@@ -329,6 +329,35 @@ object Ext {
           md5(bin).as("md5_hex"),
           sha2(bin, 256).as("sha256_hex"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X3c random-hyperplane LSH ANN (Charikar sign-random projections): the
+    // LSH-bucketed scale path beside IVF (x7). Bucket code = 4 sign bits of
+    // Rademacher-plane dots (planes baked as literals on BOTH engines, see
+    // ext/Lsh); candidate join is equi on the code, exact cosine re-ranks
+    // in-bucket. Same plan shape at any corpus size: per-row projection +
+    // one bucket-key equi-join, never all-pairs.
+    "x16_lsh_ann" -> ((s, d) => {
+      import graft.ext.Lsh
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
+        .withColumn("bucket",
+          (0 until Lsh.Planes).map(p =>
+            when(Similarity.dot(col("v"), typedLit(Lsh.signs(p))) > 0,
+              lit(1 << p)).otherwise(lit(0))).reduce(_ + _))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("bucket").as("q_bucket"),
+          col("v").as("qv"), col("nv").as("qnv"))
+      val cos6 = trunc6(
+        Similarity.dot(col("qv"), col("v")) / sqrt(col("qnv") * col("nv")))
+      q.join(e, col("q_bucket") === col("bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos6"))
+        .orderBy(col("q_id"), col("rnk"))
     })
   )
 
@@ -503,6 +532,31 @@ object Ext {
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS md5_hex,
         |  sha256(text) AS sha256_hex
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "x16_lsh_ann" -> {
+      import graft.ext.Lsh
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
+      val planeCols = (0 until Lsh.Planes)
+        .map(p => s"${Lsh.planeSqlList(p)} AS s$p").mkString(",\n|  ")
+      val bucket = (0 until Lsh.Planes)
+        .map(p => s"(CASE WHEN ${dot("v", s"s$p")} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH planes AS (SELECT
+        |  $planeCols),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |eb AS (SELECT vec_id, v, $bucket AS bucket FROM e, planes),
+        |q AS (SELECT vec_id AS q_id, bucket AS q_bucket, v AS qv FROM eb WHERE vec_id % 100 = 0),
+        |p AS (SELECT q_id, vec_id AS n_id,
+        |  ${dot("qv", "v")} AS d,
+        |  ${dot("qv", "qv")} AS na,
+        |  ${dot("v", "v")} AS nb
+        |  FROM q JOIN eb ON q_bucket = bucket AND vec_id <> q_id),
+        |c AS (SELECT q_id, n_id, CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 AS cos6 FROM p),
+        |r AS (SELECT q_id, n_id, cos6,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rnk FROM c)
+        |SELECT q_id, n_id, rnk, cos6 FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    }
   )
 }

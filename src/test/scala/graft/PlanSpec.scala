@@ -73,6 +73,14 @@ class PlanSpec extends AnyFunSuite {
       "corpus must be pruned by the bucket key, not scanned pairwise")
   }
 
+  test("x16 LSH ANN: equi-join on the bucket code, projection codegen'd") {
+    val p = plan("x16_lsh_ann")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"LSH candidate join should be an equi join on the bucket code:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "corpus must be pruned by the LSH bucket, not scanned pairwise")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
