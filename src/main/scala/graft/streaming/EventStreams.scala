@@ -48,6 +48,42 @@ object EventStreams {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup (the streaming twin of x1_exact_dedup): drops
+    * repeats of (user_id, ts, event_type) with state bounded by the
+    * watermark — dropDuplicatesWithinWatermark evicts seen-keys once they
+    * age past it, so state is O(events in the watermark horizon), not
+    * O(all history). */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("user_id", "ts", "event_type")
+
+  /** Stream-stream interval join: each "click" joined to the same user's
+    * "view"s within the following 5 minutes. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so each side's
+    * buffered state is evictable — the state-bounded shape required for
+    * unbounded streams (equi key: user_id; time bound: interval). */
+  def clickViewJoin(clicks: DataFrame, views: DataFrame): DataFrame = {
+    val c = clicks.filter(col("event_type") === "click")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    val v = views.filter(col("event_type") === "view")
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("v_user"), col("ts").as("v_ts"),
+        col("value").as("v_value"))
+    c.join(v,
+      col("c_user") === col("v_user") &&
+        col("v_ts") >= col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+  }
+
+  /** Stream-static enrichment: the event stream joined to a static (batch)
+    * dimension — Spark broadcasts the dim per micro-batch, no stream state
+    * at all. `dim` must be a batch frame with (user_id, segment). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
   // -- custom state: sessionization via flatMapGroupsWithState ----------------
 
   final case class Event(user_id: Long, ts: Timestamp, event_type: String, value: Double)

@@ -132,6 +132,70 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.exists(r => r.user_id == 1 && r.n_events == 3 && r.sum_value == 7.0))
   }
 
+  test("streaming dedup drops exact repeats, keeps distinct events") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0, 10), "click", 1.0),
+        Event(1, ts(0, 10), "click", 1.0), // same batch duplicate
+        Event(1, ts(0, 40), "click", 2.0))
+      q.processAllAvailable()
+      input.addData(Event(1, ts(0, 10), "click", 1.0)) // cross-batch duplicate
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup").collect()
+    assert(out.length == 2)
+    assert(out.map(_.getAs[Timestamp]("ts")).toSet == Set(ts(0, 10), ts(0, 40)))
+  }
+
+  test("stream-stream interval join pairs views within 5 minutes of a click") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val input = MemoryStream[Event](spark)
+    val df = input.toDF()
+    val q = EventStreams.clickViewJoin(df, df)
+      .writeStream.format("memory").queryName("cvjoin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Event(1, ts(0), "click", 1.0),
+        Event(1, ts(3), "view", 2.0),   // within 5 min → joins
+        Event(1, ts(9), "view", 3.0),   // 9 min later → outside interval
+        Event(2, ts(1), "view", 4.0))   // other user → no click
+      q.processAllAvailable()
+      input.addData(Event(9, ts(40), "click", 0.0)) // advance watermark
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("cvjoin").collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("c_user") == 1L &&
+      out.head.getAs[Double]("v_value") == 2.0)
+  }
+
+  test("stream-static join enriches events from a broadcast dimension") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "segment")
+    val input = MemoryStream[Event](spark)
+    val q = EventStreams.enrichWithDim(input.toDF(), dim)
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Event(1, ts(0), "click", 1.0), Event(3, ts(1), "view", 2.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("enrich").collect()
+    assert(out.length == 2)
+    val byUser = out.map(r => r.getAs[Long]("user_id") -> r.getAs[String]("segment")).toMap
+    assert(byUser(1L) == "gold")
+    assert(byUser(3L) == null) // left join preserves unmatched stream rows
+  }
+
   test("built-in session_window agrees with the custom sessionizer on counts") {
     val spark = TestSpark.spark
     import spark.implicits._
