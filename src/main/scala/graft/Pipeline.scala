@@ -83,19 +83,26 @@ object Pipeline {
   def runFromPdfPaths(spark: SparkSession, xmlPath: String, pdfPath: String): DataFrame =
     run(XmlEntities.parse(spark, xmlPath), graft.ingest.PdfText.fromPdfFiles(spark, pdfPath))
 
-  private def resource(path: String): String = {
+  private def resourceBytes(path: String): Array[Byte] = {
     val in = getClass.getResourceAsStream(path)
     require(in != null, s"missing resource $path")
-    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-    finally in.close()
+    try in.readAllBytes() finally in.close()
   }
+
+  private def resource(path: String): String =
+    new String(resourceBytes(path), java.nio.charset.StandardCharsets.UTF_8)
 
   /** Run end-to-end over the bundled fixture feed (the golden-test inputs,
     * src/main/resources/graft/fixtures) — lets the driver's query gate and
-    * the bench exercise the full pipeline without external files. */
+    * the bench exercise the full pipeline without external files. The PDF
+    * side decodes the bundled BINARY report.pdf through the real S6
+    * extractor ([[graft.ingest.PdfText]]); `PdfTextSpec` pins its text to
+    * the pdf.txt fixture the golden expectations were derived from. */
   def runFixture(spark: SparkSession): DataFrame = {
     import spark.implicits._
+    val pdfText = graft.ingest.PdfText.extract(
+      resourceBytes("/graft/fixtures/report.pdf"))
     run(XmlEntities.fromXmlStrings(Seq(resource("/graft/fixtures/feed.xml")).toDF("value")),
-      Seq(resource("/graft/fixtures/pdf.txt")).toDF("value"))
+      Seq(pdfText).toDF("value"))
   }
 }

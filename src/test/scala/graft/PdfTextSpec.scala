@@ -87,6 +87,14 @@ class PdfTextSpec extends AnyFunSuite {
       Seq("Entity 2 text\n", "Entity 10 text\n")) // 2 < 10 numerically
   }
 
+  test("bundled report.pdf decodes to exactly the pdf.txt fixture text") {
+    val pdf = getClass.getResourceAsStream("/graft/fixtures/report.pdf").readAllBytes()
+    val txt = new String(
+      getClass.getResourceAsStream("/graft/fixtures/pdf.txt").readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(PdfText.extract(pdf) == txt.stripLineEnd + "\n")
+  }
+
   test("pipeline from ACTUAL PDF bytes matches the text-fixture golden run") {
     val spark = TestSpark.spark
     val fixtureText = new String(
