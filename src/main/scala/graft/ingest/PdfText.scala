@@ -105,6 +105,39 @@ object PdfText {
       }
   }
 
+  /** PDF 1.5+ object streams (/Type /ObjStm): dictionaries packed inside a
+    * Flate-compressed stream — header is N (objnum, offset) integer pairs,
+    * object bodies start at /First. Expanded into the object map so the
+    * /Pages tree walk sees them; top-level definitions win on collision. */
+  private def expandObjectStreams(objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+    val objStmRe = """/Type\s*/ObjStm""".r
+    val extra = objs.values
+      .filter(o => objStmRe.findFirstIn(o.dict).isDefined)
+      .flatMap { o =>
+        val data = decodeStream(o)
+        if (data.isEmpty) Nil
+        else {
+          val s = latin1(data)
+          val n = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict)
+            .map(_.group(1).toInt).getOrElse(0)
+          val first = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict)
+            .map(_.group(1).toInt).getOrElse(0)
+          val header = s.substring(0, math.min(first, s.length))
+          val nums = """\d+""".r.findAllIn(header).map(_.toInt).toSeq
+          val pairs = nums.grouped(2).collect { case Seq(num, off) => (num, off) }
+            .toSeq.take(n)
+          pairs.zipWithIndex.map { case ((num, off), i) =>
+            val start = math.min(first + off, s.length)
+            val end =
+              if (i + 1 < pairs.length) math.min(first + pairs(i + 1)._2, s.length)
+              else s.length
+            num -> PdfObj(s.substring(start, end), None)
+          }
+        }
+      }.toMap
+    extra ++ objs // top-level definitions take precedence
+  }
+
   /** Page object numbers in reading order: walk /Root → /Pages → /Kids
     * depth-first; fall back to file-order /Type /Page objects. */
   private def pageOrder(s: String, objs: Map[Int, PdfObj]): Seq[Int] = {
@@ -248,7 +281,7 @@ object PdfText {
   def extract(bytes: Array[Byte]): String = {
     val s = latin1(bytes)
     if (!s.startsWith("%PDF")) return ""
-    val objs = scanObjects(s, bytes)
+    val objs = expandObjectStreams(scanObjects(s, bytes))
     val pages = pageOrder(s, objs)
     val sb = new StringBuilder
     pages.foreach { p =>

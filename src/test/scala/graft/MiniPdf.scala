@@ -85,6 +85,46 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** PDF 1.5-style variant: catalog, pages node, font and page DICTIONARIES
+    * packed into a Flate-compressed /Type /ObjStm object stream; only the
+    * content streams stay top-level (streams cannot live inside an ObjStm).
+    * Exercises PdfText.expandObjectStreams. */
+  def writeObjStm(pages: Seq[String]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def raw(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    raw("%PDF-1.5\n%âãÏÓ\n")
+    val n = pages.size
+    // numbering: 1 = ObjStm; 2 catalog, 3 pages, 4 font, 5..4+n page dicts
+    // (all inside the ObjStm); 5+n.. content streams (top level)
+    val contentNums = (0 until n).map(i => 5 + n + i)
+    val embedded: Seq[(Int, String)] =
+      Seq(
+        2 -> "<< /Type /Catalog /Pages 3 0 R >>",
+        3 -> s"<< /Type /Pages /Kids [${(0 until n).map(i => s"${5 + i} 0 R").mkString(" ")}] /Count $n >>",
+        4 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>") ++
+        (0 until n).map(i => (5 + i) ->
+          (s"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] " +
+            s"/Resources << /Font << /F1 4 0 R >> >> /Contents ${contentNums(i)} 0 R >>"))
+    val bodies = embedded.map(_._2 + "\n")
+    val offsets = bodies.scanLeft(0)(_ + _.length).init
+    val header = embedded.map(_._1).zip(offsets)
+      .map { case (num, off) => s"$num $off" }.mkString(" ") + "\n"
+    val payload = (header + bodies.mkString).getBytes(StandardCharsets.ISO_8859_1)
+    val packed = deflate(payload)
+    raw(s"1 0 obj\n<< /Type /ObjStm /N ${embedded.size} /First ${header.length} " +
+      s"/Length ${packed.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(packed)
+    raw("\nendstream\nendobj\n")
+    pages.zipWithIndex.foreach { case (p, i) =>
+      val data = deflate(contentStream(p))
+      raw(s"${contentNums(i)} 0 obj\n<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      raw("\nendstream\nendobj\n")
+    }
+    raw("trailer\n<< /Root 2 0 R >>\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Write pages to a .pdf file on disk; returns the path. */
   def writeFile(path: java.nio.file.Path, pages: Seq[String], compress: Boolean = true): java.nio.file.Path =
     java.nio.file.Files.write(path, write(pages, compress))

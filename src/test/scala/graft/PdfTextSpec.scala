@@ -71,6 +71,15 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(bytes) == "first page\nsecond page\n")
   }
 
+  test("PDF 1.5 object streams: dicts inside a compressed /ObjStm decode") {
+    val pages = Seq("Entity 1\nProgramme: SYRIA", "Entity 2\nName: B", "page three")
+    val bytes = MiniPdf.writeObjStm(pages)
+    // sanity: the page dictionaries must NOT be visible as top-level text
+    assert(!new String(bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .contains("/Type /Catalog"))
+    assert(PdfText.extract(bytes) == pages.mkString("\n") + "\n")
+  }
+
   test("garbage and unsupported codecs yield empty text, never throw") {
     assert(PdfText.extract(Array[Byte](1, 2, 3)) == "")
     assert(PdfText.extract("%PDF-1.4 not really a pdf".getBytes) == "")
