@@ -145,6 +145,28 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // MAP scalar family: JSON → MapType plus map built from columns;
+    // map_keys/map_values/element_at/size and the transform_values HOF.
+    // Maps have no cross-engine serialization, so every output is projected
+    // through sorted-array_join or scalar lookups (dialect-neutral hashing).
+    "f14_maps" -> ((s, d) => {
+      import org.apache.spark.sql.types.{MapType, StringType}
+      events(s, d)
+        .select(col("event_id"), col("event_type"), col("user_id"),
+          from_json(col("props"), MapType(StringType, StringType)).as("pm"))
+        .withColumn("m",
+          map(lit("type"), col("event_type"),
+            lit("uid"), col("user_id").cast("string")))
+        .select(col("event_id"),
+          array_join(array_sort(map_keys(col("pm"))), ",").as("prop_keys"),
+          element_at(col("pm"), "k").cast("long").as("k_val"),
+          size(col("pm")).as("n_props"),
+          element_at(col("m"), "type").as("type_val"),
+          array_join(array_sort(map_values(
+            transform_values(col("m"), (_, v) => upper(v)))), ",").as("vals_up"))
+        .orderBy(col("event_id"))
+    }),
+
     // ROLLUP grouping sets with GROUPING() markers; null group keys coalesced
     // to a sentinel so the hash compare is dialect-neutral.
     "g1_rollup" -> ((s, d) => {
@@ -238,6 +260,15 @@ object Relational {
       """SELECT event_id,
         |  json_extract_string(props, '$.k') AS k_str,
         |  json_extract_string(props, '$.missing') AS missing_str
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "f14_maps" ->
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props)), ',') AS prop_keys,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        |  len(json_keys(props)) AS n_props,
+        |  event_type AS type_val,
+        |  array_to_string(list_sort([upper(event_type), upper(CAST(user_id AS VARCHAR))]), ',') AS vals_up
         |FROM events ORDER BY event_id""".stripMargin,
 
     "g1_rollup" ->

@@ -42,6 +42,30 @@ object Windows {
         .orderBy(col("l_returnflag"))
     }),
 
+    // A5 exact percentiles (nearest-rank / percentile_disc method): the
+    // value AT rank ceil(p·n) per group — pure value SELECTION, zero
+    // interpolation arithmetic, so the result is bit-exact across engines
+    // (interpolating percentile_cont would expose float-op-order freedom).
+    // One window shuffle on the group key + a partial-aggregable final
+    // groupBy; at scale the same shape, or approx_percentile for sketches.
+    "a5_percentiles" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      def atRank(p: Double) =
+        max(when(col("rn") === ceil(col("n") * p), col("o_totalprice")))
+      orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("o_orderpriority"))))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          min(col("o_totalprice")).as("lo"),
+          atRank(0.5).as("p50"), atRank(0.9).as("p90"), atRank(0.99).as("p99"),
+          max(col("o_totalprice")).as("hi"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // W1 (main.py:950–993) re-expressed: nearest non-null value above/below
     // in global order; gap filled only when both neighbors agree, else a
     // conflict flag (the red fill of main.py:991–993). Runs the scale-safe
@@ -108,6 +132,20 @@ object Windows {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "a5_percentiles" ->
+      """WITH r AS (SELECT o_orderpriority, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  min(o_totalprice) AS lo,
+        |  max(CASE WHEN rn = CAST(ceil(n*0.5) AS BIGINT) THEN o_totalprice END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n*0.9) AS BIGINT) THEN o_totalprice END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(n*0.99) AS BIGINT) THEN o_totalprice END) AS p99,
+        |  max(o_totalprice) AS hi
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "a4_salted_agg" ->
       """SELECT l_returnflag,
         |  count(*) AS n,
