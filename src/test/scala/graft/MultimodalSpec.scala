@@ -47,4 +47,56 @@ class MultimodalSpec extends AnyFunSuite {
     val self = sims.find(_.getLong(0) == 0).get.getDouble(1)
     assert(math.abs(self - 1.0) < 1e-12) // self-similarity
   }
+
+  test("sniffMeta: REAL container-header parsing (png/gif/bmp/jpeg/wav)") {
+    import graft.ext.Multimodal
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+
+    // PNG: signature + IHDR(len, tag, width=640 BE, height=480 BE)
+    val png = bytes(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R',
+      0, 0, 2, 0x80, 0, 0, 1, 0xe0, 8, 6, 0, 0, 0)
+    assert(Multimodal.sniffMeta(1, png) ==
+      Multimodal.MediaMeta(1, "png", png.length, 640, 480))
+
+    // GIF89a: width=320 LE16 at 6, height=200 LE16 at 8
+    val gif = bytes('G', 'I', 'F', '8', '9', 'a', 0x40, 0x01, 0xc8, 0x00, 0)
+    assert(Multimodal.sniffMeta(2, gif) ==
+      Multimodal.MediaMeta(2, "gif", gif.length, 320, 200))
+
+    // BMP: "BM", width=100 LE32 at 18, height=50 LE32 at 22
+    val bmp = (bytes('B', 'M') ++ new Array[Byte](16) ++
+      bytes(100, 0, 0, 0, 50, 0, 0, 0) ++ new Array[Byte](4))
+    assert(Multimodal.sniffMeta(3, bmp) ==
+      Multimodal.MediaMeta(3, "bmp", bmp.length, 100, 50))
+
+    // JPEG: SOI, APP0 (skipped via its length), SOF0 with h=480 w=640
+    val jpeg = bytes(0xff, 0xd8, 0xff, 0xe0, 0x00, 0x04, 0x4a, 0x46) ++
+      bytes(0xff, 0xc0, 0x00, 0x11, 8, 0x01, 0xe0, 0x02, 0x80, 3)
+    assert(Multimodal.sniffMeta(4, jpeg) ==
+      Multimodal.MediaMeta(4, "jpeg", jpeg.length, 640, 480))
+
+    // WAV: RIFF/WAVE, channels=2 LE16 at 22, sampleRate=44100 LE32 at 24
+    val wav = (bytes('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 2, 0,
+      0x44, 0xac, 0, 0) ++ new Array[Byte](8))
+    assert(Multimodal.sniffMeta(5, wav) ==
+      Multimodal.MediaMeta(5, "wav", wav.length, 2, 44100))
+
+    // junk → unknown, never throws
+    assert(Multimodal.sniffMeta(6, Array[Byte](1, 2, 3)).format == "unknown")
+    assert(Multimodal.sniffMeta(7, null).format == "unknown")
+  }
+
+  test("sniff operator runs the real header decode in a Spark plan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a,
+      0, 0, 0, 13, 'I', 'H', 'D', 'R', 0, 0, 0, 16, 0, 0, 0, 32, 8)
+    val df = Seq((10L, png), (11L, "not an image".getBytes.toSeq.toArray))
+      .toDF("doc_id", "payload")
+    val out = graft.ext.Multimodal.sniff(df).collect().sortBy(_.doc_id)
+    assert(out(0) == graft.ext.Multimodal.MediaMeta(10, "png", png.length, 16, 32))
+    assert(out(1).format == "unknown")
+  }
 }
