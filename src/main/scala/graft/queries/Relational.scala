@@ -167,6 +167,36 @@ object Relational {
         .orderBy(col("event_id"))
     }),
 
+    // STRUCT scalar family: named_struct build, field access, whole-struct
+    // equality — outputs projected to scalars (structs have no
+    // dialect-neutral serialization).
+    "f15_structs" -> ((s, d) => {
+      orders(s, d)
+        .select(col("o_orderkey"),
+          struct(col("o_orderpriority").as("p"), col("o_totalprice").as("t")).as("st"))
+        .select(col("o_orderkey"),
+          col("st.p").as("p_out"),
+          col("st.t").as("t_out"),
+          (col("st") === struct(lit("1-URGENT").as("p"), col("st.t").as("t")))
+            .as("is_urgent_struct"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // BITWISE scalar family: and/or/xor/shifts/popcount on BIGINT keys —
+    // exact integer semantics on both engines.
+    "f16_bitwise" -> ((s, d) => {
+      val k = col("o_orderkey")
+      orders(s, d)
+        .select(k,
+          k.bitwiseAND(lit(255L)).as("b_and"),
+          k.bitwiseOR(lit(4080L)).as("b_or"),
+          k.bitwiseXOR(lit(1365L)).as("b_xor"),
+          (k * 8).as("b_shl"), // << 3 spelled as *8: identical BIGINT result
+          shiftright(k, 2).as("b_shr"),
+          bit_count(k).cast("long").as("b_pop"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ROLLUP grouping sets with GROUPING() markers; null group keys coalesced
     // to a sentinel so the hash compare is dialect-neutral.
     "g1_rollup" -> ((s, d) => {
@@ -261,6 +291,24 @@ object Relational {
         |  json_extract_string(props, '$.k') AS k_str,
         |  json_extract_string(props, '$.missing') AS missing_str
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "f15_structs" ->
+      """SELECT o_orderkey,
+        |  o_orderpriority AS p_out,
+        |  o_totalprice AS t_out,
+        |  ({'p': o_orderpriority, 't': o_totalprice} =
+        |   {'p': '1-URGENT', 't': o_totalprice}) AS is_urgent_struct
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "f16_bitwise" ->
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS b_and,
+        |  o_orderkey | 4080 AS b_or,
+        |  xor(o_orderkey, 1365) AS b_xor,
+        |  o_orderkey * 8 AS b_shl,
+        |  o_orderkey >> 2 AS b_shr,
+        |  CAST(bit_count(o_orderkey) AS BIGINT) AS b_pop
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "f14_maps" ->
       """SELECT event_id,
