@@ -140,6 +140,36 @@ object Multimodal {
       }
   }
 
+  final case class ResizedMedia(doc_id: Long, width: Int, height: Int,
+      payload: Array[Byte])
+
+  /** Resize stage (STUB pixel transform, real operator contract): payload →
+    * payload' at the target dimensions, executed batch-at-a-time per
+    * partition exactly like a mapInPandas image transform. The stub emits a
+    * deterministic stride-sample of the input bytes sized w·h — a real
+    * implementation swaps the marked body for a codec decode + scale +
+    * re-encode, keeping schema, batching, and binary-in/binary-out shape. */
+  def resizeStub(df: DataFrame, w: Int, h: Int): Dataset[ResizedMedia] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // >>> real codec/scaler init would happen once HERE <<<
+        it.map { case (id, bytes) =>
+          val n = if (bytes == null) 0 else bytes.length
+          val out = new Array[Byte](w * h)
+          if (n > 0) {
+            var i = 0
+            while (i < out.length) {
+              out(i) = bytes(((i.toLong * n) / out.length).toInt) // stride sample
+              i += 1
+            }
+          }
+          ResizedMedia(id, w, h, out)
+        }
+      }
+  }
+
   /** Fixed-width pseudo-embedding per payload (the mapInPandas-batch shape of
     * an encoder model; STUB body, real contract: dim floats per row). */
   def embedStub(df: DataFrame, dim: Int = 16): Dataset[MediaEmbedding] = {

@@ -48,6 +48,19 @@ class MultimodalSpec extends AnyFunSuite {
     assert(math.abs(self - 1.0) < 1e-12) // self-similarity
   }
 
+  test("resizeStub: deterministic fixed-size output, binary in/binary out") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((1L, Array.tabulate(100)(_.toByte)), (2L, Array.emptyByteArray))
+      .toDF("doc_id", "payload")
+    val out = graft.ext.Multimodal.resizeStub(df, 8, 4).collect().sortBy(_.doc_id)
+    assert(out.forall(r => r.width == 8 && r.height == 4 && r.payload.length == 32))
+    // deterministic: same input → same bytes
+    val again = graft.ext.Multimodal.resizeStub(df, 8, 4).collect().sortBy(_.doc_id)
+    assert(out.zip(again).forall { case (a, b) => a.payload.sameElements(b.payload) })
+    assert(out(1).payload.forall(_ == 0)) // empty payload → zero frame
+  }
+
   test("sniffMeta: REAL container-header parsing (png/gif/bmp/jpeg/wav)") {
     import graft.ext.Multimodal
     def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
