@@ -204,7 +204,13 @@ object ChainFill {
       pass3(it.toArray, prevIn3B.value(pid), nextIn3B.value(pid)).iterator
     }.toDS()
 
+    // Materialize the result as a Dataset-level cache, then release both RDD
+    // persists here: catalog.clearCache() frees Dataset caches but NOT RDD
+    // persists, so leaving p2 pinned would leak blocks across repeated runs.
+    val outDf = out.toDF().persist(StorageLevel.MEMORY_AND_DISK)
+    outDf.count()
+    p2.unpersist(blocking = false)
     data.unpersist(blocking = false)
-    out.toDF()
+    outDf
   }
 }

@@ -66,7 +66,8 @@ object Multimodal {
         while (i + 3 < b.length && w == 0) {
           if ((b(i) & 0xff) == 0xff) {
             val m = b(i + 1) & 0xff
-            if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+            if (m == 0xff) i += 1 // fill/padding byte before the marker code
+            else if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
               if (i + 8 < b.length) { h = be16(b, i + 5); w = be16(b, i + 7) }
               i = b.length
             } else if (m == 0xd8 || (m >= 0xd0 && m <= 0xd9)) i += 2

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 import org.apache.spark.sql.functions._
+import graft.functions.GraftDot
 
 /** Embedding-similarity primitives (SURVEY §2.12 X3): exact cosine in
   * DOUBLE with a strictly sequential left-fold summation so the DuckDB
@@ -14,8 +15,10 @@ object Similarity {
 
   /** Sequential left-fold dot product of two array<double> columns, routed
     * through the native graft_dot expression (functions/GraftDot) — same
-    * IEEE operation order as the HOF form, no boxing (parity spec-pinned). */
-  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+    * IEEE operation order as the HOF form, no boxing (parity spec-pinned).
+    * Constructed directly so no session-level registration is required. */
+  def dot(a: Column, b: Column): Column =
+    B.column(GraftDot(B.expression(a), B.expression(b)))
 
   /** The HOF spelling of [[dot]] — kept for parity testing. */
   def dotHof(a: Column, b: Column): Column =

@@ -1,7 +1,8 @@
 package graft.ext
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 import org.apache.spark.sql.functions._
+import graft.functions.{GraftHash32, GraftMinHash8, GraftSimHash16, SortedIntersectCard}
 
 /** Column-level primitives for the LLM-data-pipeline extension operators
   * (SURVEY §2.12): cross-engine-deterministic hashing, shingling, MinHash,
@@ -28,8 +29,10 @@ object TextOps {
     * `CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)`. Routed through the
     * native graft_hash32 expression (functions/GraftHash32) — digest bytes
     * straight to long, no hex round-trip; value-equal to the SQL form
-    * (parity pinned in FunctionSpec). */
-  def hash32(c: Column): Column = call_function("graft_hash32", c)
+    * (parity pinned in FunctionSpec). Constructed directly (not via the
+    * function registry), so it resolves in sessions without the
+    * GraftExtensions injection. */
+  def hash32(c: Column): Column = B.column(GraftHash32(B.expression(c)))
 
   /** The pure-SQL spelling of [[hash32]] — kept for parity testing. */
   def hash32Sql(c: Column): Column =
@@ -37,7 +40,7 @@ object TextOps {
 
   /** 8-value MinHash signature via the native one-pass expression. */
   def minhashSig(shingles: Column): Column =
-    call_function("graft_minhash8", shingles)
+    B.column(GraftMinHash8(B.expression(shingles)))
 
   /** Whitespace tokens. */
   def words(text: Column): Column = split(text, " ")
@@ -66,9 +69,10 @@ object TextOps {
     * set iff sum over tokens of ±1 (by bit i of the token hash) is >= 0.
     * Routed through the native one-pass graft_simhash16 expression (each
     * token md5-hashed once, all 16 counters updated in generated code);
-    * [[simhash16Hof]] is the interpreted HOF twin kept for parity testing. */
+    * [[simhash16Hof]] is the interpreted HOF twin kept for parity testing.
+    * Constructed directly so no session-level registration is required. */
   def simhash16(tokens: Column): Column =
-    call_function("graft_simhash16", tokens)
+    B.column(GraftSimHash16(B.expression(tokens)))
 
   /** HOF-fold formulation of [[simhash16]] — single fold with a 16-long
     * array accumulator so the token array is hashed exactly once; runs
@@ -96,4 +100,9 @@ object TextOps {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b)))
   }
+
+  /** Linear-merge |a ∩ b| over two sorted duplicate-free array<long>
+    * columns (native SortedIntersectCard expression, registry-free). */
+  def intersectCard(a: Column, b: Column): Column =
+    B.column(SortedIntersectCard(B.expression(a), B.expression(b)))
 }

@@ -77,10 +77,11 @@ case class GraftSimHash16(child: Expression) extends UnaryExpression {
     // the generated code boxes and null-checks rather than using the
     // primitive-value fast path of defineCodeGen.
     nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
       s"""
-         |Object r = graft.functions.HashKernels.simhash16($c);
-         |if (r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((Long) r).longValue(); }
+         |Object $r = graft.functions.HashKernels.simhash16($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $r).longValue(); }
        """.stripMargin
     })
   }

@@ -140,7 +140,7 @@ object Ext {
       cand.join(sets.as("x"), col("id1") === col("x.doc_id"))
         .join(sets.as("y"), col("id2") === col("y.doc_id"))
         .select(col("id1"), col("id2"),
-          call_function("graft_intersect_card", col("x.hs"), col("y.hs"))
+          TextOps.intersectCard(col("x.hs"), col("y.hs"))
             .cast("int").as("inter"),
           size(col("x.hs")).as("n1"), size(col("y.hs")).as("n2"))
         .select(col("id1"), col("id2"),
