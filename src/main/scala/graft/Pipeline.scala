@@ -47,12 +47,17 @@ object Pipeline {
     // the candidate join, and the final projection, and each branch would
     // otherwise re-run from_xml + the enrichment UDFs from scratch.
     val enriched = Fields.enrich(entities.repartition(col("entity_seq"))).persist()
+    // materialize the persist and learn the feed size in one cheap job —
+    // every branch below reuses the cached frame, and the size routes the
+    // fill through its local-vs-distributed switch without a probe scan
+    val feedRows = enriched.count()
     val index = PdfIndex.build(PdfChunks.chunks(pdfTexts))
     val candidates =
       Rem2Join.probe(enriched.select("entity_seq", "candidates"), index)
     val withCand = enriched.join(candidates, Seq("entity_seq"))
     val filled = Rem2Fill(
-      withCand.select(col("entity_seq"), col("full_name"), col("rem2_candidate")))
+      withCand.select(col("entity_seq"), col("full_name"), col("rem2_candidate")),
+      sizeHint = feedRows)
     val joined = withCand.join(filled, Seq("entity_seq"))
 
     // final pass over FULL_NAME (main.py:1042–1046); UNKNOWN passes through

@@ -115,8 +115,12 @@ object ChainFill {
 
   /** df: (entity_seq, full_name, rem2_candidate) →
     * (entity_seq, rem2, flag_rem2_missing, flag_rem2_conflict) — bit-equal
-    * to Rem2Fill but distributed across `numPartitions` range partitions. */
-  def apply(df: DataFrame, numPartitions: Int): DataFrame = {
+    * to Rem2Fill but distributed across range partitions on seq.
+    * numPartitions <= 0 (the default) leaves the count to AQE: the range
+    * exchange coalesces to one partition on a fixture-sized feed (the
+    * O(P) machinery degenerates to a single local scan) and stays wide at
+    * scale; a positive value pins it (specs exercise fixed seam shapes). */
+  def apply(df: DataFrame, numPartitions: Int = 0): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
@@ -127,10 +131,12 @@ object ChainFill {
         coalesce(col("rem2_candidate").cast("string"), lit("")).as("cand"))
       .withColumn("is_dup",
         count(lit(1)).over(Window.partitionBy(col("name"))) > 1)
-      .repartitionByRange(numPartitions, col("seq"))
-      .sortWithinPartitions(col("seq"))
+    val ranged =
+      if (numPartitions > 0) narrowed.repartitionByRange(numPartitions, col("seq"))
+      else narrowed.repartitionByRange(col("seq"))
+    val sorted = ranged.sortWithinPartitions(col("seq"))
 
-    val data = narrowed.rdd
+    val data = sorted.rdd
       .map(r => CRow(r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val p = data.getNumPartitions

@@ -104,9 +104,18 @@ object Rem2Fill {
     * Delegates to [[ChainFill]] — the distributed exact form (range
     * partitions + O(P) transfer-function composition, ChainFillSpec proves
     * bit-equality with [[fillSeq]]) — so the pipeline never funnels the
-    * feed through one task. */
-  def apply(df: DataFrame): DataFrame =
-    ChainFill(df, df.sparkSession.sparkContext.defaultParallelism)
+    * feed through one task. Feeds known (via `sizeHint`, usually a count of
+    * an already-persisted upstream frame) to hold at most [[LocalThreshold]]
+    * rows route through the exact single-task form instead: ChainFill's 5
+    * distributed jobs + range sampling cost more than one local scan there —
+    * the same size-switch logic as a broadcast-join threshold, and both
+    * forms are bit-equal. sizeHint < 0 (unknown) always distributes. */
+  def apply(df: DataFrame, sizeHint: Long = -1L): DataFrame =
+    if (sizeHint >= 0 && sizeHint <= LocalThreshold) applyLocal(df)
+    else ChainFill(df)
+
+  /** Feeds at or below this many rows fill locally (one task, one scan). */
+  val LocalThreshold = 65536
 
   /** The original single-task form, kept as the equivalence baseline. */
   def applyLocal(df: DataFrame): DataFrame = {
