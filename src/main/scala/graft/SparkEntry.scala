@@ -30,7 +30,8 @@ object SparkEntry {
     graft.queries.Core.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Relational.queries ++
-      graft.queries.Ext.queries
+      graft.queries.Ext.queries ++
+      graft.queries.Ext2.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -38,5 +39,6 @@ object SparkEntry {
     graft.queries.Core.oracleSql ++
       graft.queries.Windows.oracleSql ++
       graft.queries.Relational.oracleSql ++
-      graft.queries.Ext.oracleSql
+      graft.queries.Ext.oracleSql ++
+      graft.queries.Ext2.oracleSql
 }

@@ -46,6 +46,32 @@ object Ext {
     * identical double is exact; round() half-up implementations differ). */
   private def trunc6(c: Column): Column = floor(c * 1e6).cast("double") / 1e6
 
+  /** MinHash-LSH banded candidate pairs verified by exact Jaccard ≥ minJac
+    * over the shingle sets → (id1, id2, jaccard). Shared by x3 (pair
+    * listing) and x17 (dedup-group clustering, queries/Ext2). The signature
+    * frame is persisted because it feeds both sides of the band self-join
+    * AND the two verify joins — without it Spark recomputes the whole
+    * scan→shingle→hash chain once per branch. Signatures come from the
+    * native one-pass graft_minhash8 expression (each shingle hashed once). */
+  private[queries] def lshVerifiedPairs(s: SparkSession, d: String,
+      minJac: Double): DataFrame = {
+    val sh = docShingles(documents(s, d))
+      .withColumn("sig", TextOps.minhashSig(col("ss")))
+      .persist()
+    val banded = sh.select(col("doc_id"),
+        explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    val sets = sh.select(col("doc_id"), col("ss"))
+    val jac = TextOps.jaccard(col("x.ss"), col("y.ss"))
+    cand.join(sets.as("x"), col("id1") === col("x.doc_id"))
+      .join(sets.as("y"), col("id2") === col("y.doc_id"))
+      .select(col("id1"), col("id2"), jac.as("jaccard"))
+      .filter(col("jaccard") >= minJac)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X1 exact dedup: hash-groupBy on the raw text; survivor = min doc_id.
@@ -70,28 +96,8 @@ object Ext {
 
     // X2 MinHash + LSH near-dup: 8 signature values, 4 bands × 2 rows;
     // candidate pairs share a band bucket; verified with exact Jaccard ≥ 0.5.
-    "x3_minhash_lsh" -> ((s, d) => {
-      // persist: the signature frame feeds both sides of the band self-join
-      // and the verify joins — without it Spark recomputes the whole
-      // scan→shingle→hash chain once per branch. Signatures come from the
-      // native one-pass graft_minhash8 expression (each shingle hashed once).
-      val sh = docShingles(documents(s, d))
-        .withColumn("sig", TextOps.minhashSig(col("ss")))
-        .persist()
-      val banded = sh.select(col("doc_id"),
-          explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
-      val cand = banded.as("a").join(banded.as("b"),
-          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      val sets = sh.select(col("doc_id"), col("ss"))
-      val jac = TextOps.jaccard(col("x.ss"), col("y.ss"))
-      cand.join(sets.as("x"), col("id1") === col("x.doc_id"))
-        .join(sets.as("y"), col("id2") === col("y.doc_id"))
-        .select(col("id1"), col("id2"), jac.as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .orderBy(col("id1"), col("id2"))
-    }),
+    "x3_minhash_lsh" -> ((s, d) =>
+      lshVerifiedPairs(s, d, 0.5).orderBy(col("id1"), col("id2"))),
 
     // X2b n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin): for
     // Jaccard ≥ t, two docs must share a shingle within each one's prefix of

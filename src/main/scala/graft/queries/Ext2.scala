@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import graft.ext.{Components, ShardPack, TextOps}
+
+/** Round-3 LLM-data-pipeline additions (SURVEY §2.12 continued): the steps a
+  * training-data pipeline runs AFTER pair finding — clustering near-dup
+  * pairs into groups, TF-IDF term salience, reproducible hash sampling,
+  * token-budget shard packing, and per-source quality-percentile filtering.
+  * Every query keeps the catalog's determinism rules: md5-prefix hashes on
+  * both engines, ratios of exact integers, nearest-rank (never interpolated)
+  * percentiles, and no transcendentals (TF-IDF uses the rational tf·N/df
+  * form rather than log-idf so both engines do the identical two IEEE ops).
+  */
+object Ext2 {
+
+  private val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X2e near-dup GROUPS: LSH-verified pairs (x3's exact output) clustered
+    // into connected components by distributed min-label propagation
+    // (ext/Components) — pairs → transitive dedup groups → stable cluster id
+    // (= min doc_id), plus the group size. Isolated docs are singletons.
+    "x17_dedup_groups" -> ((s, d) => {
+      val pairs = Ext.lshVerifiedPairs(s, d, 0.5).select(col("id1"), col("id2"))
+      val nodes = documents(s, d).select(col("doc_id").as("id"))
+      Components.connectedComponents(nodes, pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4d TF-IDF top terms: rational scoring tfreq·N/df (exactly two IEEE
+    // double ops, identical on both engines — log-idf would be
+    // transcendental), top 3 per doc with term-order tie-break. All three
+    // aggregations are partial-aggregable hash groupBys; the corpus size N
+    // is a broadcast 1-row frame, never a driver constant baked at plan
+    // time.
+    "x18_tfidf_topk" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tfreq"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n"))
+      tf.join(dfq, Seq("term")).crossJoin(broadcast(n))
+        .select(col("doc_id"), col("term"),
+          (col("tfreq").cast("double") * col("n") / col("df")).as("tfidf"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("tfidf").desc, col("term"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("rnk"), col("tfidf"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // X4e reproducible sampling: keep ~10% of the corpus by md5-prefix hash
+    // of a salted id — bit-identical on every engine and every run (unlike
+    // rand()-based sampling), stable under corpus growth (a doc's bucket
+    // never changes), and trivially re-seedable by changing the salt. Pure
+    // per-row filter: no shuffle, pushes down to the scan at 100 TB.
+    "x19_hash_sample" -> ((s, d) => {
+      val h = TextOps.hash32(concat(lit("sample:"), col("doc_id").cast("string")))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), pmod(h, lit(100)).as("bucket"))
+        .filter(col("bucket") < 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4f token-budget shard packing: global running token total in doc
+    // order via ext/ShardPack (range sort + O(P) offset exchange — never a
+    // single-partition window), shard = (cum-1) / budget.
+    "x20_shard_pack" -> ((s, d) =>
+      ShardPack.pack(
+        documents(s, d).select(col("doc_id"),
+          size(TextOps.words(col("text"))).as("n_tokens")),
+        "doc_id", "n_tokens", budget = 1000L)
+        .orderBy(col("doc_id"))),
+
+    // X4g quality-percentile filter: x8's quality score, thresholded at each
+    // source's nearest-rank p90 (a5's percentile_disc method — pure value
+    // selection, zero interpolation arithmetic). Windows partition by
+    // source, so the shape scales like any keyed window; the threshold rides
+    // the same window (no second scan, no driver round-trip).
+    "x21_quality_filter" -> ((s, d) => {
+      val bySrc = Window.partitionBy(col("source"))
+      val ord = bySrc.orderBy(col("q"), col("doc_id"))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), col("source"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          size(filter(col("w"), x => x.isInCollection(stops))).as("n_stop"))
+        .select(col("doc_id"), col("source"),
+          ((col("n_distinct").cast("double") / col("n_tokens")) -
+            (col("n_stop").cast("double") / col("n_tokens")) * 0.5).as("q"))
+        .withColumn("rn", row_number().over(ord))
+        .withColumn("n", count(lit(1)).over(bySrc))
+        .withColumn("thr",
+          max(when(col("rn") === ceil(col("n") * 0.9), col("q"))).over(bySrc))
+        .filter(col("q") >= col("thr"))
+        .select(col("doc_id"), col("source"), col("q").as("quality_score"),
+          col("thr").as("p90_threshold"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+
+    // x3's CTE chain to verified pairs, then transitive closure by a
+    // recursive CTE (set-semantics UNION terminates it); cluster id = min
+    // reachable label.
+    "x17_dedup_groups" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |h AS (SELECT doc_id, ss,
+        |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
+        |mh AS (SELECT doc_id,
+        |  list_min(list_transform(hs, x -> (7*x+3) % 2147483647)) AS m0,
+        |  list_min(list_transform(hs, x -> (11*x+5) % 2147483647)) AS m1,
+        |  list_min(list_transform(hs, x -> (13*x+7) % 2147483647)) AS m2,
+        |  list_min(list_transform(hs, x -> (17*x+11) % 2147483647)) AS m3,
+        |  list_min(list_transform(hs, x -> (19*x+13) % 2147483647)) AS m4,
+        |  list_min(list_transform(hs, x -> (23*x+17) % 2147483647)) AS m5,
+        |  list_min(list_transform(hs, x -> (29*x+19) % 2147483647)) AS m6,
+        |  list_min(list_transform(hs, x -> (31*x+23) % 2147483647)) AS m7 FROM h),
+        |bk AS (SELECT doc_id, unnest([
+        |  concat_ws('_', 0, m0, m1), concat_ws('_', 1, m2, m3),
+        |  concat_ws('_', 2, m4, m5), concat_ws('_', 3, m6, m7)]) AS bk FROM mh),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ver AS (SELECT id1, id2, len(list_intersect(x.ss, y.ss)) AS inter,
+        |    len(x.ss) AS n1, len(y.ss) AS n2
+        |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2),
+        |pairs AS (SELECT id1, id2 FROM ver
+        |  WHERE CAST(inter AS DOUBLE)/(n1+n2-inter) >= 0.5),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id),
+        |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
+        |SELECT id AS doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members
+        |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "x18_tfidf_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tfreq FROM tok GROUP BY doc_id, term),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |sc AS (SELECT doc_id, tf.term AS term,
+        |    (CAST(tfreq AS DOUBLE) * n) / df AS tfidf
+        |  FROM tf JOIN dfq ON tf.term = dfq.term, n),
+        |r AS (SELECT doc_id, term, tfidf,
+        |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk FROM sc)
+        |SELECT doc_id, term, rnk, tfidf FROM r WHERE rnk <= 3
+        |ORDER BY doc_id, rnk""".stripMargin,
+
+    "x19_hash_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, source, bucket FROM b WHERE bucket < 10
+        |ORDER BY doc_id""".stripMargin,
+
+    "x20_shard_pack" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |  CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens, cum_tokens,
+        |  CAST((cum_tokens - 1) // 1000 AS BIGINT) AS shard_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x21_quality_filter" ->
+      """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id, source,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) -
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(w) * 0.5 AS q
+        |  FROM w),
+        |r AS (SELECT doc_id, source, q,
+        |  row_number() OVER (PARTITION BY source ORDER BY q, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY source) AS n FROM s),
+        |t AS (SELECT doc_id, source, q,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN q END)
+        |    OVER (PARTITION BY source) AS thr FROM r)
+        |SELECT doc_id, source, q AS quality_score, thr AS p90_threshold
+        |FROM t WHERE q >= thr ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ext.{Components, ShardPack}
+
+/** Round-3 extension helpers: connected components (dedup grouping) and
+  * token-budget shard packing (distributed prefix sum). */
+class Ext2Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      parts: Int): Map[Long, Long] =
+    Components.connectedComponents(
+      nodes.toDF("id").repartition(parts),
+      edges.toDF("id1", "id2").repartition(parts))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("components: chain, triangle, isolated node") {
+    // 1-2-3-4 chain (worst diameter), 10-11-12 triangle, 20 isolated
+    val labels = cc(
+      nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L),
+      edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L)),
+      parts = 4)
+    assert(labels === Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("components: deterministic across partition counts") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 200L)
+    // ring of 4-cliques occasionally bridged: several mid-size components
+    val edges = nodes.flatMap { i =>
+      val base = (i / 4) * 4
+      Seq((base, i)) ++ (if (i % 17 == 0 && i > 0) Seq((i - 1, i)) else Nil)
+    }.filter(e => e._1 != e._2)
+    val a = cc(nodes, edges, parts = 1)
+    val b = cc(nodes, edges, parts = 13)
+    assert(a === b)
+    // every label is the component minimum: label <= id, label is a fixpoint
+    assert(a.forall { case (id, lab) => lab <= id && a(lab) == lab })
+  }
+
+  test("shard pack: matches sequential prefix sum at any partitioning") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 500L).map(i => (i, 1L + rnd.nextInt(400).toLong))
+    val budget = 1000L
+    val out = ShardPack.pack(
+        rows.toDF("doc_id", "n_tokens").repartition(16), "doc_id", "n_tokens", budget)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    var cum = 0L
+    val expected = rows.map { case (id, v) => cum += v; (id, v, cum, (cum - 1) / budget) }
+    assert(out.toSeq === expected)
+    // shards are contiguous in doc order and start at 0
+    assert(out.head._4 === 0L)
+    assert(out.sliding(2).forall { case Array(a, b) => b._4 - a._4 <= 1 && b._4 >= a._4 })
+  }
+
+  test("shard pack: exact-multiple boundary lands in the finished shard") {
+    // cum 1000 is the last token of shard 0; cum 1001 opens shard 1
+    val out = ShardPack.pack(
+        Seq((1L, 600L), (2L, 400L), (3L, 1L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 1000L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+  }
+}
