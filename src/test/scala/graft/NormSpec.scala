@@ -63,9 +63,12 @@ class NormSpec extends AnyFunSuite {
     import graft.norm.Normalize.femaleFirstNames
     // round-2 expansion: names absent from the original 428-entry list
     for (n <- Seq("zeynep", "svetlana", "guadalupe", "magdalena", "aisha",
-        "ingrid", "valentina", "yvonne", "rosalind", "katarzyna"))
+        "ingrid", "valentina", "yvonne", "rosalind", "katarzyna",
+        // round-3 expansion: international female names beyond round 2's list
+        "anastasiya", "fatima", "gulnara", "ekaterina", "malgorzata",
+        "nadezhda", "shirin", "tamara", "ximena", "zuzanna"))
       assert(femaleFirstNames.contains(n), s"missing female name: $n")
-    assert(femaleFirstNames.size >= 900)
+    assert(femaleFirstNames.size >= 1100)
     // male / unknown names must NOT leak into the female class
     for (n <- Seq("john", "pablo", "sergio", "xx-not-a-name"))
       assert(!femaleFirstNames.contains(n), s"wrongly female: $n")
