@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftHash32, GraftMinHash8, GraftSimHash16, SortedIntersectCard}
+import graft.functions.{GraftHash32, GraftMinHash8, GraftSimHash16, GraftSimHash48, SortedIntersectCard}
 
 /** Column-level primitives for the LLM-data-pipeline extension operators
   * (SURVEY §2.12): cross-engine-deterministic hashing, shingling, MinHash,
@@ -73,6 +73,13 @@ object TextOps {
     * Constructed directly so no session-level registration is required. */
   def simhash16(tokens: Column): Column =
     B.column(GraftSimHash16(B.expression(tokens)))
+
+  /** 48-bit SimHash (native one-pass GraftSimHash48, registry-free): the
+    * wider twin of [[simhash16]] for corpora where 16 bits saturate — bits
+    * come from the first 6 md5 bytes per token (DuckDB
+    * `substr(md5(s),1,12)`), so banded near-dup joins on it replay exactly. */
+  def simhash48(tokens: Column): Column =
+    B.column(GraftSimHash48(B.expression(tokens)))
 
   /** HOF-fold formulation of [[simhash16]] — single fold with a 16-long
     * array accumulator so the token array is hashed exactly once; runs

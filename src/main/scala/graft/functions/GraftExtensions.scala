@@ -31,6 +31,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftSimHash16(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash48"),
+      new ExpressionInfo(classOf[GraftSimHash48].getName, "graft_simhash48"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftSimHash48(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[GraftDot].getName, "graft_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -90,6 +90,40 @@ case class GraftSimHash16(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** 48-bit one-pass SimHash over array<string> — [[GraftSimHash16]] widened
+  * for corpora where 16 bits saturate (see HashKernels.simhash48); bits come
+  * from the first 6 md5 bytes per element (hash48), matching DuckDB's
+  * `substr(md5(s),1,12)` prefix. */
+case class GraftSimHash48(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_simhash48"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.simhash48(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, c => {
+      val r = ctx.freshName("r")
+      s"""
+         |Object $r = graft.functions.HashKernels.simhash48($c);
+         |if ($r == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((Long) $r).longValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftSimHash48 =
+    copy(child = newChild)
+}
+
 /** Sequential-fold dot product over two array<double> columns, bit-identical
   * to the HOF `aggregate(zip_with(...))` form and the oracle's list_reduce
   * (same ascending-index IEEE operation order), minus the per-element boxing

@@ -83,6 +83,42 @@ object HashKernels {
     fp
   }
 
+  /** First 6 md5 bytes as unsigned 48-bit — the value of DuckDB's
+    * `CAST(concat('0x', substr(md5(s),1,12)) AS BIGINT)`. The wider twin of
+    * [[hash32]] for fingerprints where 16/32 bits collide too much. */
+  def hash48(s: UTF8String): Long = {
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    ((d(0) & 0xFFL) << 40) | ((d(1) & 0xFFL) << 32) | ((d(2) & 0xFFL) << 24) |
+      ((d(3) & 0xFFL) << 16) | ((d(4) & 0xFFL) << 8) | (d(5) & 0xFFL)
+  }
+
+  /** 48-bit SimHash — [[simhash16]] widened (48 counters over [[hash48]]
+    * bits). 16 bits saturate on a shared-vocabulary corpus (real duplicate
+    * groups all land at Hamming 0 together with unrelated docs); 48 bits
+    * keep the Hamming histogram spread while still fitting a positive
+    * BIGINT on both engines. Same null/empty contract as simhash16. */
+  def simhash48(arr: ArrayData): Any = {
+    val n = arr.numElements()
+    val sums = new Array[Long](48)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val h = hash48(arr.getUTF8String(i))
+      var j = 0
+      while (j < 48) {
+        sums(j) += (((h >>> j) & 1L) * 2L - 1L)
+        j += 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 48) { if (sums(j) >= 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
   /** Strictly-sequential (ascending index) double dot product — the exact
     * IEEE operation order of `aggregate(zip_with(a,b,_*_), 0.0, _+_)` and of
     * the DuckDB oracle's `list_reduce(list_prepend(0.0, …))`, so results are

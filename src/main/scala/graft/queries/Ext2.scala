@@ -82,6 +82,37 @@ object Ext2 {
         "doc_id", "n_tokens", budget = 1000L)
         .orderBy(col("doc_id"))),
 
+    // X2f SimHash near-dup PAIRS, end to end: 48-bit fingerprints (16 bits
+    // saturate on a shared-vocabulary corpus — whole duplicate groups land
+    // at Hamming 0 with unrelated docs), banded into 2 × 24-bit halves. By
+    // pigeonhole, Hamming ≤ 1 pairs share at least one exact half, so the
+    // band equi-join is COMPLETE for the threshold, never a recall
+    // heuristic — and candidate cost tracks band collisions, not n².
+    // Verification is one xor+popcount per candidate.
+    "x22_simhash_neardup" -> ((s, d) => {
+      val f = documents(s, d)
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TextOps.simhash48(array_distinct(TextOps.words(col("text")))).as("fp"))
+        .persist()
+      val lo = f.select(col("doc_id"), col("fp"), lit(0).as("bi"),
+        col("fp").bitwiseAND(lit((1L << 24) - 1)).as("bv"))
+      val hi = f.select(col("doc_id"), col("fp"), lit(1).as("bi"),
+        shiftright(col("fp"), 24).as("bv"))
+      val bands = lo.union(hi)
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      cand.join(f.as("x"), col("id1") === col("x.doc_id"))
+        .join(f.as("y"), col("id2") === col("y.doc_id"))
+        .select(col("id1"), col("id2"),
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+        .filter(col("hamming") <= 1)
+        .orderBy(col("id1"), col("id2"))
+    }),
+
     // X4g quality-percentile filter: x8's quality score, thresholded at each
     // source's nearest-rank p90 (a5's percentile_disc method — pure value
     // selection, zero interpolation arithmetic). Windows partition by
@@ -182,6 +213,29 @@ object Ext2 {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - 1) // 1000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x22_simhash_neardup" -> {
+      val sums = (0 until 48).map(i =>
+        s"sum(CASE WHEN (wh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n|  ")
+      val fp = (0 until 48).map(i =>
+        s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w),1,12)) AS BIGINT) AS wh FROM t),
+        |b AS (SELECT doc_id,
+        |  $sums
+        |  FROM h GROUP BY doc_id),
+        |f AS (SELECT doc_id, $fp AS fp FROM b),
+        |bands AS (SELECT doc_id, fp, 0 AS bi, fp & ${(1L << 24) - 1} AS bv FROM f
+        |  UNION ALL SELECT doc_id, fp, 1 AS bi, fp >> 24 AS bv FROM f),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ver AS (SELECT id1, id2, CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+        |  FROM cand JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2)
+        |SELECT id1, id2, hamming FROM ver WHERE hamming <= 1
+        |ORDER BY id1, id2""".stripMargin
+    },
 
     "x21_quality_filter" ->
       """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import graft.norm.{Normalize, PyText}
 
@@ -73,6 +74,37 @@ class FunctionSpec extends AnyFunSuite {
         TextOps.simhash16Hof(col("toks")).as("hof"))
       .collect()(0)
     assert(edge.getLong(0) == 0xFFFFL && edge.getLong(1) == 0xFFFFL)
+  }
+
+  test("graft_simhash48 matches a HOF reconstruction; empty array parity") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ext.TextOps
+    // HOF twin built inline from the SQL md5-prefix hash (first 12 hex
+    // chars = 48 bits), the same reconstruction the DuckDB oracle runs
+    def hash48Sql(c: Column) =
+      conv(substring(md5(c.cast("binary")), 1, 12), 16, 10).cast("long")
+    def simhash48Hof(tokens: Column): Column = {
+      val hs = transform(tokens, hash48Sql(_))
+      val zeros = array((0 until 48).map(_ => lit(0L)): _*)
+      val bitSums = aggregate(hs, zeros, (acc, x) =>
+        zip_with(acc, array((0 until 48).map(j =>
+          shiftright(x, j).bitwiseAND(lit(1L)) * 2 - 1): _*), _ + _))
+      (0 until 48).map(j =>
+        when(element_at(bitSums, j + 1) >= 0, lit(1L << j)).otherwise(lit(0L)))
+        .reduce(_ + _)
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatch = docs
+      .select(array_distinct(split(col("text"), " ")).as("toks"))
+      .select(TextOps.simhash48(col("toks")).as("native"),
+        simhash48Hof(col("toks")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatch == 0)
+    val edge = Seq(Seq.empty[String]).toDF("toks")
+      .select(TextOps.simhash48(col("toks")).as("native")).collect()(0)
+    assert(edge.getLong(0) == (1L << 48) - 1)
   }
 
   test("graft_dot is bit-identical to the HOF fold dot product") {
