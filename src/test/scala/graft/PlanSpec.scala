@@ -81,6 +81,33 @@ class PlanSpec extends AnyFunSuite {
       "corpus must be pruned by the LSH bucket, not scanned pairwise")
   }
 
+  test("x18 tf-idf: corpus-size frame broadcast, aggregations partial") {
+    val p = plan("x18_tfidf_topk")
+    // the 1-row N frame must arrive as a broadcast, never shuffle the
+    // tf frame against it; tf/df groupBys must map-side combine
+    assert(p.contains("Broadcast"), s"corpus size should broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+    assert(count(p, "HashAggregate") >= 4, "tf/df aggregation lost the partial phase")
+  }
+
+  test("x19 hash sample: pure per-row filter, no shuffle before the sort") {
+    val p = plan("x19_hash_sample")
+    // exactly the output-ordering exchange — the filter itself must not
+    // repartition anything
+    assert(count(p, "+- Exchange") <= 1,
+      s"sampling filter introduced a shuffle:\n$p")
+  }
+
+  test("x22 simhash near-dup: band join is equi, verify has no cartesian") {
+    val p = plan("x22_simhash_neardup")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"band candidate join should be an equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "candidates must come from band-key equality, not an all-pairs scan")
+    assert(count(p, "graft_simhash48(") == 1,
+      "fingerprints should be computed once (persisted frame reused)")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
