@@ -44,7 +44,8 @@ object Ext {
 
   /** floor-truncate to 6 decimals: deterministic across engines (floor of an
     * identical double is exact; round() half-up implementations differ). */
-  private def trunc6(c: Column): Column = floor(c * 1e6).cast("double") / 1e6
+  private[queries] def trunc6(c: Column): Column =
+    floor(c * 1e6).cast("double") / 1e6
 
   /** MinHash-LSH banded candidate pairs verified by exact Jaccard ≥ minJac
     * over the shingle sets → (id1, id2, jaccard). Shared by x3 (pair

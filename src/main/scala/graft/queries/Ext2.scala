@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
-import graft.ext.{Components, ShardPack, TextOps}
+import graft.ext.{Components, ShardPack, Similarity, TextOps}
+import graft.queries.Ext.trunc6
 
 /** Round-3 LLM-data-pipeline additions (SURVEY §2.12 continued): the steps a
   * training-data pipeline runs AFTER pair finding — clustering near-dup
@@ -113,6 +114,42 @@ object Ext2 {
         .orderBy(col("id1"), col("id2"))
     }),
 
+    // X3d true-IVF ANN: every vector assigned to its NEAREST anchor
+    // direction (argmax dot over K baked Rademacher anchors, first-index
+    // tie-break — a Voronoi cell per anchor, the real inverted-file coarse
+    // quantizer; x7 bucketed by a pre-existing label, x16 by LSH codes).
+    // The anchor dots are staged into columns so each is computed once;
+    // the probe is an equi-join on the cell id, exact cosine re-ranks
+    // in-cell. Same plan at any corpus size.
+    "x23_ivf_centroid_topk" -> ((s, d) => {
+      import graft.ext.IvfCentroids.{K, c}
+      val withDots = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
+        .select(Seq(col("vec_id"), col("v"), col("nv")) ++
+          (0 until K).map(k =>
+            Similarity.dot(col("v"), typedLit(c(k))).as(s"d$k")): _*)
+      // first index achieving the max — deterministic under ties
+      val cell = (0 until K).foldRight(lit(K - 1)) { (k, rest) =>
+        if (k == K - 1) rest
+        else when((k + 1 until K).map(j => col(s"d$k") >= col(s"d$j")).reduce(_ && _),
+          lit(k)).otherwise(rest)
+      }
+      val e = withDots.select(col("vec_id"), col("v"), col("nv"), cell.as("cell"))
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("cell").as("q_cell"),
+          col("v").as("qv"), col("nv").as("qnv"))
+      val cos6 = trunc6(
+        Similarity.dot(col("qv"), col("v")) / sqrt(col("qnv") * col("nv")))
+      q.join(e, col("q_cell") === col("cell") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos6"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // X4g quality-percentile filter: x8's quality score, thresholded at each
     // source's nearest-rank p90 (a5's percentile_disc method — pure value
     // selection, zero interpolation arithmetic). Windows partition by
@@ -213,6 +250,33 @@ object Ext2 {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - 1) // 1000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x23_ivf_centroid_topk" -> {
+      import graft.ext.IvfCentroids.{K, anchorSqlList}
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
+      val anchorCols = (0 until K)
+        .map(k => s"${anchorSqlList(k)} AS c$k").mkString(",\n|  ")
+      val dotCols = (0 until K).map(k => s"${dot("v", s"c$k")} AS d$k").mkString(",\n|  ")
+      val cellCase = (0 until K - 1).map(k =>
+        "WHEN " + (k + 1 until K).map(j => s"d$k >= d$j").mkString(" AND ") +
+          s" THEN $k").mkString("CASE ", " ", s" ELSE ${K - 1} END")
+      s"""WITH anchors AS (SELECT
+        |  $anchorCols),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ed AS (SELECT vec_id, v, $dotCols FROM e, anchors),
+        |ec AS (SELECT vec_id, v, $cellCase AS cell FROM ed),
+        |q AS (SELECT vec_id AS q_id, cell AS q_cell, v AS qv FROM ec WHERE vec_id % 100 = 0),
+        |p AS (SELECT q_id, vec_id AS n_id,
+        |  ${dot("qv", "v")} AS d,
+        |  ${dot("qv", "qv")} AS na,
+        |  ${dot("v", "v")} AS nb
+        |  FROM q JOIN ec ON q_cell = cell AND vec_id <> q_id),
+        |c AS (SELECT q_id, n_id, CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 AS cos6 FROM p),
+        |r AS (SELECT q_id, n_id, cos6,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rnk FROM c)
+        |SELECT q_id, n_id, rnk, cos6 FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
 
     "x22_simhash_neardup" -> {
       val sums = (0 until 48).map(i =>

@@ -108,6 +108,14 @@ class PlanSpec extends AnyFunSuite {
       "fingerprints should be computed once (persisted frame reused)")
   }
 
+  test("x23 centroid IVF: cell assignment inline, probe is an equi join") {
+    val p = plan("x23_ivf_centroid_topk")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"cell probe should be an equi join on the cell id:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "corpus must be pruned by the Voronoi cell, not scanned pairwise")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
