@@ -27,16 +27,34 @@ object Components {
 
   /** nodes: one column `id`; edges: columns `id1`,`id2` (undirected pairs).
     * Returns (id, cluster_id) with cluster_id = min id of the component;
-    * isolated nodes keep their own id. */
+    * isolated nodes keep their own id.
+    *
+    * Only EDGE-TOUCHED nodes iterate: a node with no edge is its own
+    * cluster by definition, so the loop runs over the pair graph (at
+    * near-dup scale a small fraction of the corpus) and the full node set
+    * joins back once at the end with `coalesce(label, id)`. At 100 TB this
+    * is the difference between shuffling the corpus every round and
+    * shuffling only the duplicate-pair endpoints. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
+    // The union's two branches materialize concurrently into the cache in
+    // the first job that touches `und` (per-partition cache locks stop
+    // duplicate work), so the possibly-expensive edge pipeline costs one
+    // wall-clock pass.
     val und = edges.select(col("id1").as("a"), col("id2").as("b"))
       .union(edges.select(col("id2").as("a"), col("id1").as("b")))
       .persist()
 
-    var cached = nodes.select(col("id"), col("id").as("lab")).persist()
+    // Fused init + round 1: with identity starting labels, the first
+    // propagation is exactly min(id, min neighbor id) — one groupBy over the
+    // edge list replaces both the endpoint-distinct and the first
+    // join+aggregate round (both directions present ⇒ grouping by `b` alone
+    // covers every endpoint).
+    var cached = und.groupBy(col("b")).agg(min(col("a")).as("m"))
+      .select(col("b").as("id"), least(col("b"), col("m")).as("lab"))
+      .persist()
     var labels = cached
-    var round = 0
+    var round = 1
     var done = false
     while (!done && round < maxRounds) {
       // min neighbor label per node, then fold into the node's own label
@@ -55,6 +73,9 @@ object Components {
       round += 1
     }
     und.unpersist(blocking = false)
-    labels.withColumnRenamed("lab", "cluster_id")
+    // singletons (no edges) resolve to themselves without ever iterating
+    nodes.select(col("id"))
+      .join(labels.withColumnRenamed("lab", "cluster_id"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
   }
 }
