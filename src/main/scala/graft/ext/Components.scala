@@ -2,21 +2,21 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
 /** Distributed connected components by iterative min-label propagation —
   * the clustering step of a near-duplicate dedup pipeline (pairs → groups →
   * one survivor per group), SURVEY §2.12 X2.
   *
   * Each round every node takes the minimum label among itself and its
-  * neighbors; the fixpoint (every node holds its component's minimum id) is
-  * unique, so the result is deterministic regardless of execution order or
-  * partitioning. Rounds needed = the largest component's diameter — for
-  * near-dup graphs that is small (duplicate clusters are dense); a chain
-  * graph degenerates to O(n) rounds, where the large-star/small-star
-  * doubling variant (Kiveris et al., "Connected Components in MapReduce")
-  * would cut it to O(log n). Each round is one equi-join + one partial-
-  * aggregable groupBy(min) — both shuffle on the node id, no all-pairs
-  * anywhere, so a round scales linearly with |E|.
+  * neighbors, then POINTER-JUMPS (label ← label-of-label, the doubling step
+  * of Shiloach-Vishkin / large-star-style MapReduce CC à la Kiveris et al.),
+  * so convergence is O(log n) rounds even on a chain graph — plain
+  * neighbor-min alone would need O(diameter) rounds. The fixpoint (every
+  * node holds its component's minimum id) is unique, so the result is
+  * deterministic regardless of execution order or partitioning. Each round
+  * is two equi-joins + one partial-aggregable groupBy(min) — all shuffle on
+  * the node id, no all-pairs anywhere, so a round scales linearly with |E|.
   *
   * Iteration hygiene at scale: every round persists its label frame and
   * unpersists the previous one, so lineage never re-executes; on a long
@@ -37,12 +37,27 @@ object Components {
     * shuffling only the duplicate-pair endpoints. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 50): DataFrame = {
+    val spark = nodes.sparkSession
+    val labelSchema = StructType(Seq(
+      StructField("id", LongType), StructField("lab", LongType)))
+    // Truncate the round's LOGICAL lineage: each iteration otherwise nests
+    // the previous round's whole plan inside its InMemoryRelation, and
+    // analysis + cache-lookup canonicalization walk that growing tree every
+    // round (the classic iterative-DataFrame blowup — measured 25 s/round
+    // by round 5 on a 60-node graph). Wrapping the materialized cache's RDD
+    // in a fresh LogicalRDD leaf keeps every round's plan O(1) deep; the
+    // RDD still reads the persisted blocks, so nothing recomputes.
+    def frozen(df: DataFrame): DataFrame =
+      spark.createDataFrame(df.select(col("id"), col("lab")).rdd, labelSchema)
+
     // The union's two branches materialize concurrently into the cache in
     // the first job that touches `und` (per-partition cache locks stop
     // duplicate work), so the possibly-expensive edge pipeline costs one
     // wall-clock pass.
-    val und = edges.select(col("id1").as("a"), col("id2").as("b"))
-      .union(edges.select(col("id2").as("a"), col("id1").as("b")))
+    val und = edges.select(col("id1").cast("long").as("a"),
+        col("id2").cast("long").as("b"))
+      .union(edges.select(col("id2").cast("long").as("a"),
+        col("id1").cast("long").as("b")))
       .persist()
 
     // Fused init + round 1: with identity starting labels, the first
@@ -53,23 +68,34 @@ object Components {
     var cached = und.groupBy(col("b")).agg(min(col("a")).as("m"))
       .select(col("b").as("id"), least(col("b"), col("m")).as("lab"))
       .persist()
-    var labels = cached
+    var labels = frozen(cached)
     var round = 1
     var done = false
     while (!done && round < maxRounds) {
-      // min neighbor label per node, then fold into the node's own label
+      // min neighbor label per node, folded into the node's own label …
       val nbr = und.join(labels, und("a") === labels("id"))
         .select(col("b").as("id"), col("lab"))
         .groupBy(col("id")).agg(min(col("lab")).as("nbr_lab"))
-      val next = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"),
-          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"),
-          (coalesce(col("nbr_lab"), col("lab")) < col("lab")).as("chg"))
+      val stepped = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), col("lab").as("old_lab"),
+          least(col("lab"), coalesce(col("nbr_lab"), col("lab"))).as("lab"))
+      // … then the doubling step: follow the stepped label one hop through
+      // the PREVIOUS round's cached labels (a self-join on `stepped` would
+      // recompute the whole round twice — `labels` is already materialized).
+      // Labels are node ids of the same component, so the join always
+      // matches, and least(lab, jlab) <= lab <= old_lab — monotone.
+      val l2 = labels.select(col("id").as("jid"), col("lab").as("jlab"))
+      val next = stepped.join(l2, col("lab") === col("jid"))
+        .select(col("id"), least(col("lab"), col("jlab")).as("lab"),
+          (least(col("lab"), col("jlab")) < col("old_lab")).as("chg"))
         .persist()
-      done = next.filter(col("chg")).count() == 0
+      val changed = next.filter(col("chg")).count()
+      done = changed == 0
+      // the old cache backs the new one's materialized blocks only via the
+      // already-computed data; safe to release once `next` is materialized
       cached.unpersist(blocking = false)
       cached = next
-      labels = next.select(col("id"), col("lab"))
+      labels = frozen(next)
       round += 1
     }
     und.unpersist(blocking = false)

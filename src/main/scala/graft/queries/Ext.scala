@@ -85,9 +85,13 @@ object Ext {
     }),
 
     // X1b normalized dedup: key = sorted distinct token set (bag-of-words
-    // fingerprint) — catches shuffled/reordered duplicates.
+    // fingerprint) — catches shuffled/reordered duplicates. The groupBy key
+    // is the md5 of the canonical token string, not the string itself: the
+    // shuffle then carries 32 bytes per doc instead of the document's full
+    // vocabulary (both engines hash identically, so grouping is unchanged).
     "x2_normalized_dedup" -> ((s, d) => {
-      val key = concat_ws(" ", array_sort(array_distinct(TextOps.words(col("text")))))
+      val key = md5(concat_ws(" ",
+        array_sort(array_distinct(TextOps.words(col("text"))))).cast("binary"))
       documents(s, d)
         .groupBy(key.as("bow_key"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
@@ -376,7 +380,7 @@ object Ext {
     "x2_normalized_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents
-        |GROUP BY array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')
+        |GROUP BY md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
         |ORDER BY keep_id""".stripMargin,
 
     "x3_minhash_lsh" ->

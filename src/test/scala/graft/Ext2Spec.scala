@@ -44,6 +44,32 @@ class Ext2Spec extends AnyFunSuite {
     assert(a.forall { case (id, lab) => lab <= id && a(lab) == lab })
   }
 
+  test("components: equals brute-force union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 5) {
+      val n = 40 + rnd.nextInt(60)
+      val nodes = (0L until n.toLong)
+      val edges = Seq.fill(rnd.nextInt(n)) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2).distinct
+      // reference: plain union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        var r = x; while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      for ((a, b) <- edges) {
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = nodes.map(i => i -> find(i.toInt).toLong).toMap
+      val got = cc(nodes, edges, parts = 1 + rnd.nextInt(8))
+      assert(got === expected, s"trial=$trial n=$n edges=${edges.size}")
+    }
+  }
+
   test("shard pack: matches sequential prefix sum at any partitioning") {
     val rnd = new scala.util.Random(11)
     val rows = (0L until 500L).map(i => (i, 1L + rnd.nextInt(400).toLong))
