@@ -112,4 +112,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(0) == graft.ext.Multimodal.MediaMeta(10, "png", png.length, 16, 32))
     assert(out(1).format == "unknown")
   }
+
+  /** Stereo PCM16 WAV with an extra LIST chunk before `data` (exercises the
+    * chunk walk) carrying the given channel-0 samples; channel 1 is junk
+    * that must be skipped by the interleave stride. */
+  private def pcmWav(ch0: Seq[Int]): Array[Byte] = {
+    val data = ch0.flatMap(s =>
+      Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte, 0x55.toByte, 0x7f.toByte))
+    (Seq('R', 'I', 'F', 'F', 0, 0, 0, 0, 'W', 'A', 'V', 'E',
+      'f', 'm', 't', ' ', 16, 0, 0, 0, 1, 0, 2, 0,
+      0x44, 0xac, 0, 0, 0x10, 0xb1, 2, 0, 4, 0, 16, 0,
+      'L', 'I', 'S', 'T', 2, 0, 0, 0, 'x', 'y',
+      'd', 'a', 't', 'a',
+      data.length & 0xff, (data.length >> 8) & 0xff,
+      (data.length >> 16) & 0xff, (data.length >> 24) & 0xff)
+      .map(_.toByte) ++ data).toArray
+  }
+
+  test("wavWindowFeatures: REAL PCM window stats (rms/peak/zero crossings)") {
+    import graft.ext.Multimodal
+    // window 1: [3, -4] → rms = sqrt((9+16)/2), peak 4, 1 crossing
+    // window 2: [12]    → rms = 12, peak 12, 0 crossings
+    val out = Multimodal.wavWindowFeatures(1, pcmWav(Seq(3, -4, 12)), windowSamples = 2)
+    assert(out.map(w => (w.window_idx, w.n_samples, w.peak, w.zero_crossings)) ==
+      Seq((0, 2, 4, 1), (1, 1, 12, 0)))
+    assert(math.abs(out(0).rms - math.sqrt(12.5)) < 1e-12)
+    assert(out(1).rms == 12.0)
+    // non-WAV and compressed-format payloads yield no rows, never throw
+    assert(Multimodal.wavWindowFeatures(2, "not audio".getBytes, 2).isEmpty)
+    assert(Multimodal.wavWindowFeatures(3, null, 2).isEmpty)
+  }
+
+  test("audioFeatures operator: per-window rows in a Spark plan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((20L, pcmWav(1 to 5000)), (21L, "junk".getBytes.toSeq.toArray))
+      .toDF("doc_id", "payload")
+    val out = graft.ext.Multimodal.audioFeatures(df, windowSamples = 1024)
+      .collect().sortBy(w => (w.doc_id, w.window_idx))
+    assert(out.forall(_.doc_id == 20L))
+    assert(out.length == 5) // ceil(5000/1024)
+    assert(out.map(_.n_samples).sum == 5000)
+    assert(out.last.peak == 5000)
+  }
 }
