@@ -2,7 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, GraftColumnBridge => B}
 import org.apache.spark.sql.functions._
-import graft.functions.{GraftHash32, GraftMinHash8, GraftSimHash16, GraftSimHash48, SortedIntersectCard}
+import graft.functions.{GraftHash32, GraftMinHash8, GraftShingles3, GraftSimHash16, GraftSimHash48, SortedIntersectCard}
 
 /** Column-level primitives for the LLM-data-pipeline extension operators
   * (SURVEY §2.12): cross-engine-deterministic hashing, shingling, MinHash,
@@ -46,8 +46,15 @@ object TextOps {
   def words(text: Column): Column = split(text, " ")
 
   /** Distinct 3-word shingles (1-based positions, matching DuckDB list
-    * indexing); fewer than 3 tokens ⇒ empty set. */
+    * indexing); fewer than 3 tokens ⇒ empty set. Native one-pass
+    * expression (registry-free); [[shingles3Hof]] is the HOF twin kept for
+    * parity testing. */
   def shingles3(w: Column): Column =
+    B.column(GraftShingles3(B.expression(w)))
+
+  /** HOF formulation of [[shingles3]] — runs interpreted (array HOFs don't
+    * codegen); parity pinned in FunctionSpec. */
+  def shingles3Hof(w: Column): Column =
     when(size(w) >= 3,
       array_distinct(transform(sequence(lit(1), size(w) - 2), i =>
         concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))

@@ -26,6 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftMinHash8(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingles3"),
+      new ExpressionInfo(classOf[GraftShingles3].getName, "graft_shingles3"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftShingles3(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash16"),
       new ExpressionInfo(classOf[GraftSimHash16].getName, "graft_simhash16"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -124,6 +124,33 @@ case class GraftSimHash48(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** One-pass distinct 3-word shingling over array<string> (the first stage of
+  * the whole dedup family — x3/x4/x15/x17 all start here): value-equal to
+  * the HOF `array_distinct(transform(sequence(...), concat_ws))` twin but
+  * without the interpreted lambda dispatch, the materialized index array, or
+  * the two intermediate arrays. */
+case class GraftShingles3(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_shingles3"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingles3(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingles3($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingles3 =
+    copy(child = newChild)
+}
+
 /** Sequential-fold dot product over two array<double> columns, bit-identical
   * to the HOF `aggregate(zip_with(...))` form and the oracle's list_reduce
   * (same ascending-index IEEE operation order), minus the per-element boxing

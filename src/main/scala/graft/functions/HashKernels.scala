@@ -83,6 +83,27 @@ object HashKernels {
     fp
   }
 
+  private val Space = UTF8String.fromString(" ")
+
+  /** Distinct 3-word shingles in first-occurrence order — value-equal to
+    * `array_distinct(transform(sequence(1, n-2), i ->
+    * concat_ws(' ', w[i], w[i+1], w[i+2])))` and to DuckDB's
+    * `list_distinct(list_transform(...))`: fewer than 3 tokens ⇒ empty,
+    * null elements skipped by the join exactly like concat_ws. One pass,
+    * no boxed lambda dispatch, no per-position sequence array. */
+  def shingles3(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    def at(i: Int): UTF8String = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+    var i = 0
+    while (i + 2 < n) {
+      seen.add(UTF8String.concatWs(Space, at(i), at(i + 1), at(i + 2)))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+
   /** First 6 md5 bytes as unsigned 48-bit — the value of DuckDB's
     * `CAST(concat('0x', substr(md5(s),1,12)) AS BIGINT)`. The wider twin of
     * [[hash32]] for fingerprints where 16/32 bits collide too much. */

@@ -76,6 +76,30 @@ class FunctionSpec extends AnyFunSuite {
     assert(edge.getLong(0) == 0xFFFFL && edge.getLong(1) == 0xFFFFL)
   }
 
+  test("graft_shingles3 equals the HOF twin, including edge cases") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ext.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatch = docs
+      .select(split(col("text"), " ").as("w"))
+      .select(TextOps.shingles3(col("w")).as("native"),
+        TextOps.shingles3Hof(col("w")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatch == 0)
+    // <3 tokens ⇒ empty; repeats deduplicate in first-occurrence order
+    val edge = Seq(
+        Seq("a"), Seq("a", "b"), Seq.empty[String],
+        Seq("x", "y", "z", "x", "y", "z", "x"))
+      .toDF("w")
+      .select(TextOps.shingles3(col("w")).as("native"),
+        TextOps.shingles3Hof(col("w")).as("hof"))
+      .collect()
+    for (r <- edge) assert(r.getSeq[String](0) == r.getSeq[String](1))
+    assert(edge(3).getSeq[String](0) == Seq("x y z", "y z x", "z x y"))
+  }
+
   test("graft_simhash48 matches a HOF reconstruction; empty array parity") {
     val spark = TestSpark.spark
     import spark.implicits._
