@@ -1,0 +1,58 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ext.TextOps
+
+/** Streaming twins of the dedup/curation operators over a DOCUMENT stream
+  * (doc_id, ts, source, text) — the shapes an online ingestion pipeline
+  * runs while training data arrives, each with state bounded by a
+  * watermark (never O(all history)):
+  *
+  *   - exact-content dedup      = streaming x1 (key: md5 of the bytes)
+  *   - fingerprint dedup        = streaming x22 at Hamming 0 (key: the
+  *     48-bit SimHash — catches token-REORDERED repeats that the byte
+  *     hash misses, since the fingerprint is order-free)
+  *   - per-source token throughput = the monitoring aggregate behind x20's
+  *     shard budgeting (how many tokens/minute each source contributes)
+  *
+  * All three run the SAME expressions as their batch twins (TextOps), so
+  * batch backfill and the live stream cannot diverge.
+  */
+object DocStreams {
+
+  final case class Doc(doc_id: Long, ts: Timestamp, source: String, text: String)
+
+  /** Streaming exact-content dedup: drops byte-identical repeats within the
+    * watermark horizon; seen-key state evicts as event time advances. */
+  def dedupByContent(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("content_key", md5(col("text").cast("binary")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("content_key")
+
+  /** Streaming near-dup suppression at Hamming 0: key = the order-free
+    * 48-bit SimHash over the distinct token set, so shuffled/reordered
+    * near-copies collapse onto one key. Higher Hamming thresholds need the
+    * banded pair join (x22) over a windowed batch instead — pairwise
+    * verification is not expressible as a streaming key-dedup. */
+  def dedupByFingerprint(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("fp",
+        TextOps.simhash48(array_distinct(TextOps.words(col("text")))))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("fp")
+
+  /** Per-source tumbling-minute token throughput: partial-aggregable sum +
+    * count per (window, source); watermark closes windows for append
+    * emission. */
+  def tokenThroughput(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_tokens", size(TextOps.words(col("text"))))
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 minute"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .select(col("window.start").as("win_start"), col("source"),
+        col("n_docs"), col("n_tokens"))
+}

@@ -204,4 +204,79 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))) ==
       Seq((1L, 3L), (2L, 1L), (2L, 1L)))
   }
+
+  test("doc stream: fingerprint dedup drops token-reordered near-copies") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val input = MemoryStream[Doc](spark)
+    val q = DocStreams.dedupByFingerprint(input.toDF())
+      .writeStream.format("memory").queryName("doc_fp_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts(0, 10), "s0", "alpha beta gamma delta"),
+        Doc(2, ts(0, 20), "s0", "delta gamma beta alpha"), // reordered repeat
+        Doc(3, ts(0, 30), "s1", "totally different words here"))
+      q.processAllAvailable()
+      input.addData(
+        Doc(4, ts(1, 0), "s1", "beta alpha delta gamma")) // cross-batch repeat
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("doc_fp_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L)) // byte-hash dedup would have kept 2 and 4 too
+  }
+
+  test("doc stream: content dedup keeps reorderings that fingerprints drop") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val input = MemoryStream[Doc](spark)
+    val q = DocStreams.dedupByContent(input.toDF())
+      .writeStream.format("memory").queryName("doc_content_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts(0, 10), "s0", "alpha beta gamma delta"),
+        Doc(2, ts(0, 20), "s0", "alpha beta gamma delta"),  // exact repeat
+        Doc(3, ts(0, 30), "s0", "delta gamma beta alpha"))  // different bytes
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("doc_content_dedup").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L))
+  }
+
+  test("doc stream: per-source token throughput equals the batch aggregate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val docs = Seq(
+      Doc(1, ts(0, 10), "s0", "one two three"),
+      Doc(2, ts(0, 50), "s0", "four five"),
+      Doc(3, ts(0, 30), "s1", "six"),
+      Doc(4, ts(1, 10), "s0", "seven eight nine ten"))
+    val batch = DocStreams.tokenThroughput(docs.toDF())
+      .orderBy("win_start", "source").collect().toSeq
+    val input = MemoryStream[Doc](spark)
+    val q = DocStreams.tokenThroughput(input.toDF())
+      .writeStream.format("memory").queryName("doc_tput")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      input.addData(Doc(9, ts(30, 0), "s0", "advance the watermark"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("doc_tput")
+      .filter($"win_start" < ts(20, 0))
+      .orderBy("win_start", "source").collect().toSeq
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
+    assert(batch.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"))) ==
+      Seq(("s0", 5L), ("s1", 1L), ("s0", 4L)))
+  }
 }
