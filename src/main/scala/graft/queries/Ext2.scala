@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
-import graft.ext.{Components, ShardPack, Similarity, TextOps}
+import graft.ext.{Components, Quantile, ShardPack, Similarity, TextOps}
 import graft.queries.Ext.trunc6
 
 /** Round-3 LLM-data-pipeline additions (SURVEY §2.12 continued): the steps a
@@ -150,6 +150,27 @@ object Ext2 {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // X4h GLOBAL exact percentiles of the quality score: distributed
+    // nearest-rank selection (ext/Quantile — range sort + O(P) count
+    // exchange + one narrow extract job; never a single-partition window,
+    // never a driver-side sort). The per-group twin is a5_percentiles.
+    "x24_global_percentiles" -> ((s, d) => {
+      import s.implicits._
+      val scored = documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          size(filter(col("w"), x => x.isInCollection(stops))).as("n_stop"))
+        .select(col("doc_id"),
+          ((col("n_distinct").cast("double") / col("n_tokens")) -
+            (col("n_stop").cast("double") / col("n_tokens")) * 0.5).as("q"))
+      val (n, vs) = Quantile.nearestRank(scored, col("q"),
+        Seq(0.0, 0.5, 0.9, 0.99, 1.0))
+      Seq((n, vs(0), vs(1), vs(2), vs(3), vs(4)))
+        .toDF("n", "lo", "p50", "p90", "p99", "hi")
+    }),
+
     // X4g quality-percentile filter: x8's quality score, thresholded at each
     // source's nearest-rank p90 (a5's percentile_disc method — pure value
     // selection, zero interpolation arithmetic). Windows partition by
@@ -250,6 +271,21 @@ object Ext2 {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - 1) // 1000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x24_global_percentiles" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) -
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(w) * 0.5 AS q
+        |  FROM w),
+        |r AS (SELECT q, row_number() OVER (ORDER BY q) AS rn, count(*) OVER () AS n FROM s)
+        |SELECT max(n) AS n,
+        |  max(CASE WHEN rn = 1 THEN q END) AS lo,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.5) AS BIGINT) THEN q END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.9) AS BIGINT) THEN q END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(n * 0.99) AS BIGINT) THEN q END) AS p99,
+        |  max(CASE WHEN rn = n THEN q END) AS hi
+        |FROM r""".stripMargin,
 
     "x23_ivf_centroid_topk" -> {
       import graft.ext.IvfCentroids.{K, anchorSqlList}

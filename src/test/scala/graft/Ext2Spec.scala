@@ -86,6 +86,26 @@ class Ext2Spec extends AnyFunSuite {
     assert(out.sliding(2).forall { case Array(a, b) => b._4 - a._4 <= 1 && b._4 >= a._4 })
   }
 
+  test("quantile: distributed nearest-rank equals sorted-array selection") {
+    import graft.ext.Quantile
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(5)
+    for (parts <- Seq(1, 7, 16)) {
+      val xs = Seq.fill(997)(rnd.nextDouble() * 100 - 50) // odd n, dup-free-ish
+      val ps = Seq(0.0, 0.25, 0.5, 0.9, 0.99, 1.0)
+      val (n, got) = Quantile.nearestRank(
+        xs.toDF("v").repartition(parts), col("v"), ps)
+      val sorted = xs.sorted
+      val want = ps.map(p => sorted((math.max(1, math.ceil(p * xs.size).toLong) - 1).toInt))
+      assert(n == xs.size)
+      assert(got == want, s"parts=$parts")
+    }
+    // duplicates: selection is by rank over the sorted multiset
+    val dup = Seq(5.0, 1.0, 5.0, 5.0, 2.0)
+    val (n2, got2) = Quantile.nearestRank(dup.toDF("v"), col("v"), Seq(0.5, 1.0))
+    assert(n2 == 5 && got2 == Seq(5.0, 5.0))
+  }
+
   test("shard pack: exact-multiple boundary lands in the finished shard") {
     // cum 1000 is the last token of shard 0; cum 1001 opens shard 1
     val out = ShardPack.pack(
