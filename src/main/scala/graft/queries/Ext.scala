@@ -47,6 +47,14 @@ object Ext {
   private[queries] def trunc6(c: Column): Column =
     floor(c * 1e6).cast("double") / 1e6
 
+  /** [[docShingles]] plus the sorted md5-hashed shingle set `hs` — the
+    * verify-side representation (longs intersect via the native linear
+    * merge far faster than strings, and the oracle hashes identically).
+    * Shared by x4 (pair join) and x25 (decontamination, queries/Ext2). */
+  private[queries] def docShinglesHashed(df: DataFrame): DataFrame =
+    docShingles(df).withColumn("hs",
+      array_sort(array_distinct(transform(col("ss"), TextOps.hash32(_)))))
+
   /** MinHash-LSH banded candidate pairs verified by exact Jaccard ≥ minJac
     * over the shingle sets → (id1, id2, jaccard). Shared by x3 (pair
     * listing) and x17 (dedup-group clustering, queries/Ext2). The signature
@@ -112,12 +120,7 @@ object Ext {
     // and the final exact-Jaccard verify makes the output provably identical.
     "x4_ngram_jaccard" -> ((s, d) => {
       val t = 0.6
-      // hashed shingle sets kept SORTED so the verify join can use the
-      // native linear-merge intersection (graft_intersect_card)
-      val sh = docShingles(documents(s, d))
-        .withColumn("hs",
-          array_sort(array_distinct(transform(col("ss"), TextOps.hash32(_)))))
-        .persist()
+      val sh = docShinglesHashed(documents(s, d)).persist()
       val inv = sh.select(col("doc_id"), size(col("hs")).as("n"),
         explode(col("ss")).as("shingle"))
       val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))

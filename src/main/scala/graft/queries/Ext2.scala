@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
 import graft.ext.{Components, Quantile, ShardPack, Similarity, TextOps}
-import graft.queries.Ext.trunc6
+import graft.queries.Ext.{docShinglesHashed, trunc6}
 
 /** Round-3 LLM-data-pipeline additions (SURVEY §2.12 continued): the steps a
   * training-data pipeline runs AFTER pair finding — clustering near-dup
@@ -150,6 +150,43 @@ object Ext2 {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // X2g benchmark DECONTAMINATION: directional containment of each
+    // corpus doc against a benchmark set (here: doc_id % 100 == 0, the
+    // same held-out convention as the ANN queries) — containment =
+    // |shared shingles| / |benchmark shingles|, the asymmetric measure a
+    // training pipeline uses to drop eval-set leaks (Jaccard under-counts
+    // when the corpus doc is much longer than the benchmark item).
+    // Candidates come from an inverted index over the BENCHMARK side only
+    // (the small side — at 100 TB the benchmark is KBs-MBs, so the
+    // candidate join prunes the corpus by shared-shingle equality and the
+    // benchmark index broadcasts). Verify is the native sorted-merge
+    // intersection on md5-hashed shingle sets.
+    "x25_decontamination" -> ((s, d) => {
+      val t = 0.05 // the synthetic corpus has no heavy cross-split leaks; a
+                   // real deployment sets this near 0.8
+      val sh = docShinglesHashed(documents(s, d)).persist()
+      val bench = sh.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("bench_id"), col("hs").as("bench_hs"),
+          col("ss").as("bench_ss"))
+      val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+      val inv = bench.select(col("bench_id"),
+        explode(col("bench_ss")).as("shingle"))
+      val cand = corpus.select(col("doc_id"), explode(col("ss")).as("shingle"))
+        .join(inv, Seq("shingle"))
+        .select(col("doc_id"), col("bench_id"))
+        .distinct()
+      cand.join(corpus.select(col("doc_id"), col("hs")), Seq("doc_id"))
+        .join(bench.select(col("bench_id"), col("bench_hs")), Seq("bench_id"))
+        .select(col("doc_id"), col("bench_id"),
+          TextOps.intersectCard(col("hs"), col("bench_hs")).cast("int").as("inter"),
+          size(col("bench_hs")).as("nb"))
+        .filter(col("nb") > 0)
+        .select(col("doc_id"), col("bench_id"),
+          (col("inter").cast("double") / col("nb")).as("containment"))
+        .filter(col("containment") >= t)
+        .orderBy(col("doc_id"), col("bench_id"))
+    }),
+
     // X4h GLOBAL exact percentiles of the quality score: distributed
     // nearest-rank selection (ext/Quantile — range sort + O(P) count
     // exchange + one narrow extract job; never a single-partition window,
@@ -271,6 +308,23 @@ object Ext2 {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - 1) // 1000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the oracle verifies pairwise (bench side is 1% of docs — trivial
+    // single-node); the engine's inverted-index candidate pruning provably
+    // loses nothing: containment >= t with nb > 0 implies inter >= 1.
+    "x25_decontamination" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |hsets AS (SELECT doc_id, list_distinct(list_transform(ss,
+        |    s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT))) AS hs FROM sh),
+        |ver AS (SELECT c.doc_id AS doc_id, b.doc_id AS bench_id,
+        |    len(list_intersect(c.hs, b.hs)) AS inter, len(b.hs) AS nb
+        |  FROM hsets c JOIN hsets b ON c.doc_id % 100 <> 0 AND b.doc_id % 100 = 0)
+        |SELECT doc_id, bench_id, CAST(inter AS DOUBLE) / nb AS containment
+        |FROM ver WHERE nb > 0 AND CAST(inter AS DOUBLE) / nb >= 0.05
+        |ORDER BY doc_id, bench_id""".stripMargin,
 
     "x24_global_percentiles" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
