@@ -87,7 +87,48 @@ object PdfText {
     finally inf.end()
   }
 
-  /** Decode a stream per its /Filter: none → raw, FlateDecode → inflate,
+  /** Undo PNG row prediction (PDF 1.7 §7.4.4.4 via RFC 2083): streams
+    * written with /DecodeParms << /Predictor >= 10 /Columns c >> prepend a
+    * per-row filter-type byte and delta-encode each row — common on object
+    * and cross-reference streams in the wild. bpp is 1 here (PDF predictors
+    * run component-wise; object/xref streams use 8-bit columns). */
+  private[graft] def unpredictPng(data: Array[Byte], columns: Int): Array[Byte] = {
+    val stride = columns
+    val rows = data.length / (stride + 1)
+    val out = new Array[Byte](rows * stride)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (stride + 1)) & 0xff
+      val src = r * (stride + 1) + 1
+      val dst = r * stride
+      var i = 0
+      while (i < stride) {
+        val raw = data(src + i) & 0xff
+        val left = if (i > 0) out(dst + i - 1) & 0xff else 0
+        val up = if (r > 0) out(dst - stride + i) & 0xff else 0
+        val upLeft = if (r > 0 && i > 0) out(dst - stride + i - 1) & 0xff else 0
+        val recon = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + up
+          case 3 => raw + (left + up) / 2
+          case 4 => // Paeth
+            val p = left + up - upLeft
+            val (pa, pb, pc) =
+              (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => raw
+        }
+        out(dst + i) = (recon & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Decode a stream per its /Filter: none → raw, FlateDecode → inflate
+    * (with PNG-predictor post-pass when /DecodeParms asks for one),
     * anything else → unsupported (empty). */
   private def decodeStream(obj: PdfObj): Array[Byte] = obj.stream match {
     case None => Array.emptyByteArray
@@ -100,7 +141,15 @@ object PdfText {
       }
       filters match {
         case Nil => data
-        case List("FlateDecode") => inflate(data)
+        case List("FlateDecode") =>
+          val inflated = inflate(data)
+          val pred = """/Predictor\s+(\d+)""".r.findFirstMatchIn(obj.dict)
+            .map(_.group(1).toInt).getOrElse(1)
+          if (pred >= 10) {
+            val columns = """/Columns\s+(\d+)""".r.findFirstMatchIn(obj.dict)
+              .map(_.group(1).toInt).getOrElse(1)
+            unpredictPng(inflated, columns)
+          } else inflated // predictor 1/2 (none/TIFF-with-default-colors) = raw
         case _ => Array.emptyByteArray // unsupported codec: skip, never throw
       }
   }

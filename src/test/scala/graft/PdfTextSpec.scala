@@ -143,4 +143,39 @@ class PdfTextSpec extends AnyFunSuite {
       .orderBy("chunk_seq").collect().map(_.toSeq).toSeq
     assert(viaPdf == viaText)
   }
+
+  test("PNG predictor undo recovers rows under every filter type") {
+    // forward-encode with a chosen filter per row (RFC 2083), then undo
+    def encode(rows: Seq[Array[Int]], filters: Seq[Int]): Array[Byte] = {
+      val stride = rows.head.length
+      val out = Array.newBuilder[Byte]
+      for ((row, r) <- rows.zipWithIndex) {
+        val ft = filters(r)
+        out += ft.toByte
+        for (i <- 0 until stride) {
+          val left = if (i > 0) rows(r)(i - 1) else 0
+          val up = if (r > 0) rows(r - 1)(i) else 0
+          val upLeft = if (r > 0 && i > 0) rows(r - 1)(i - 1) else 0
+          val pred = ft match {
+            case 0 => 0
+            case 1 => left
+            case 2 => up
+            case 3 => (left + up) / 2
+            case 4 =>
+              val p = left + up - upLeft
+              val (pa, pb, pc) =
+                (math.abs(p - left), math.abs(p - up), math.abs(p - upLeft))
+              if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+          }
+          out += ((row(i) - pred) & 0xff).toByte
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(3)
+    val rows = Seq.fill(5)(Array.fill(7)(rnd.nextInt(256)))
+    val filters = Seq(0, 1, 2, 3, 4)
+    val got = PdfText.unpredictPng(encode(rows, filters), columns = 7)
+    assert(got.map(_ & 0xff).toSeq == rows.flatten.map(_ & 0xff))
+  }
 }
