@@ -150,6 +150,23 @@ object Ext2 {
         .orderBy(col("q_id"), col("rnk"))
     }),
 
+    // X6b approx quantiles: the sketch twin of x24 (exact global
+    // percentiles) — approx_percentile is a mergeable partial aggregate,
+    // the scale path when an epsilon-exact answer suffices. No SQL oracle
+    // (sketch internals differ across engines → rows-only driver check);
+    // the accuracy bound is spec-tested against the exact x24 machinery.
+    "x26_approx_quantiles" -> ((s, d) => {
+      lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("p50_approx"),
+          percentile_approx(col("l_extendedprice"), lit(0.9), lit(10000))
+            .as("p90_approx"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // X2g benchmark DECONTAMINATION: directional containment of each
     // corpus doc against a benchmark set (here: doc_id % 100 == 0, the
     // same held-out convention as the ANN queries) — containment =

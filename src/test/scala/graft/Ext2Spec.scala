@@ -106,6 +106,28 @@ class Ext2Spec extends AnyFunSuite {
     assert(n2 == 5 && got2 == Seq(5.0, 5.0))
   }
 
+  test("approx quantiles stay within rank tolerance of the exact selection") {
+    import graft.ext.Quantile
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      .select(col("l_extendedprice").as("v"))
+    val (n, exact) = Quantile.nearestRank(li, col("v"), Seq(0.5, 0.9))
+    val approx = li.agg(
+      percentile_approx(col("v"), lit(0.5), lit(10000)).as("a50"),
+      percentile_approx(col("v"), lit(0.9), lit(10000)).as("a90"))
+      .collect()(0)
+    // accuracy 10000 → rank error <= n/10000; translate to a value bound by
+    // checking the approx answer's true rank lands within the tolerance
+    val tol = math.max(2L, n / 10000 + 1)
+    for ((p, a) <- Seq((0.5, approx.getDouble(0)), (0.9, approx.getDouble(1)))) {
+      val targetRank = math.ceil(p * n).toLong
+      val trueRank = li.filter(col("v") <= a).count()
+      assert(math.abs(trueRank - targetRank) <= tol,
+        s"p=$p approx=$a rank=$trueRank target=$targetRank n=$n")
+    }
+    assert(exact.length == 2)
+  }
+
   test("shard pack: exact-multiple boundary lands in the finished shard") {
     // cum 1000 is the last token of shard 0; cum 1001 opens shard 1
     val out = ShardPack.pack(
