@@ -215,24 +215,29 @@ object Fields {
       block("Remark", remarkBlock))
     val details = uTrim(regexp_replace(detailsJoined, "[\\n\\r]", " "))
 
+    // two projection stages, not a 16-deep withColumn chain: every
+    // withColumn call analyzes the whole (growing) plan, which dominated
+    // the flagship's driver-side time; no derived column references
+    // another, so one withColumns map after the `info` stage suffices
     entities
       .withColumn("info", info)
-      .withColumn("full_name", coalesce(col("info.selected"), lit("UNKNOWN")))
-      .withColumn("flag_name_missing", col("info.selected").isNull)
-      .withColumn("CATEGORY", category)
-      .withColumn("flag_category_missing", flagCategory)
-      .withColumn("GENDER",
-        Normalize.genderCascade(col("info.xmlGender"), col("info.selected")))
-      .withColumn("DOB", dob)
-      .withColumn("ADD_CITY", addCity)
-      .withColumn("ADD_COUNTRY", addCountry)
-      .withColumn("STATE", state)
-      .withColumn("NATIONALITIES", nationalities)
-      .withColumn("ADDRESS", address)
-      .withColumn("DETAILS", details)
-      .withColumn("ALIAS", array_join(col("info.aliases"), "; "))
-      .withColumn("REM1", rem1)
-      .withColumn("candidates", col("info.candidates"))
+      .withColumns(Map(
+        "full_name" -> coalesce(col("info.selected"), lit("UNKNOWN")),
+        "flag_name_missing" -> col("info.selected").isNull,
+        "CATEGORY" -> category,
+        "flag_category_missing" -> flagCategory,
+        "GENDER" ->
+          Normalize.genderCascade(col("info.xmlGender"), col("info.selected")),
+        "DOB" -> dob,
+        "ADD_CITY" -> addCity,
+        "ADD_COUNTRY" -> addCountry,
+        "STATE" -> state,
+        "NATIONALITIES" -> nationalities,
+        "ADDRESS" -> address,
+        "DETAILS" -> details,
+        "ALIAS" -> array_join(col("info.aliases"), "; "),
+        "REM1" -> rem1,
+        "candidates" -> col("info.candidates")))
       .select("entity_seq", "full_name", "flag_name_missing", "CATEGORY",
         "flag_category_missing", "GENDER", "DOB", "ADD_CITY", "ADD_COUNTRY",
         "STATE", "NATIONALITIES", "ADDRESS", "DETAILS", "ALIAS", "REM1",
