@@ -204,6 +204,37 @@ object Ext2 {
         .orderBy(col("doc_id"), col("bench_id"))
     }),
 
+    // X3e MULTI-PROBE LSH ANN: x16's sign-code bucketing, but each query
+    // also probes its P one-bit-neighbor codes (the standard recall lever —
+    // a near neighbor that fell one hyperplane to the other side is still
+    // found). Candidates from the 1+P probes union by bucket equality, then
+    // exact cosine re-ranks; plan stays an equi join at any corpus size.
+    "x27_lsh_multiprobe" -> ((s, d) => {
+      import graft.ext.Lsh
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
+        .withColumn("bucket",
+          (0 until Lsh.Planes).map(p =>
+            when(Similarity.dot(col("v"), typedLit(Lsh.signs(p))) > 0,
+              lit(1 << p)).otherwise(lit(0))).reduce(_ + _))
+      val probes = array(Seq(col("bucket")) ++
+        (0 until Lsh.Planes).map(p => col("bucket").bitwiseXOR(lit(1 << p))): _*)
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), explode(probes).as("probe"),
+          col("v").as("qv"), col("nv").as("qnv"))
+      val cos6 = trunc6(
+        Similarity.dot(col("qv"), col("v")) / sqrt(col("qnv") * col("nv")))
+      q.join(e, col("probe") === col("bucket") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
+        .distinct() // a neighbor can surface via several probes
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos6"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
     // X4h GLOBAL exact percentiles of the quality score: distributed
     // nearest-rank selection (ext/Quantile — range sort + O(P) count
     // exchange + one narrow extract job; never a single-partition window,
@@ -325,6 +356,31 @@ object Ext2 {
         |SELECT doc_id, n_tokens, cum_tokens,
         |  CAST((cum_tokens - 1) // 1000 AS BIGINT) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "x27_lsh_multiprobe" -> {
+      import graft.ext.Lsh
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
+      val planeCols = (0 until Lsh.Planes)
+        .map(p => s"${Lsh.planeSqlList(p)} AS s$p").mkString(",\n|  ")
+      val bucket = (0 until Lsh.Planes)
+        .map(p => s"(CASE WHEN ${dot("v", s"s$p")} > 0 THEN ${1 << p} ELSE 0 END)")
+        .mkString(" + ")
+      val probeList = (Seq("q_bucket") ++
+        (0 until Lsh.Planes).map(p => s"xor(q_bucket, ${1 << p})")).mkString("[", ", ", "]")
+      s"""WITH planes AS (SELECT
+        |  $planeCols),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |eb AS (SELECT vec_id, v, $bucket AS bucket FROM e, planes),
+        |q AS (SELECT vec_id AS q_id, bucket AS q_bucket, v AS qv FROM eb WHERE vec_id % 100 = 0),
+        |qp AS (SELECT q_id, qv, unnest($probeList) AS probe FROM q),
+        |p AS (SELECT DISTINCT q_id, vec_id AS n_id,
+        |  CAST(floor((${dot("qv", "v")}/sqrt(${dot("qv", "qv")}*${dot("v", "v")}))*1e6) AS DOUBLE)/1e6 AS cos6
+        |  FROM qp JOIN eb ON probe = bucket AND vec_id <> q_id),
+        |r AS (SELECT q_id, n_id, cos6,
+        |  row_number() OVER (PARTITION BY q_id ORDER BY cos6 DESC, n_id) AS rnk FROM p)
+        |SELECT q_id, n_id, rnk, cos6 FROM r WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin
+    },
 
     // the oracle verifies pairwise (bench side is 1% of docs — trivial
     // single-node); the engine's inverted-index candidate pruning provably

@@ -116,6 +116,22 @@ class PlanSpec extends AnyFunSuite {
       "corpus must be pruned by the Voronoi cell, not scanned pairwise")
   }
 
+  test("x25 decontamination: candidates by shingle equality, no cartesian") {
+    val p = plan("x25_decontamination")
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"candidate join should be equi on the shared shingle:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "corpus x benchmark must never be an all-pairs scan")
+  }
+
+  test("x27 multi-probe LSH: probe join is equi on the bucket code") {
+    val p = plan("x27_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"),
+      s"probe join should be an equi join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "multi-probe must stay bucket-pruned, not pairwise")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
