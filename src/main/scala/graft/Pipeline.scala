@@ -50,6 +50,9 @@ object Pipeline {
     // materialize the persist and learn the feed size in one cheap job —
     // every branch below reuses the cached frame, and the size routes the
     // fill through its local-vs-distributed switch without a probe scan
+    // (the fill input is row-for-row the enriched frame: the candidates
+    // join is 1:1 on entity_seq — Rem2Join.probe emits exactly one
+    // priority-picked row per entity — so this count IS the fill size)
     val feedRows = enriched.count()
     val index = PdfIndex.build(PdfChunks.chunks(pdfTexts))
     val candidates =

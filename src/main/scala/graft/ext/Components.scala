@@ -99,9 +99,17 @@ object Components {
       round += 1
     }
     und.unpersist(blocking = false)
-    // singletons (no edges) resolve to themselves without ever iterating
-    nodes.select(col("id"))
+    // singletons (no edges) resolve to themselves without ever iterating.
+    // Materialize the result, then release the final round's label cache —
+    // the same persist hygiene as ChainFill: nothing this function pinned
+    // outlives the call (the result's own persist is a Dataset cache the
+    // session's clearCache can free).
+    val outDf = nodes.select(col("id"))
       .join(labels.withColumnRenamed("lab", "cluster_id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
+      .persist()
+    outDf.count()
+    cached.unpersist(blocking = false)
+    outDf
   }
 }

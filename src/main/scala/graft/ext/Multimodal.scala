@@ -108,20 +108,31 @@ object Multimodal {
     val b = if (bytes == null) Array.emptyByteArray else bytes
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return Nil
-    val audioFormat = le16(b, 20)
-    val channels = math.max(1, le16(b, 22))
-    if (audioFormat != 1 || le16(b, 34) != 16) return Nil // PCM16 only
-    // chunk walk to `data` (fmt may be followed by LIST/fact/cue chunks)
+    // chunk-walk to BOTH fmt and data (either may be preceded by LIST/fact/
+    // cue chunks; fixed offsets 20/22/34 only hold for the canonical
+    // layout). Chunk lengths are untrusted: a negative/huge 32-bit length
+    // (corrupt or adversarial) must end the walk, not spin it or index out
+    // of bounds — the contract is garbage ⇒ no rows, never a throw.
     var i = 12
     var dataStart = -1; var dataLen = 0
-    while (i + 8 <= b.length && dataStart < 0) {
+    var fmtAt = -1
+    while (i + 8 <= b.length && (dataStart < 0 || fmtAt < 0)) {
       val chunkLen = le32(b, i + 4)
+      if (chunkLen < 0 || chunkLen > b.length) return Nil // corrupt length
       if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
         dataStart = i + 8
         dataLen = math.min(chunkLen, b.length - dataStart)
-      } else i += 8 + chunkLen + (chunkLen & 1) // chunks are word-aligned
+        i += 8 + chunkLen + (chunkLen & 1)
+      } else {
+        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
+          fmtAt = i + 8
+        i += 8 + chunkLen + (chunkLen & 1) // chunks are word-aligned
+      }
     }
-    if (dataStart < 0) return Nil
+    if (dataStart < 0 || fmtAt < 0 || fmtAt + 16 > b.length) return Nil
+    val audioFormat = le16(b, fmtAt)
+    val channels = math.max(1, le16(b, fmtAt + 2))
+    if (audioFormat != 1 || le16(b, fmtAt + 14) != 16) return Nil // PCM16 only
     val stride = 2 * channels // channel 0 of each interleaved frame
     val nFrames = dataLen / stride
     val out = Seq.newBuilder[AudioWindow]

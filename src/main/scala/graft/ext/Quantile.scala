@@ -22,7 +22,12 @@ object Quantile {
     val sorted = df.select(value.cast("double").as("v"))
       .repartitionByRange(org.apache.spark.sql.functions.col("v"))
       .sortWithinPartitions("v")
+    // persist across the two jobs: they share the shuffle map output
+    // regardless (same RDD object), but the post-shuffle local sort would
+    // otherwise re-run in the extract job; both jobs complete inside this
+    // call, so the persist is released before returning
     val rdd = sorted.rdd.map(_.getDouble(0))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
       Iterator.single((pid, it.size.toLong))
     }.collect().sortBy(_._1).map(_._2)
@@ -56,6 +61,7 @@ object Quantile {
           out.result().iterator
       }
     }.collect().sortBy(_._1).map(_._2)
+    rdd.unpersist(blocking = false)
     (n, picked.toSeq)
   }
 }

@@ -16,8 +16,10 @@ import org.apache.spark.sql.types._
   * enrich/BoundaryFill: range-sort on the id, one O(P) job collecting
   * per-partition token totals, driver-side exclusive scan over P longs, then
   * a narrow map adds each partition's offset to its local running sum. The
-  * sort shuffle is written once and reused by both jobs (same RDD object),
-  * and only P longs ever cross the driver.
+  * sort shuffle's MAP output is written once and reused by both jobs (same
+  * RDD object; the post-shuffle local sort re-runs in the output job — a
+  * caller that persists the result avoids even that, and the totals pass
+  * is sum-only), and only P longs ever cross the driver.
   */
 object ShardPack {
 
@@ -40,7 +42,8 @@ object ShardPack {
     val offB = spark.sparkContext.broadcast(offsets)
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = offB.value(pid)
-      it.map { case (id, v) => run += v; Row(id, v, run, (run - 1) / budget) }
+      it.map { case (id, v) =>
+        run += v; Row(id, v, run, Math.floorDiv(run - 1, budget)) }
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

@@ -48,9 +48,12 @@ object TextOps {
   /** Distinct 3-word shingles (1-based positions, matching DuckDB list
     * indexing); fewer than 3 tokens ⇒ empty set. Native one-pass
     * expression (registry-free); [[shingles3Hof]] is the HOF twin kept for
-    * parity testing. */
+    * parity testing. The coalesce pins NULL-input behavior to the HOF/
+    * oracle contract (null token array ⇒ empty set, not NULL — the
+    * CASE/WHEN twins never produce NULL). */
   def shingles3(w: Column): Column =
-    B.column(GraftShingles3(B.expression(w)))
+    coalesce(B.column(GraftShingles3(B.expression(w))),
+      typedLit(Seq.empty[String]))
 
   /** HOF formulation of [[shingles3]] — runs interpreted (array HOFs don't
     * codegen); parity pinned in FunctionSpec. */

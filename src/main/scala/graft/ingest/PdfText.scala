@@ -127,9 +127,27 @@ object PdfText {
     out
   }
 
+  /** Undo TIFF horizontal differencing (/Predictor 2, 8-bit components):
+    * each byte is stored as a delta from its left neighbor within the row —
+    * the undo is a per-row cumulative sum. */
+  private[graft] def unpredictTiff(data: Array[Byte], columns: Int): Array[Byte] = {
+    val out = data.clone()
+    var r = 0
+    while (r * columns < out.length) {
+      val base = r * columns
+      var i = 1
+      while (i < columns && base + i < out.length) {
+        out(base + i) = ((out(base + i) + out(base + i - 1)) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
+
   /** Decode a stream per its /Filter: none → raw, FlateDecode → inflate
-    * (with PNG-predictor post-pass when /DecodeParms asks for one),
-    * anything else → unsupported (empty). */
+    * (with PNG- or TIFF-predictor post-pass when /DecodeParms asks for
+    * one), anything else → unsupported (empty). */
   private def decodeStream(obj: PdfObj): Array[Byte] = obj.stream match {
     case None => Array.emptyByteArray
     case Some(data) =>
@@ -145,11 +163,11 @@ object PdfText {
           val inflated = inflate(data)
           val pred = """/Predictor\s+(\d+)""".r.findFirstMatchIn(obj.dict)
             .map(_.group(1).toInt).getOrElse(1)
-          if (pred >= 10) {
-            val columns = """/Columns\s+(\d+)""".r.findFirstMatchIn(obj.dict)
-              .map(_.group(1).toInt).getOrElse(1)
-            unpredictPng(inflated, columns)
-          } else inflated // predictor 1/2 (none/TIFF-with-default-colors) = raw
+          def columns = """/Columns\s+(\d+)""".r.findFirstMatchIn(obj.dict)
+            .map(_.group(1).toInt).getOrElse(1)
+          if (pred >= 10) unpredictPng(inflated, columns)
+          else if (pred == 2) unpredictTiff(inflated, columns)
+          else inflated // predictor 1 = no prediction
         case _ => Array.emptyByteArray // unsupported codec: skip, never throw
       }
   }

@@ -183,13 +183,17 @@ object Ext2 {
                    // real deployment sets this near 0.8
       val sh = docShinglesHashed(documents(s, d)).persist()
       val bench = sh.filter(col("doc_id") % 100 === 0)
-        .select(col("doc_id").as("bench_id"), col("hs").as("bench_hs"),
-          col("ss").as("bench_ss"))
+        .select(col("doc_id").as("bench_id"), col("hs").as("bench_hs"))
       val corpus = sh.filter(col("doc_id") % 100 =!= 0)
+      // index the HASHED shingles (hs), not the strings: verification (and
+      // the oracle) intersect hashed sets, so candidate generation must use
+      // the same key space — a 32-bit collision that contributes to `inter`
+      // must also be able to produce the candidate, or engine and oracle
+      // could disagree on threshold-edge pairs
       val inv = bench.select(col("bench_id"),
-        explode(col("bench_ss")).as("shingle"))
-      val cand = corpus.select(col("doc_id"), explode(col("ss")).as("shingle"))
-        .join(inv, Seq("shingle"))
+        explode(col("bench_hs")).as("sh32"))
+      val cand = corpus.select(col("doc_id"), explode(col("hs")).as("sh32"))
+        .join(inv, Seq("sh32"))
         .select(col("doc_id"), col("bench_id"))
         .distinct()
       cand.join(corpus.select(col("doc_id"), col("hs")), Seq("doc_id"))
@@ -239,6 +243,10 @@ object Ext2 {
     // nearest-rank selection (ext/Quantile — range sort + O(P) count
     // exchange + one narrow extract job; never a single-partition window,
     // never a driver-side sort). The per-group twin is a5_percentiles.
+    // NOTE: unlike the rest of the catalog this constructor EXECUTES the
+    // selection jobs (scalar results are inherently actions) and returns
+    // the scalars as a local 1-row frame — callers that only want the plan
+    // should skip this entry.
     "x24_global_percentiles" -> ((s, d) => {
       import s.implicits._
       val scored = documents(s, d)

@@ -88,16 +88,18 @@ class FunctionSpec extends AnyFunSuite {
       .filter(not(col("native") <=> col("hof")))
       .count()
     assert(mismatch == 0)
-    // <3 tokens ⇒ empty; repeats deduplicate in first-occurrence order
+    // <3 tokens ⇒ empty; NULL input ⇒ empty (HOF/oracle CASE contract);
+    // repeats deduplicate in first-occurrence order
     val edge = Seq(
-        Seq("a"), Seq("a", "b"), Seq.empty[String],
+        Seq("a"), Seq("a", "b"), Seq.empty[String], null,
         Seq("x", "y", "z", "x", "y", "z", "x"))
       .toDF("w")
       .select(TextOps.shingles3(col("w")).as("native"),
         TextOps.shingles3Hof(col("w")).as("hof"))
       .collect()
     for (r <- edge) assert(r.getSeq[String](0) == r.getSeq[String](1))
-    assert(edge(3).getSeq[String](0) == Seq("x y z", "y z x", "z x y"))
+    assert(edge(3).getSeq[String](0) == Seq.empty) // null input ⇒ empty set
+    assert(edge(4).getSeq[String](0) == Seq("x y z", "y z x", "z x y"))
   }
 
   test("graft_simhash48 matches a HOF reconstruction; empty array parity") {

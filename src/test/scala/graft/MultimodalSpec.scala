@@ -141,6 +141,11 @@ class MultimodalSpec extends AnyFunSuite {
     // non-WAV and compressed-format payloads yield no rows, never throw
     assert(Multimodal.wavWindowFeatures(2, "not audio".getBytes, 2).isEmpty)
     assert(Multimodal.wavWindowFeatures(3, null, 2).isEmpty)
+    // corrupt chunk lengths (negative / past EOF) end the walk, no hang
+    val corrupt = pcmWav(Seq(1, 2, 3))
+    corrupt(40) = 0xf8.toByte; corrupt(41) = 0xff.toByte // LIST len -> huge
+    corrupt(42) = 0xff.toByte; corrupt(43) = 0xff.toByte
+    assert(Multimodal.wavWindowFeatures(4, corrupt, 2).isEmpty)
   }
 
   test("audioFeatures operator: per-window rows in a Spark plan") {

@@ -178,4 +178,15 @@ class PdfTextSpec extends AnyFunSuite {
     val got = PdfText.unpredictPng(encode(rows, filters), columns = 7)
     assert(got.map(_ & 0xff).toSeq == rows.flatten.map(_ & 0xff))
   }
+
+  test("TIFF predictor-2 undo recovers horizontally-differenced rows") {
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(4)(Array.fill(6)(rnd.nextInt(256)))
+    val diffed = rows.flatMap { row =>
+      row.zipWithIndex.map { case (v, i) =>
+        ((v - (if (i > 0) row(i - 1) else 0)) & 0xff).toByte }
+    }.toArray
+    val got = PdfText.unpredictTiff(diffed, columns = 6)
+    assert(got.map(_ & 0xff).toSeq == rows.flatten.map(_ & 0xff))
+  }
 }
