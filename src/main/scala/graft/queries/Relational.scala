@@ -211,6 +211,22 @@ object Relational {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus"))
+    }),
+
+    // CUBE: every grouping-set combination (rollup's superset) — same
+    // partial-aggregable expand+hash shape, decimal sums for determinism.
+    "g3_cube" -> ((s, d) => {
+      lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus"))
     })
   )
 
@@ -327,6 +343,16 @@ object Relational {
         |  GROUPING(l_returnflag) AS g_rf,
         |  GROUPING(l_linestatus) AS g_ls
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+
+    "g3_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  GROUPING(l_returnflag) AS g_rf,
+        |  GROUPING(l_linestatus) AS g_ls
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin
   )
 }

@@ -109,6 +109,34 @@ object Windows {
         .orderBy(col("o_orderkey"))
     }),
 
+    // RANGE frames (vs w6's ROW frames): peers by ORDER-BY VALUE share the
+    // frame, so ties aggregate together — the semantic difference from ROWS.
+    // Decimal accumulation keeps the running sums bit-exact cross-engine.
+    "w7_range_frames" -> ((s, d) => {
+      val byDate = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice").cast("decimal(18,2)").as("p"))
+        .select(col("o_orderkey"),
+          sum(col("p")).over(byDate).cast("double").as("run_sum_range"),
+          count(lit(1)).over(byDate).as("n_peers_through"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Distribution functions: percent_rank ((rank-1)/(n-1)) and cume_dist
+    // (rows<=current / n) — both exact-integer ratios, IEEE-deterministic.
+    "w8_dist_family" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      orders(s, d)
+        .select(col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(10).over(w).as("decile"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Frame aggregates: running total + trailing-4 moving window, per user in
     // event-time order. Decimal accumulation ⇒ order-independent exactness.
     "w6_running_frames" -> ((s, d) => {
@@ -145,6 +173,27 @@ object Windows {
         |  max(CASE WHEN rn = CAST(ceil(n*0.99) AS BIGINT) THEN o_totalprice END) AS p99,
         |  max(o_totalprice) AS hi
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "w7_range_frames" ->
+      """SELECT o_orderkey,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS run_sum_range,
+        |  count(*) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_peers_through
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "w8_dist_family" ->
+      """SELECT o_orderkey,
+        |  percent_rank() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS pr,
+        |  cume_dist() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS cd,
+        |  ntile(10) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice, o_orderkey) AS decile
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "a4_salted_agg" ->
       """SELECT l_returnflag,
