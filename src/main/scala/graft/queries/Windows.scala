@@ -109,6 +109,23 @@ object Windows {
         .orderBy(col("o_orderkey"))
     }),
 
+    // IGNORE NULLS first/last over a keyed frame — the per-key twin of the
+    // reference's fill semantics (w1 runs the GLOBAL-order version through
+    // the boundary-exchange plan; this one is an ordinary keyed window).
+    "w9_ignore_nulls" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fwd = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          when(col("value") >= 100, col("event_type")).as("cand"))
+        .select(col("event_id"),
+          last(col("cand"), ignoreNulls = true).over(w).as("prev_fill"),
+          first(col("cand"), ignoreNulls = true).over(fwd).as("next_fill"))
+        .orderBy(col("event_id"))
+    }),
+
     // RANGE frames (vs w6's ROW frames): peers by ORDER-BY VALUE share the
     // frame, so ties aggregate together — the semantic difference from ROWS.
     // Decimal accumulation keeps the running sums bit-exact cross-engine.
@@ -173,6 +190,22 @@ object Windows {
         |  max(CASE WHEN rn = CAST(ceil(n*0.99) AS BIGINT) THEN o_totalprice END) AS p99,
         |  max(o_totalprice) AS hi
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    // (DuckDB reads the TIMESTAMP_NS column as `ts` at full precision, so
+    // ordering by ts there == ordering by ts_ns here)
+    "w9_ignore_nulls" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts,
+        |    CASE WHEN value >= 100 THEN event_type END AS cand
+        |  FROM events)
+        |SELECT event_id,
+        |  last_value(cand IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_fill,
+        |  first_value(cand IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_fill
+        |FROM base ORDER BY event_id""".stripMargin,
 
     "w7_range_frames" ->
       """SELECT o_orderkey,
