@@ -105,6 +105,7 @@ object Multimodal {
     * libraries, and those payloads return no rows rather than throwing. */
   def wavWindowFeatures(id: Long, bytes: Array[Byte],
       windowSamples: Int): Seq[AudioWindow] = {
+    require(windowSamples > 0, "windowSamples must be positive")
     val b = if (bytes == null) Array.emptyByteArray else bytes
     if (b.length < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
         b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return Nil
@@ -113,21 +114,19 @@ object Multimodal {
     // layout). Chunk lengths are untrusted: a negative/huge 32-bit length
     // (corrupt or adversarial) must end the walk, not spin it or index out
     // of bounds — the contract is garbage ⇒ no rows, never a throw.
-    var i = 12
+    var li = 12L // Long cursor: summed 31-bit chunk lengths may pass Int.Max
     var dataStart = -1; var dataLen = 0
     var fmtAt = -1
-    while (i + 8 <= b.length && (dataStart < 0 || fmtAt < 0)) {
+    while (li + 8 <= b.length && (dataStart < 0 || fmtAt < 0)) {
+      val i = li.toInt
       val chunkLen = le32(b, i + 4)
       if (chunkLen < 0 || chunkLen > b.length) return Nil // corrupt length
       if (b(i) == 'd' && b(i + 1) == 'a' && b(i + 2) == 't' && b(i + 3) == 'a') {
         dataStart = i + 8
         dataLen = math.min(chunkLen, b.length - dataStart)
-        i += 8 + chunkLen + (chunkLen & 1)
-      } else {
-        if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
-          fmtAt = i + 8
-        i += 8 + chunkLen + (chunkLen & 1) // chunks are word-aligned
-      }
+      } else if (b(i) == 'f' && b(i + 1) == 'm' && b(i + 2) == 't' && b(i + 3) == ' ')
+        fmtAt = i + 8
+      li += 8L + chunkLen + (chunkLen & 1) // chunks are word-aligned
     }
     if (dataStart < 0 || fmtAt < 0 || fmtAt + 16 > b.length) return Nil
     val audioFormat = le16(b, fmtAt)

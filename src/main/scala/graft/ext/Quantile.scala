@@ -19,7 +19,10 @@ object Quantile {
   /** Nearest-rank values (1-based rank = ceil(p·n)) of `value` for each of
     * `ps`; also returns n. Ties/duplicates are fine (pure selection). */
   def nearestRank(df: DataFrame, value: Column, ps: Seq[Double]): (Long, Seq[Double]) = {
+    // nulls are excluded, matching SQL aggregate/percentile semantics (a
+    // null would otherwise NPE in the primitive-double extraction below)
     val sorted = df.select(value.cast("double").as("v"))
+      .filter(org.apache.spark.sql.functions.col("v").isNotNull)
       .repartitionByRange(org.apache.spark.sql.functions.col("v"))
       .sortWithinPartitions("v")
     // persist across the two jobs: they share the shuffle map output

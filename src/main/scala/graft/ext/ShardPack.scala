@@ -43,7 +43,9 @@ object ShardPack {
     val out = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = offB.value(pid)
       it.map { case (id, v) =>
-        run += v; Row(id, v, run, Math.floorDiv(run - 1, budget)) }
+        // max(0, …): leading zero-token docs (cum still 0) belong in shard
+        // 0, not floor((-1)/budget) = -1
+        run += v; Row(id, v, run, math.max(0L, Math.floorDiv(run - 1, budget))) }
     }
     val schema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),

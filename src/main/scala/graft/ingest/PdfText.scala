@@ -161,10 +161,12 @@ object PdfText {
         case Nil => data
         case List("FlateDecode") =>
           val inflated = inflate(data)
+          // toIntOption: an absurd numeral in a corrupt dict must fall back
+          // to "no prediction", never throw out of the skip-don't-throw path
           val pred = """/Predictor\s+(\d+)""".r.findFirstMatchIn(obj.dict)
-            .map(_.group(1).toInt).getOrElse(1)
+            .flatMap(_.group(1).toIntOption).getOrElse(1)
           def columns = """/Columns\s+(\d+)""".r.findFirstMatchIn(obj.dict)
-            .map(_.group(1).toInt).getOrElse(1)
+            .flatMap(_.group(1).toIntOption).filter(_ > 0).getOrElse(1)
           if (pred >= 10) unpredictPng(inflated, columns)
           else if (pred == 2) unpredictTiff(inflated, columns)
           else inflated // predictor 1 = no prediction

@@ -26,6 +26,8 @@ object Ext2 {
     // into connected components by distributed min-label propagation
     // (ext/Components) — pairs → transitive dedup groups → stable cluster id
     // (= min doc_id), plus the group size. Isolated docs are singletons.
+    // NOTE: like x24, this constructor EXECUTES work (the propagation loop
+    // is inherently iterative actions); plan-only callers should skip it.
     "x17_dedup_groups" -> ((s, d) => {
       val pairs = Ext.lshVerifiedPairs(s, d, 0.5).select(col("id1"), col("id2"))
       val nodes = documents(s, d).select(col("doc_id").as("id"))
@@ -243,10 +245,10 @@ object Ext2 {
     // nearest-rank selection (ext/Quantile — range sort + O(P) count
     // exchange + one narrow extract job; never a single-partition window,
     // never a driver-side sort). The per-group twin is a5_percentiles.
-    // NOTE: unlike the rest of the catalog this constructor EXECUTES the
-    // selection jobs (scalar results are inherently actions) and returns
-    // the scalars as a local 1-row frame — callers that only want the plan
-    // should skip this entry.
+    // NOTE: this constructor EXECUTES the selection jobs (scalar results
+    // are inherently actions) and returns the scalars as a local 1-row
+    // frame — plan-only callers should skip it (x17 is the other eager
+    // entry; everything else returns an unexecuted plan).
     "x24_global_percentiles" -> ((s, d) => {
       import s.implicits._
       val scored = documents(s, d)

@@ -104,6 +104,19 @@ class Ext2Spec extends AnyFunSuite {
     val dup = Seq(5.0, 1.0, 5.0, 5.0, 2.0)
     val (n2, got2) = Quantile.nearestRank(dup.toDF("v"), col("v"), Seq(0.5, 1.0))
     assert(n2 == 5 && got2 == Seq(5.0, 5.0))
+    // nulls are excluded (SQL percentile semantics), not NPE'd on
+    val withNulls = Seq[Option[Double]](Some(3.0), None, Some(1.0), None, Some(2.0))
+    val (n3, got3) = Quantile.nearestRank(withNulls.toDF("v"), col("v"), Seq(1.0))
+    assert(n3 == 3 && got3 == Seq(3.0))
+  }
+
+  test("shard pack: leading zero-token docs land in shard 0, never -1") {
+    import org.apache.spark.sql.functions.col
+    val out = ShardPack.pack(
+        Seq((1L, 0L), (2L, 0L), (3L, 5L)).toDF("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 10L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 0L), (2L, 0L), (3L, 0L)))
   }
 
   test("approx quantiles stay within rank tolerance of the exact selection") {
