@@ -132,6 +132,20 @@ class PlanSpec extends AnyFunSuite {
       "multi-probe must stay bucket-pruned, not pairwise")
   }
 
+  test("g3 cube: expand feeds a partial-then-final aggregate") {
+    val p = plan("g3_cube")
+    assert(p.contains("Expand"), "cube should use an Expand of grouping sets")
+    assert(count(p, "HashAggregate") >= 2, "cube lost the partial aggregate phase")
+  }
+
+  test("w9 ignore-nulls: one hash shuffle on the window key") {
+    val p = plan("w9_ignore_nulls")
+    assert(count(p, "hashpartitioning(user_id") >= 1,
+      s"keyed window should shuffle on user_id:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "ignore-nulls fill must stay keyed, never a global window")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
