@@ -49,8 +49,30 @@ object MiniPdf {
     out.toByteArray
   }
 
-  /** One PDF: `pages(i)` becomes page i+1's text (lines Tj-drawn top-down). */
-  def write(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+  /** PNG-predict (filter 2 = Up, per 16-byte row) then deflate — the
+    * /DecodeParms << /Predictor 12 >> encoding real-world writers use on
+    * object/xref streams; padding with newlines keeps content harmless. */
+  private def pngPredictDeflate(data0: Array[Byte]): (Array[Byte], Int) = {
+    val cols = 16
+    val padded = data0 ++ Array.fill((cols - data0.length % cols) % cols)('\n'.toByte)
+    val rows = padded.length / cols
+    val enc = new Array[Byte](rows * (cols + 1))
+    for (r <- 0 until rows) {
+      enc(r * (cols + 1)) = 2 // Up filter
+      for (i <- 0 until cols) {
+        val up = if (r > 0) padded((r - 1) * cols + i) & 0xff else 0
+        enc(r * (cols + 1) + 1 + i) =
+          (((padded(r * cols + i) & 0xff) - up) & 0xff).toByte
+      }
+    }
+    (deflate(enc), cols)
+  }
+
+  /** One PDF: `pages(i)` becomes page i+1's text (lines Tj-drawn top-down).
+    * pngPredict additionally runs the content through Predictor-12 row
+    * encoding before deflate (exercises PdfText.unpredictPng end to end). */
+  def write(pages: Seq[String], compress: Boolean = true,
+      pngPredict: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def raw(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -71,9 +93,14 @@ object MiniPdf {
       obj { raw(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>\n") }
       val data0 = contentStream(p)
-      val data = if (compress) deflate(data0) else data0
+      val (data, parms) =
+        if (pngPredict) {
+          val (enc, cols) = pngPredictDeflate(data0)
+          (enc, s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>")
+        } else if (compress) (deflate(data0), " /Filter /FlateDecode")
+        else (data0, "")
       obj {
-        raw(s"<< /Length ${data.length}${if (compress) " /Filter /FlateDecode" else ""} >>\nstream\n")
+        raw(s"<< /Length ${data.length}$parms >>\nstream\n")
         out.write(data)
         raw("\nendstream\n")
       }

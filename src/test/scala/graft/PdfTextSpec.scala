@@ -179,6 +179,14 @@ class PdfTextSpec extends AnyFunSuite {
     assert(got.map(_ & 0xff).toSeq == rows.flatten.map(_ & 0xff))
   }
 
+  test("end to end: Predictor-12 content streams decode to the same text") {
+    val pages = Seq("Entity 1\nName: Predicted Person\nProgramme: TEST", "Page two text")
+    val plain = PdfText.extract(MiniPdf.write(pages))
+    val predicted = PdfText.extract(MiniPdf.write(pages, pngPredict = true))
+    assert(predicted.trim == plain.trim)
+    assert(predicted.contains("Predicted Person"))
+  }
+
   test("TIFF predictor-2 undo recovers horizontally-differenced rows") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.fill(4)(Array.fill(6)(rnd.nextInt(256)))
