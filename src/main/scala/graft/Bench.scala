@@ -19,7 +19,12 @@ object Bench {
       try SparkEntry.queries(name)(spark, sfDir).count()
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      finally spark.catalog.clearCache()
+      finally {
+        // clearCache frees Dataset-level caches; the sweep also frees any
+        // RDD-level persist (the round-2 leak class clearCache cannot see)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
       val t = (System.nanoTime() - t0) / 1e9
       // settle the heap between measurements: interpreted-HOF queries
       // allocate heavily and a deferred GC otherwise lands inside a later

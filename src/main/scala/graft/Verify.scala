@@ -22,7 +22,13 @@ object Verify {
         rowCounts(name) = -1L
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // drop intra-query persists
+      finally {
+        // drop intra-query persists: clearCache frees Dataset-level caches;
+        // the explicit sweep also frees any RDD-level persist a query path
+        // created (the round-2 leak class clearCache cannot see)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -32,7 +32,11 @@ object Quantile {
     val rdd = sorted.rdd.map(_.getDouble(0))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single((pid, it.size.toLong))
+      // Long accumulator: Iterator.size returns Int and would silently
+      // overflow past 2^31 rows in one range partition (heavy-value skew)
+      var n = 0L
+      while (it.hasNext) { it.next(); n += 1 }
+      Iterator.single((pid, n))
     }.collect().sortBy(_._1).map(_._2)
     val n = counts.sum
     require(n > 0, "nearestRank over an empty frame")

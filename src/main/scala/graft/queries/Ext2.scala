@@ -96,7 +96,14 @@ object Ext2 {
       val f = documents(s, d)
         .repartition(col("doc_id"))
         .select(col("doc_id"),
-          TextOps.simhash48(array_distinct(TextOps.words(col("text")))).as("fp"))
+          array_distinct(TextOps.words(col("text"))).as("toks"))
+        // empty-token docs carry no signal: simhash48([]) is a degenerate
+        // all-ones sentinel that would collide every such doc at Hamming 0,
+        // and the oracle's unnest+GROUP BY drops them anyway — exclude on
+        // both sides (unreachable via split() tokens, guards future
+        // tokenizers)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), TextOps.simhash48(col("toks")).as("fp"))
         .persist()
       val lo = f.select(col("doc_id"), col("fp"), lit(0).as("bi"),
         col("fp").bitwiseAND(lit((1L << 24) - 1)).as("bv"))
@@ -364,7 +371,7 @@ object Ext2 {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
         |  FROM t)
         |SELECT doc_id, n_tokens, cum_tokens,
-        |  CAST((cum_tokens - 1) // 1000 AS BIGINT) AS shard_id
+        |  GREATEST(CAST(0 AS BIGINT), CAST((cum_tokens - 1) // 1000 AS BIGINT)) AS shard_id
         |FROM c ORDER BY doc_id""".stripMargin,
 
     "x27_lsh_multiprobe" -> {

@@ -39,8 +39,15 @@ object DocStreams {
     * verification is not expressible as a streaming key-dedup. */
   def dedupByFingerprint(docs: DataFrame): DataFrame =
     docs
-      .withColumn("fp",
-        TextOps.simhash48(array_distinct(TextOps.words(col("text")))))
+      .withColumn("toks", array_distinct(TextOps.words(col("text"))))
+      // empty-token docs carry no fingerprint signal: simhash48([]) is a
+      // degenerate all-ones sentinel that would collide every such doc at
+      // Hamming 0 — pass them through the filter-out path rather than
+      // false-dedup them (unreachable via split() tokens; guards future
+      // tokenizers that can return [])
+      .filter(size(col("toks")) > 0)
+      .withColumn("fp", TextOps.simhash48(col("toks")))
+      .drop("toks")
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
