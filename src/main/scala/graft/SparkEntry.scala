@@ -31,7 +31,8 @@ object SparkEntry {
       graft.queries.Windows.queries ++
       graft.queries.Relational.queries ++
       graft.queries.Ext.queries ++
-      graft.queries.Ext2.queries
+      graft.queries.Ext2.queries ++
+      graft.queries.Ext3.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -40,5 +41,6 @@ object SparkEntry {
       graft.queries.Windows.oracleSql ++
       graft.queries.Relational.oracleSql ++
       graft.queries.Ext.oracleSql ++
-      graft.queries.Ext2.oracleSql
+      graft.queries.Ext2.oracleSql ++
+      graft.queries.Ext3.oracleSql
 }

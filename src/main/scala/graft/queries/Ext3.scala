@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import graft.ext.TextOps
+
+/** Round-4 additions: the remaining shapes a large-scale training-data /
+  * event-analytics pipeline runs that the catalog did not yet cover —
+  * sessionization (gap-based event grouping), in-document repetition
+  * filtering (the Gopher-style "fraction of duplicated n-grams" quality
+  * rule), arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices),
+  * wide→long unpivot, and fixed-size per-stratum sampling.
+  *
+  * Determinism rules as everywhere in the catalog: decimal sums for
+  * order-free totals, md5-prefix hashes replayed by the oracle, ratios of
+  * exact integers, microsecond (never nanosecond) event-time arithmetic —
+  * DuckDB truncates the parquet TIMESTAMP(NANOS) column to micros, so both
+  * engines compute on the identical micros value (`unix_micros` here,
+  * `epoch_us` there).
+  */
+object Ext3 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // W10 SESSIONIZATION: split each user's event stream into sessions at
+    // >24-hour inactivity gaps (the driver feed's users emit every few
+    // hours — a web-style 30-min gap would make nearly every event its own
+    // session) — lag to mark session starts, running sum to
+    // number them, then a per-(user, session) aggregate. ONE shuffle on
+    // user_id serves both window passes (same partitioning + ordering), and
+    // the final groupBy is partial-aggregable; sessions never span users, so
+    // the plan holds at any user count. The batch twin of
+    // streaming/EventStreams' session windows.
+    "w10_sessionize" -> ((s, d) => {
+      val gapUs = 24L * 3600 * 1000000 // 24 h in MICROSECONDS (see scaladoc)
+      val w = Window.partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      events(s, d)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("tus"),
+          col("value"))
+        .withColumn("prev", lag(col("tus"), 1).over(w))
+        .withColumn("is_start",
+          when(col("prev").isNull || col("tus") - col("prev") > gapUs, 1)
+            .otherwise(0))
+        .withColumn("session_no", sum(col("is_start")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("event_id")).as("first_event"),
+          max(col("event_id")).as("last_event"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy(col("user_id"), col("session_no"))
+    }),
+
+    // X4g IN-DOC REPETITION (Gopher-style quality rule): fraction of
+    // duplicated trigrams within each document — a pure per-row expression
+    // over the native one-pass distinct-shingle set (no shuffle, no join;
+    // one scan at any corpus size). High dup_tri_ratio = boilerplate /
+    // template spam the training pipeline drops before dedup even runs.
+    "x28_repetition" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"),
+          (size(col("w")) - 2).as("n_tri"),
+          size(TextOps.shingles3(col("w"))).as("n_tri_distinct"))
+        .select(col("doc_id"), col("n_tri"), col("n_tri_distinct"),
+          ((col("n_tri") - col("n_tri_distinct")).cast("double") / col("n_tri"))
+            .as("dup_tri_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // G4 arbitrary GROUPING SETS: a lattice rollup/cube cannot express —
+    // ((flag, status), (status), ()) skips the (flag)-only level. Same
+    // Expand + partial-aggregable hash-agg shape as g1/g3; grouping()
+    // markers + COALESCE('ALL') pin cross-engine null ordering.
+    "g4_grouping_sets" -> ((s, d) => {
+      lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_linestatus")), Seq()),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_rf"),
+          grouping(col("l_linestatus")).as("g_ls"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
+        .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus"))
+    }),
+
+    // F17 UNPIVOT (wide → long): the melt step feature pipelines run before
+    // per-measure aggregation. Spark's native unpivot is a zero-shuffle
+    // Expand (4 output rows per input row, no join, no union of scans —
+    // the oracle's UNION ALL spelling would read the table 4 times).
+    "f17_unpivot" -> ((s, d) => {
+      lineitem(s, d)
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"),
+            col("l_tax")),
+          "measure", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
+    }),
+
+    // X4h STRATIFIED FIXED-SIZE SAMPLE: exactly k docs per source stratum,
+    // chosen by md5-prefix hash order — reproducible on every engine/run
+    // (x19's salted-hash convention), stable under corpus growth within a
+    // stratum's kept set only where hashes precede the k-th. One shuffle on
+    // the stratum key; rank truncation is per-partition (never global).
+    "x29_stratified_sample" -> ((s, d) => {
+      val h = TextOps.hash32(concat(lit("strat:"), col("doc_id").cast("string")))
+      documents(s, d)
+        .select(col("doc_id"), col("source"), h.as("hv"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("hv"), col("doc_id"))))
+        .filter(col("rnk") <= 20)
+        .select(col("source"), col("doc_id"), col("rnk"))
+        .orderBy(col("source"), col("rnk"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "w10_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus, value FROM events),
+        |s AS (SELECT user_id, event_id, tus, value,
+        |  CASE WHEN lag(tus) OVER w IS NULL
+        |         OR tus - lag(tus) OVER w > 86400000000 THEN 1 ELSE 0 END AS is_start
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (SELECT user_id, event_id, value,
+        |  CAST(sum(is_start) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM s)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(event_id) AS first_event, max(event_id) AS last_event,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM g GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
+
+    "x28_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |t AS (SELECT doc_id, len(w) - 2 AS n_tri,
+        |  len(list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS n_tri_distinct
+        |  FROM w WHERE len(w) >= 3)
+        |SELECT doc_id, n_tri, n_tri_distinct,
+        |  CAST(n_tri - n_tri_distinct AS DOUBLE) / n_tri AS dup_tri_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "g4_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  GROUPING(l_returnflag) AS g_rf,
+        |  GROUPING(l_linestatus) AS g_ls
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+        |ORDER BY g_rf, g_ls, returnflag, linestatus""".stripMargin,
+
+    "f17_unpivot" ->
+      """WITH b AS (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |  l_discount, l_tax FROM lineitem WHERE l_orderkey % 100 = 0)
+        |SELECT l_orderkey, l_linenumber, measure, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM b
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM b
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b)
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "x29_stratified_sample" ->
+      """WITH h AS (SELECT doc_id, source,
+        |  CAST(concat('0x', substr(md5('strat:' || CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) AS hv
+        |  FROM documents),
+        |r AS (SELECT source, doc_id,
+        |  row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) AS rnk FROM h)
+        |SELECT source, doc_id, rnk FROM r WHERE rnk <= 20
+        |ORDER BY source, rnk""".stripMargin)
+}

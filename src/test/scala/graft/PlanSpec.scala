@@ -146,6 +146,46 @@ class PlanSpec extends AnyFunSuite {
       "ignore-nulls fill must stay keyed, never a global window")
   }
 
+  test("w10 sessionize: both window passes share one user_id shuffle") {
+    val p = plan("w10_sessionize")
+    assert(count(p, "hashpartitioning(user_id") >= 1,
+      s"session windows should shuffle on user_id:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "sessionization must stay per-user, never a global window")
+    assert(count(p, "Exchange hashpartitioning(user_id") <= 1,
+      s"lag and running-sum windows should reuse one user_id exchange:\n$p")
+  }
+
+  test("x28 repetition: pure per-row expressions, no shuffle before the sort") {
+    val p = plan("x28_repetition")
+    assert(!p.contains("hashpartitioning"), // only the final range sort exchange
+      s"repetition ratio must not hash-shuffle:\n$p")
+    assert(count(p, "graft_shingles3(") == 1,
+      "distinct-trigram set should be one native one-pass expression")
+  }
+
+  test("g4 grouping sets: expand feeds a partial-then-final aggregate") {
+    val p = plan("g4_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets should use an Expand")
+    assert(count(p, "HashAggregate") >= 2, "lost the partial aggregate phase")
+  }
+
+  test("f17 unpivot: single Expand over one scan, no union of re-scans") {
+    val p = plan("f17_unpivot")
+    assert(p.contains("Expand"), "unpivot should lower to Expand")
+    assert(count(p, "Location: InMemoryFileIndex") == 1,
+      s"unpivot must read the table once, not per measure:\n$p")
+    assert(!p.contains("Union"), "unpivot must not be a UNION ALL of scans")
+  }
+
+  test("x29 stratified sample: one shuffle on the stratum key, rank pruned") {
+    val p = plan("x29_stratified_sample")
+    assert(count(p, "hashpartitioning(source") >= 1,
+      s"per-stratum rank should shuffle on source:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "stratified rank must stay per-stratum, never a global window")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
