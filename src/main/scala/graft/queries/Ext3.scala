@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
@@ -109,6 +109,69 @@ object Ext3 {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("measure"))
     }),
 
+    // W11 FUNNEL: per-user ordered-stage detection (view → click →
+    // purchase): t1 = first view, t2 = first click strictly after t1, t3 =
+    // first purchase strictly after t2. Each stage is an unbounded
+    // conditional-min window over the SAME user_id partitioning — the three
+    // Window nodes layer over ONE exchange (each depends on the previous
+    // stage's value), and the final per-user collapse is already
+    // co-partitioned. min() selects a VALUE (not a row), so ties in the
+    // micros timeline cannot make the result nondeterministic.
+    "w11_funnel" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      val stages = events(s, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("tus"))
+        .withColumn("t1",
+          min(when(col("event_type") === "view", col("tus"))).over(w))
+        .withColumn("t2",
+          min(when(col("event_type") === "click" && col("tus") > col("t1"),
+            col("tus"))).over(w))
+        .withColumn("t3",
+          min(when(col("event_type") === "purchase" && col("tus") > col("t2"),
+            col("tus"))).over(w))
+      stages.groupBy(col("user_id"))
+        .agg(min(col("t1")).as("t1"), min(col("t2")).as("t2"),
+          min(col("t3")).as("t3"))
+        .select(col("user_id"), col("t1"), col("t2"), col("t3"),
+          (when(col("t1").isNotNull, 1).otherwise(0) +
+            when(col("t2").isNotNull, 1).otherwise(0) +
+            when(col("t3").isNotNull, 1).otherwise(0)).as("stages_reached"))
+        .orderBy(col("user_id"))
+    }),
+
+    // X6c COUNT-MIN SKETCH heavy hitters: the mergeable-sketch path for
+    // term frequencies when the exact per-token map no longer fits (x18 is
+    // the exact twin). Counters are a partial-aggregable groupBy over
+    // (row j, bucket h_j(tok)) — 4 × 1024 cells regardless of corpus size —
+    // and every estimate is min_j counter[j][h_j(tok)] ≥ the true count.
+    // Hashes are the catalog's md5-prefix convention, so the oracle replays
+    // the sketch bit-identically (estimates here are deterministic, unlike
+    // library CMS impls seeded at random). Exact counts ride along to
+    // expose the one-sided error; top-20 by estimate.
+    "x30_cms_heavy_hitters" -> ((s, d) => {
+      val D = 4       // sketch rows
+      val W = 1024    // buckets per row
+      val tok = documents(s, d).repartition(col("doc_id"))
+        .select(explode(TextOps.words(col("text"))).as("tok"))
+      def bucket(j: Int, c: Column) =
+        pmod(TextOps.hash32(concat(lit(s"cms$j:"), c)), lit(W))
+      val counters = tok
+        .select(col("tok"), posexplode(array((0 until D).map(j =>
+          bucket(j, col("tok"))): _*)).as(Seq("j", "bucket")))
+        .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("cnt"))
+      val exact = tok.groupBy(col("tok")).agg(count(lit(1)).as("exact_n"))
+      val est = exact.select(col("tok"), col("exact_n"),
+          posexplode(array((0 until D).map(j => bucket(j, col("tok"))): _*))
+            .as(Seq("j", "bucket")))
+        .join(counters, Seq("j", "bucket"))
+        .groupBy(col("tok"), col("exact_n")).agg(min(col("cnt")).as("est"))
+      // top-k via orderBy+limit (TakeOrderedAndProject — per-partition heaps
+      // + driver merge, never a global sort or single-partition window)
+      est.select(col("tok"), col("est"), col("exact_n"))
+        .orderBy(col("est").desc, col("tok"))
+        .limit(20)
+    }),
+
     // X4h STRATIFIED FIXED-SIZE SAMPLE: exactly k docs per source stratum,
     // chosen by md5-prefix hash order — reproducible on every engine/run
     // (x19's salted-hash convention), stable under corpus growth within a
@@ -176,6 +239,36 @@ object Ext3 {
         |  UNION ALL
         |  SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b)
         |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin,
+
+    "w11_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus FROM events),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN tus END)
+        |  OVER (PARTITION BY user_id) AS t1 FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND tus > t1 THEN tus END)
+        |  OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND tus > t2 THEN tus END)
+        |  OVER (PARTITION BY user_id) AS t3 FROM w2)
+        |SELECT user_id, min(t1) AS t1, min(t2) AS t2, min(t3) AS t3,
+        |  (CASE WHEN min(t1) IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN min(t2) IS NOT NULL THEN 1 ELSE 0 END
+        |   + CASE WHEN min(t3) IS NOT NULL THEN 1 ELSE 0 END) AS stages_reached
+        |FROM w3 GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "x30_cms_heavy_hitters" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |jt AS (SELECT tok, CAST(j AS INT) AS j FROM tok, range(4) t(j)),
+        |b AS (SELECT tok, j,
+        |  CAST(concat('0x', substr(md5('cms' || CAST(j AS VARCHAR) || ':' || tok),1,8)) AS BIGINT) % 1024 AS bucket
+        |  FROM jt),
+        |counters AS (SELECT j, bucket, count(*) AS cnt FROM b GROUP BY j, bucket),
+        |exact AS (SELECT tok, count(*) AS exact_n FROM tok GROUP BY tok),
+        |vb AS (SELECT tok, exact_n, CAST(j AS INT) AS j,
+        |  CAST(concat('0x', substr(md5('cms' || CAST(j AS VARCHAR) || ':' || tok),1,8)) AS BIGINT) % 1024 AS bucket
+        |  FROM exact, range(4) t(j)),
+        |est AS (SELECT tok, exact_n, min(cnt) AS est
+        |  FROM vb JOIN counters USING (j, bucket) GROUP BY tok, exact_n)
+        |SELECT tok, est, exact_n FROM est
+        |ORDER BY est DESC, tok LIMIT 20""".stripMargin,
 
     "x29_stratified_sample" ->
       """WITH h AS (SELECT doc_id, source,

@@ -33,8 +33,11 @@ object Tables {
     * `spark.readStream.schema(batchSchema).parquet(dir)` through here). */
   def eventsFrom(raw: DataFrame): DataFrame =
     if (raw.schema("ts").dataType == LongType)
+      // integer `div`, NOT floor(ns / 1000.0): epoch nanos ≈ 1.7e18 exceed
+      // a double's 53-bit mantissa, so the float path lands ±1 µs off the
+      // exact truncation DuckDB applies when it reads the same column
       raw.withColumn("ts_ns", col("ts"))
-        .withColumn("ts", timestamp_micros(floor(col("ts") / 1000).cast("long")))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw.withColumn("ts_ns", unix_micros(col("ts")) * 1000)
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -96,6 +96,44 @@ class Ext3Spec extends AnyFunSuite {
     assert(got === one.getDouble(2))
   }
 
+  test("w11_funnel: stage order enforced, ties cannot skip stages") {
+    import spark.implicits._
+    val m = 60L * 1000 // 1 min in millis for Timestamp ctor
+    val t0 = 1700000000000L
+    def e(id: Long, min: Long, u: Long, ty: String) =
+      (id, new Timestamp(t0 + min * m), u, ty, 1.0, "{}")
+    val rows = Seq(
+      e(0, 0, 1, "view"), e(1, 1, 1, "click"), e(2, 2, 1, "purchase"),
+      // user 2: click BEFORE the first view — must not count as stage 2
+      e(3, 0, 2, "click"), e(4, 1, 2, "view"), e(5, 2, 2, "purchase"),
+      // user 3: view only
+      e(6, 0, 3, "view"),
+      // user 4: no view at all — zero stages even with click+purchase
+      e(7, 0, 4, "click"), e(8, 1, 4, "purchase"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = tmpDir()
+    rows.write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("w11_funnel")(spark, d)
+      .select("user_id", "stages_reached")
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(out.toSeq === Seq((1L, 3), (2L, 1), (3L, 1), (4L, 0)))
+  }
+
+  test("x30_cms_heavy_hitters: estimates one-sided, top hitter found") {
+    import spark.implicits._
+    // skewed corpus: "alpha" appears in every doc many times
+    val rows = (0L until 50L).map { i =>
+      (i, ("alpha " * 10 + s"tok$i unique$i").trim, "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir()
+    rows.write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("x30_cms_heavy_hitters")(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.head._1 === "alpha" && out.head._3 === 500L)
+    // CMS error is one-sided: est >= exact, always
+    assert(out.forall { case (_, est, exact) => est >= exact })
+  }
+
   test("x29_stratified_sample: exactly min(k, stratum size) per source, stable") {
     val out = SparkEntry.queries("x29_stratified_sample")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))

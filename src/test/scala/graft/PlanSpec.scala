@@ -186,6 +186,26 @@ class PlanSpec extends AnyFunSuite {
       "stratified rank must stay per-stratum, never a global window")
   }
 
+  test("w11 funnel: three stage windows layer over one user_id exchange") {
+    val p = plan("w11_funnel")
+    assert(count(p, "hashpartitioning(user_id") >= 1,
+      s"funnel windows should shuffle on user_id:\n$p")
+    assert(!p.contains("SinglePartition"),
+      "funnel must stay per-user, never a global window")
+    assert(count(p, "Exchange hashpartitioning") <= 1 &&
+      count(p, "Arguments: hashpartitioning(user_id") <= 1,
+      s"stage windows + final agg should reuse one user_id exchange:\n$p")
+  }
+
+  test("x30 CMS: counters partial-aggregated, top-k never a global sort") {
+    val p = plan("x30_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-k by estimate must be TakeOrderedAndProject, not sort+limit")
+    assert(!p.contains("SinglePartition"),
+      "sketch build must not funnel through one partition")
+    assert(count(p, "HashAggregate") >= 2, "counter build lost partial agg")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
