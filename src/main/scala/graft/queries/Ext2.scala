@@ -20,6 +20,44 @@ object Ext2 {
 
   private val stops = Seq("the", "a", "of", "and", "to", "in", "is")
 
+  /** X2f SimHash near-dup PAIRS, end to end: 48-bit fingerprints (16 bits
+    * saturate on a shared-vocabulary corpus — whole duplicate groups land at
+    * Hamming 0 with unrelated docs), banded into 2 × 24-bit halves. By
+    * pigeonhole, Hamming ≤ 1 pairs share at least one exact half, so the
+    * band equi-join is COMPLETE for the threshold, never a recall heuristic
+    * — and candidate cost tracks band collisions, not n². Verification is
+    * one xor+popcount per candidate. Shared by x22 (pair listing) and x31
+    * (survivorship pick over the clustered pairs). */
+  private[queries] def simhashPairs(s: SparkSession, d: String): DataFrame = {
+    val f = documents(s, d)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        array_distinct(TextOps.words(col("text"))).as("toks"))
+      // empty-token docs carry no signal: simhash48([]) is a degenerate
+      // all-ones sentinel that would collide every such doc at Hamming 0,
+      // and the oracle's unnest+GROUP BY drops them anyway — exclude on
+      // both sides (unreachable via split() tokens, guards future
+      // tokenizers)
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), TextOps.simhash48(col("toks")).as("fp"))
+      .persist()
+    val lo = f.select(col("doc_id"), col("fp"), lit(0).as("bi"),
+      col("fp").bitwiseAND(lit((1L << 24) - 1)).as("bv"))
+    val hi = f.select(col("doc_id"), col("fp"), lit(1).as("bi"),
+      shiftright(col("fp"), 24).as("bv"))
+    val bands = lo.union(hi)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .distinct()
+    cand.join(f.as("x"), col("id1") === col("x.doc_id"))
+      .join(f.as("y"), col("id2") === col("y.doc_id"))
+      .select(col("id1"), col("id2"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .filter(col("hamming") <= 1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X2e near-dup GROUPS: LSH-verified pairs (x3's exact output) clustered
@@ -92,36 +130,8 @@ object Ext2 {
     // band equi-join is COMPLETE for the threshold, never a recall
     // heuristic — and candidate cost tracks band collisions, not n².
     // Verification is one xor+popcount per candidate.
-    "x22_simhash_neardup" -> ((s, d) => {
-      val f = documents(s, d)
-        .repartition(col("doc_id"))
-        .select(col("doc_id"),
-          array_distinct(TextOps.words(col("text"))).as("toks"))
-        // empty-token docs carry no signal: simhash48([]) is a degenerate
-        // all-ones sentinel that would collide every such doc at Hamming 0,
-        // and the oracle's unnest+GROUP BY drops them anyway — exclude on
-        // both sides (unreachable via split() tokens, guards future
-        // tokenizers)
-        .filter(size(col("toks")) > 0)
-        .select(col("doc_id"), TextOps.simhash48(col("toks")).as("fp"))
-        .persist()
-      val lo = f.select(col("doc_id"), col("fp"), lit(0).as("bi"),
-        col("fp").bitwiseAND(lit((1L << 24) - 1)).as("bv"))
-      val hi = f.select(col("doc_id"), col("fp"), lit(1).as("bi"),
-        shiftright(col("fp"), 24).as("bv"))
-      val bands = lo.union(hi)
-      val cand = bands.as("a").join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-        .distinct()
-      cand.join(f.as("x"), col("id1") === col("x.doc_id"))
-        .join(f.as("y"), col("id2") === col("y.doc_id"))
-        .select(col("id1"), col("id2"),
-          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
-        .filter(col("hamming") <= 1)
-        .orderBy(col("id1"), col("id2"))
-    }),
+    "x22_simhash_neardup" -> ((s, d) =>
+      simhashPairs(s, d).orderBy(col("id1"), col("id2"))),
 
     // X3d true-IVF ANN: every vector assigned to its NEAREST anchor
     // direction (argmax dot over K baked Rademacher anchors, first-index

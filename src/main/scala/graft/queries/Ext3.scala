@@ -172,6 +172,39 @@ object Ext3 {
         .limit(20)
     }),
 
+    // X2h SURVIVORSHIP: the step AFTER near-dup clustering — per duplicate
+    // group keep the single best document by quality score (x8's formula),
+    // deterministic tie-break on doc_id. Composes the catalog's own pieces:
+    // simhash pair finding (x22) → connected components (x17's machinery) →
+    // keyed argmax window. Only multi-member clusters emit (singletons have
+    // nothing to discard). NOTE: like x17/x24, this constructor EXECUTES
+    // work (the component loop is inherently iterative actions).
+    "x31_canonical_pick" -> ((s, d) => {
+      val stops = Seq("the", "a", "of", "and", "to", "in", "is")
+      val pairs = Ext2.simhashPairs(s, d).select(col("id1"), col("id2"))
+      val nodes = documents(s, d).select(col("doc_id").as("id"))
+      val clusters = graft.ext.Components.connectedComponents(nodes, pairs)
+      val q = documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), size(col("w")).as("n_tokens"),
+          size(array_distinct(col("w"))).as("n_distinct"),
+          size(filter(col("w"), x => x.isInCollection(stops))).as("n_stop"))
+        .select(col("doc_id"),
+          ((col("n_distinct").cast("double") / col("n_tokens")) -
+            (col("n_stop").cast("double") / col("n_tokens")) * 0.5)
+            .as("quality"))
+      clusters.join(q, clusters("id") === q("doc_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+        .filter(col("n_members") >= 2)
+        .withColumn("rn", row_number().over(Window.partitionBy(col("cluster_id"))
+          .orderBy(col("quality").desc, col("id"))))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("id").as("keep_id"), col("quality"),
+          col("n_members"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // X4h STRATIFIED FIXED-SIZE SAMPLE: exactly k docs per source stratum,
     // chosen by md5-prefix hash order — reproducible on every engine/run
     // (x19's salted-hash convention), stable under corpus growth within a
@@ -269,6 +302,51 @@ object Ext3 {
         |  FROM vb JOIN counters USING (j, bucket) GROUP BY tok, exact_n)
         |SELECT tok, est, exact_n FROM est
         |ORDER BY est DESC, tok LIMIT 20""".stripMargin,
+
+    "x31_canonical_pick" -> {
+      // same generated 48-bit simhash replay as x22, extended with the
+      // recursive component labeling (x17's oracle shape) and the quality
+      // argmax pick
+      val sums = (0 until 48).map(i =>
+        s"sum(CASE WHEN (wh >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i").mkString(",\n|  ")
+      val fp = (0 until 48).map(i =>
+        s"(CASE WHEN s$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""WITH RECURSIVE t AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id, CAST(concat('0x', substr(md5(w),1,12)) AS BIGINT) AS wh FROM t),
+        |b AS (SELECT doc_id,
+        |  $sums
+        |  FROM h GROUP BY doc_id),
+        |f AS (SELECT doc_id, $fp AS fp FROM b),
+        |bands AS (SELECT doc_id, fp, 0 AS bi, fp & ${(1L << 24) - 1} AS bv FROM f
+        |  UNION ALL SELECT doc_id, fp, 1 AS bi, fp >> 24 AS bv FROM f),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bands a JOIN bands b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ver AS (SELECT id1, id2, CAST(bit_count(xor(x.fp, y.fp)) AS INT) AS hamming
+        |  FROM cand JOIN f x ON x.doc_id = id1 JOIN f y ON y.doc_id = id2),
+        |pairs AS (SELECT id1, id2 FROM ver WHERE hamming <= 1),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS lab FROM documents
+        |  UNION
+        |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id),
+        |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |mem AS (SELECT id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members FROM lab),
+        |ww AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |qual AS (SELECT doc_id,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) -
+        |  CAST(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is'], x))) AS DOUBLE) / len(w) * 0.5 AS quality
+        |  FROM ww),
+        |pick AS (SELECT cluster_id, id AS keep_id, quality, n_members,
+        |  row_number() OVER (PARTITION BY cluster_id ORDER BY quality DESC, id) AS rn
+        |  FROM mem JOIN qual ON qual.doc_id = mem.id
+        |  WHERE n_members >= 2)
+        |SELECT cluster_id, keep_id, quality, n_members FROM pick WHERE rn = 1
+        |ORDER BY cluster_id""".stripMargin
+    },
 
     "x29_stratified_sample" ->
       """WITH h AS (SELECT doc_id, source,

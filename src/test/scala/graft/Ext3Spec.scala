@@ -134,6 +134,25 @@ class Ext3Spec extends AnyFunSuite {
     assert(out.forall { case (_, est, exact) => est >= exact })
   }
 
+  test("x31_canonical_pick: keeps the highest-quality doc per dup cluster") {
+    import spark.implicits._
+    // groups share a DISTINCT token set (order-free simhash ⇒ Hamming 0);
+    // repetition lowers the quality score, so the cleanest copy survives
+    val rows = Seq(
+      (0L, "b c d e f g h j k l", "en", "s", 1L),            // q = 1.0  ← keep
+      (1L, "b c d e f g h j k l b", "en", "s", 1L),          // 11 toks, 10 distinct
+      (2L, "m n o p q r s t u v m n", "en", "s", 1L),        // 12/10
+      (3L, "m n o p q r s t u v", "en", "s", 1L),            // q = 1.0  ← keep
+      (4L, "m n o p q r s t u v m n o p q", "en", "s", 1L),  // 15/10
+      (5L, "w x y z zz ww xx yy zx zy", "en", "s", 1L))      // singleton
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d = tmpDir()
+    rows.write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("x31_canonical_pick")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 0L, 1.0, 2L), (2L, 3L, 1.0, 3L)))
+  }
+
   test("x29_stratified_sample: exactly min(k, stratum size) per source, stable") {
     val out = SparkEntry.queries("x29_stratified_sample")(spark, sf)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
