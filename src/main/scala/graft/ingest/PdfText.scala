@@ -15,8 +15,10 @@ import scala.util.matching.Regex
   * Scope: the classic PDF subset — objects with literal dictionaries,
   * uncompressed or FlateDecode content streams, text drawn with the
   * `Tj` / `'` / `"` / `TJ` operators, page order from the `/Pages` tree.
-  * That covers simple text-report PDFs (the reference's input class);
-  * exotic encodings (CID fonts, object streams, encryption) fall back to
+  * That covers simple text-report PDFs (the reference's input class),
+  * plus PDF 1.5 object streams, PNG/TIFF-predicted FlateDecode, and CID
+  * fonts via /ToUnicode CMaps (bfchar + both bfrange forms, 1- and 2-byte
+  * codespaces); remaining exotica (encryption, CMap-less CID) fall back to
   * whatever pages remain parseable, never an exception. Like pdfplumber's
   * `extract_text`, each page becomes newline-joined lines and pages are
   * joined with a trailing "\n" per non-empty page (main.py:255–257).
@@ -249,13 +251,117 @@ object PdfText {
     out.toByteArray
   }
 
+  // ------------------------------------------------------- CID / ToUnicode
+
+  /** A parsed /ToUnicode CMap: fixed code width in bytes (1 or 2 — the
+    * Identity-H two-byte case is what real-world CID PDFs ship) and the
+    * code → Unicode-string mapping. */
+  private[graft] final case class ToUni(width: Int, map: Map[Int, String])
+
+  private val hexTokRe: Regex = """<([0-9a-fA-F]+)>""".r
+
+  private def hexToInt(h: String): Int = Integer.parseInt(h, 16)
+
+  private def hexToStr(h: String): String = {
+    // destination hex is UTF-16BE code units (possibly several per code)
+    val padded = if (h.length % 2 == 1) h + "0" else h
+    val bs = padded.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+    new String(bs, StandardCharsets.UTF_16BE)
+  }
+
+  /** Parse a ToUnicode CMap stream: codespace width + bfchar/bfrange
+    * sections (including the array-destination bfrange form). Tolerant:
+    * anything unparseable contributes nothing. */
+  private[graft] def parseToUnicode(cmap: String): ToUni = {
+    val width = """begincodespacerange\s*<([0-9a-fA-F]+)>""".r
+      .findFirstMatchIn(cmap).map(_.group(1).length / 2)
+      .filter(w => w == 1 || w == 2)
+      .getOrElse(2) // Identity-H default
+    val m = Map.newBuilder[Int, String]
+    for (blk <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap)) {
+      val toks = hexTokRe.findAllMatchIn(blk.group(1)).map(_.group(1)).toSeq
+      toks.grouped(2).foreach {
+        case Seq(src, dst) => m += hexToInt(src) -> hexToStr(dst)
+        case _ => ()
+      }
+    }
+    for (blk <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cmap)) {
+      // each entry: <lo> <hi> <dstStart>   OR   <lo> <hi> [<d0> <d1> …]
+      val entryRe =
+        """<([0-9a-fA-F]+)>\s*<([0-9a-fA-F]+)>\s*(?:<([0-9a-fA-F]+)>|\[([^\]]*)\])""".r
+      for (e <- entryRe.findAllMatchIn(blk.group(1))) {
+        val lo = hexToInt(e.group(1)); val hi = hexToInt(e.group(2))
+        if (hi >= lo && hi - lo < 65536) {
+          if (e.group(3) != null) {
+            val d0 = e.group(3)
+            val base = hexToInt(d0)
+            // increment applies to the LAST code unit (PDF 1.7 §9.10.3)
+            (lo to hi).foreach { c =>
+              val h = (base + (c - lo)).toHexString
+              m += c -> hexToStr(("0" * (d0.length - h.length max 0)) + h)
+            }
+          } else {
+            val dsts = hexTokRe.findAllMatchIn(e.group(4)).map(_.group(1)).toSeq
+            (lo to hi).zip(dsts).foreach { case (c, d) => m += c -> hexToStr(d) }
+          }
+        }
+      }
+    }
+    ToUni(width, m.result())
+  }
+
+  /** Map raw string bytes through a CMap: consume `width`-byte code units,
+    * emit each mapped string; unmapped codes contribute nothing (the
+    * pdfminer convention for text extraction). */
+  private def applyToUni(bs: Array[Byte], tu: ToUni): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i + tu.width <= bs.length) {
+      var code = 0
+      var j = 0
+      while (j < tu.width) { code = (code << 8) | (bs(i + j) & 0xff); j += 1 }
+      tu.map.get(code).foreach(sb ++= _)
+      i += tu.width
+    }
+    sb.toString
+  }
+
+  /** Per-page font-name → ToUnicode CMap table: /Resources (inline or
+    * indirect) → /Font dict → each `/Fx N 0 R` entry whose font object
+    * carries /ToUnicode. Fonts without a CMap simply don't appear (their
+    * strings keep the latin1/UTF-16BE fallback paths). */
+  private def pageFonts(page: PdfObj, objs: Map[Int, PdfObj]): Map[String, ToUni] = {
+    val resDict: String =
+      """/Resources\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(page.dict) match {
+        case Some(r) => objs.get(r.group(1).toInt).map(_.dict).getOrElse("")
+        case None => page.dict // inline resources: scan the page dict itself
+      }
+    val fontBlock =
+      """(?s)/Font\s*<<(.*?)>>""".r.findFirstMatchIn(resDict).map(_.group(1))
+        .getOrElse("")
+    val out = Map.newBuilder[String, ToUni]
+    for (m <- """/(\w+)\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(fontBlock)) {
+      val (name, ref) = (m.group(1), m.group(2).toInt)
+      for {
+        fontObj <- objs.get(ref)
+        tuRef <- """/ToUnicode\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(fontObj.dict)
+        tuObj <- objs.get(tuRef.group(1).toInt)
+      } {
+        val cmap = latin1(decodeStream(tuObj))
+        if (cmap.nonEmpty) out += name -> parseToUnicode(cmap)
+      }
+    }
+    out.result()
+  }
+
   // ------------------------------------------------- content-stream text ops
 
   /** Extract shown text from one content stream: literal/hex strings fed to
     * the show operators (Tj, TJ, quote forms); the line-move operators
     * (Td, TD, T-star, ET) start a new line — the layout subset matching
     * pdfplumber's line reconstruction for simple one-column text. */
-  private[ingest] def contentText(content: Array[Byte]): String = {
+  private[ingest] def contentText(content: Array[Byte],
+      fonts: Map[String, ToUni] = Map.empty): String = {
     val s = latin1(content)
     val sb = new StringBuilder
     val pending = ArrayBuffer.empty[String]
@@ -263,6 +369,10 @@ object PdfText {
     // page-level trim in extract() drops leading/trailing ones)
     def newline(): Unit = if (sb.nonEmpty) sb.append('\n')
     def flushShow(): Unit = { pending.foreach(sb ++= _); pending.clear() }
+    // CID support: the font selected by the most recent `/Fx size Tf`
+    // decides how string BYTES map to text (ToUnicode CMap when present)
+    var lastName = ""
+    var curFont: Option[ToUni] = None
     var i = 0
     val n = s.length
     while (i < n) {
@@ -302,7 +412,11 @@ object PdfText {
             i += 1
           }
         }
-        pending += buf.toString
+        pending += (curFont match {
+          case Some(tu) =>
+            applyToUni(buf.toString.map(c => (c.toInt & 0xff).toByte).toArray, tu)
+          case None => buf.toString
+        })
       } else if (c == '<' && i + 1 < n && s.charAt(i + 1) != '<') { // hex string
         val end = s.indexOf('>', i + 1)
         if (end < 0) i = n
@@ -310,18 +424,23 @@ object PdfText {
           val hex = s.substring(i + 1, end).filterNot(_.isWhitespace)
           val padded = if (hex.length % 2 == 1) hex + "0" else hex
           val bs = padded.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
-          val str =
-            if (bs.length >= 2 && (bs(0) & 0xff) == 0xfe && (bs(1) & 0xff) == 0xff)
-              new String(bs, 2, bs.length - 2, StandardCharsets.UTF_16BE)
-            else new String(bs, StandardCharsets.ISO_8859_1)
+          val str = curFont match {
+            case Some(tu) => applyToUni(bs, tu)
+            case None =>
+              if (bs.length >= 2 && (bs(0) & 0xff) == 0xfe && (bs(1) & 0xff) == 0xff)
+                new String(bs, 2, bs.length - 2, StandardCharsets.UTF_16BE)
+              else new String(bs, StandardCharsets.ISO_8859_1)
+          }
           pending += str
           i = end + 1
         }
       } else if (c == '<') { i += 2 } // << dict open (inline images etc.)
       else if (c == '[' || c == ']' || c == '{' || c == '}' || c == '>') i += 1
-      else if (c == '/') { // name token
+      else if (c == '/') { // name token (remember it — `/F1 11 Tf` selects)
         i += 1
+        val start = i
         while (i < n && !" \t\r\n()<>[]{}/%".contains(s.charAt(i))) i += 1
+        lastName = s.substring(start, i)
       } else if (c.isWhitespace) i += 1
       else if (c == '+' || c == '-' || c == '.' || c.isDigit) { // number
         i += 1
@@ -334,6 +453,7 @@ object PdfText {
           case "'" => newline(); flushShow()
           case "\"" => newline(); flushShow()
           case "Td" | "TD" | "T*" | "ET" => newline(); pending.clear()
+          case "Tf" => curFont = fonts.get(lastName); pending.clear()
           case _ => pending.clear()
         }
       }
@@ -354,7 +474,7 @@ object PdfText {
     val pages = pageOrder(s, objs)
     val sb = new StringBuilder
     pages.foreach { p =>
-      val text = contentText(pageContent(objs(p), objs))
+      val text = contentText(pageContent(objs(p), objs), pageFonts(objs(p), objs))
         .linesIterator.map(_.replaceAll("\\s+$", "")).mkString("\n")
         .replaceAll("\\n+$", "").replaceAll("^\\n+", "")
       if (text.nonEmpty) { sb ++= text; sb += '\n' }

@@ -155,4 +155,69 @@ object MiniPdf {
   /** Write pages to a .pdf file on disk; returns the path. */
   def writeFile(path: java.nio.file.Path, pages: Seq[String], compress: Boolean = true): java.nio.file.Path =
     java.nio.file.Files.write(path, write(pages, compress))
+
+  /** A CID-font PDF: Type0 font with Identity-H 2-byte codes mapped by a
+    * /ToUnicode CMap (bfchar, both bfrange forms), text drawn with hex AND
+    * literal strings. Extracted text must equal [[CidExpected]]. */
+  val CidExpected = "Hello\nabc\nwx\nH"
+
+  def writeCid(): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def raw(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      val num = offsets.size
+      raw(s"$num 0 obj\n"); body; raw("endobj\n")
+    }
+    raw("%PDF-1.4\n%âãÏÓ\n")
+    obj { raw("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj { raw("<< /Type /Pages /Kids [4 0 R] /Count 1 >>\n") }
+    obj { raw("<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>\n") }
+    obj { raw("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+      "/Resources << /Font << /F1 3 0 R >> >> /Contents 5 0 R >>\n") }
+    val content =
+      "BT\n/F1 11 Tf\n72 760 Td\n" +
+        "<00010002000300030004> Tj\n" +  // Hello (bfchar)
+        "0 -14 Td\n<001000110012> Tj\n" + // abc (bfrange, contiguous form)
+        "0 -14 Td\n<00200021> Tj\n" +     // wx (bfrange, array form)
+        "0 -14 Td\n(\\000\\001) Tj\n" +   // H (literal string, 2-byte codes)
+        "ET\n"
+    obj {
+      raw(s"<< /Length ${content.length} >>\nstream\n")
+      raw(content)
+      raw("\nendstream\n")
+    }
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |5 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065>
+        |<0003> <006C>
+        |<0004> <006F>
+        |<0005> <0020>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0021> [<0077> <0078>]
+        |endbfrange
+        |endcmap
+        |""".stripMargin
+    obj {
+      raw(s"<< /Length ${cmap.length} >>\nstream\n")
+      raw(cmap)
+      raw("\nendstream\n")
+    }
+    val xrefAt = out.size()
+    raw(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => raw(f"$o%010d 00000 n \n"))
+    raw(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
 }

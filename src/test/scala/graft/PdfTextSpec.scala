@@ -80,6 +80,29 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(bytes) == pages.mkString("\n") + "\n")
   }
 
+  test("CID font: 2-byte hex + literal strings decode via /ToUnicode CMap") {
+    assert(PdfText.extract(MiniPdf.writeCid()) == MiniPdf.CidExpected + "\n")
+  }
+
+  test("ToUnicode CMap parser: widths, bfchar, both bfrange forms") {
+    import graft.ingest.PdfText.parseToUnicode
+    val one = parseToUnicode(
+      "1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<41> <0041>\nendbfchar\n")
+    assert(one.width == 1 && one.map(0x41) == "A")
+    val rng = parseToUnicode(
+      "1 beginbfrange\n<0061> <0063> <0058>\nendbfrange\n")
+    assert(rng.width == 2 &&
+      rng.map(0x61) == "X" && rng.map(0x62) == "Y" && rng.map(0x63) == "Z")
+    val arr = parseToUnicode(
+      "1 beginbfrange\n<10> <11> [<0050> <0051>]\nendbfrange\n")
+    assert(arr.map(0x10) == "P" && arr.map(0x11) == "Q")
+    // multi-code-unit destination: one CID → a surrogate pair / ligature
+    val multi = parseToUnicode(
+      "1 beginbfchar\n<01> <00660069>\nendbfchar\n")
+    assert(multi.map(1) == "fi")
+  }
+
   test("garbage and unsupported codecs yield empty text, never throw") {
     assert(PdfText.extract(Array[Byte](1, 2, 3)) == "")
     assert(PdfText.extract("%PDF-1.4 not really a pdf".getBytes) == "")
