@@ -32,7 +32,8 @@ object SparkEntry {
       graft.queries.Relational.queries ++
       graft.queries.Ext.queries ++
       graft.queries.Ext2.queries ++
-      graft.queries.Ext3.queries
+      graft.queries.Ext3.queries ++
+      graft.queries.Ext4.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -42,5 +43,6 @@ object SparkEntry {
       graft.queries.Relational.oracleSql ++
       graft.queries.Ext.oracleSql ++
       graft.queries.Ext2.oracleSql ++
-      graft.queries.Ext3.oracleSql
+      graft.queries.Ext3.oracleSql ++
+      graft.queries.Ext4.oracleSql
 }

@@ -12,7 +12,13 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val rowCounts = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev-loop filter: an optional 3rd arg "q1,q2" restricts the dump to
+    // those queries (the driver passes 2 args → full catalog)
+    val only = args.drop(2).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name.parquet")

@@ -1,0 +1,368 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import graft.ext.TextOps
+
+/** Round-4 additions: the text-cleaning, indexing and graph shapes that
+  * complete the training-data-pipeline story — PII redaction and HTML
+  * boilerplate stripping (the scrub passes that run before any dedup),
+  * corpus inverted-index construction, fixed-point PageRank (iterative
+  * graph compute as repeated co-partitioned join+agg), fixed-size token
+  * chunking (the sequence-packing precursor), a k-means centroid update
+  * (the training step IVF anchors come from), a bloom-prefiltered semi
+  * join (the runtime-filter pattern), corpus bigram statistics, and cohort
+  * retention analysis.
+  *
+  * Determinism rules as everywhere in the catalog: integer `div` (exact on
+  * both engines) instead of floating division wherever a quotient feeds
+  * downstream arithmetic; doubles only as single IEEE ops (mul/floor) that
+  * both engines evaluate bit-identically; decimal sums for order-free
+  * totals; DuckDB regexp_replace gets the 'g' flag (Spark replaces all
+  * matches by default, DuckDB only the first).
+  */
+object Ext4 {
+
+  /** Deterministic synthetic PII tail: the driver corpus is clean prose, so
+    * the redaction queries append a per-doc contact line (replayed verbatim
+    * by the oracle) to give the regexes real work. */
+  private def withPii(c: Column, id: Column): Column =
+    concat(c, lit(" contact user"), id.cast("string"), lit("@ex.org or call 555-"),
+      lpad((id % 10000).cast("string"), 4, "0"), lit(" from 10."),
+      (id % 256).cast("string"), lit(".0.1"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X4i PII REDACTION: regex scrub of emails/phones/IPv4 before any text
+    // ships to training — pure per-row expression work (no shuffle, no
+    // join, one scan at any corpus size), all three patterns valid in both
+    // Java regex and RE2 (no lookarounds). Counts ride along so the sink
+    // can audit what was removed.
+    "x32_pii_redact" -> ((s, d) => {
+      val email = "[a-z0-9]+@[a-z0-9.]+"
+      val phone = "555-[0-9]{4}"
+      val ip = "10\\.[0-9]+\\.[0-9]+\\.[0-9]+"
+      documents(s, d)
+        .select(col("doc_id"), withPii(col("text"), col("doc_id")).as("t"))
+        .select(col("doc_id"),
+          regexp_count(col("t"), lit(email)).as("n_email"),
+          regexp_count(col("t"), lit(phone)).as("n_phone"),
+          regexp_count(col("t"), lit(ip)).as("n_ip"),
+          regexp_replace(regexp_replace(regexp_replace(col("t"),
+            email, "<EMAIL>"), phone, "<PHONE>"), ip, "<IP>").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4j HTML/BOILERPLATE STRIP: tag removal + entity decode + whitespace
+    // collapse — the markup scrub of a web-crawl ingest. The wrap is
+    // synthetic (driver corpus is plain text) and replayed by the oracle;
+    // the strip chain is the real operator. Single codegen'd projection,
+    // no shuffle.
+    "x33_html_strip" -> ((s, d) => {
+      val wrapped = concat(lit("<div class=\"d"), col("doc_id").cast("string"),
+        lit("\"><p>"), col("text"), lit("</p> &amp; <b>tail&lt;/&gt;</b></div>"))
+      val unTagged = regexp_replace(wrapped, "<[^>]+>", " ")
+      val unEnt = regexp_replace(regexp_replace(regexp_replace(unTagged,
+        "&amp;", "&"), "&lt;", "<"), "&gt;", ">")
+      documents(s, d)
+        .select(col("doc_id"),
+          regexp_count(wrapped, lit("<[^>]+>")).as("n_tags"),
+          trim(regexp_replace(unEnt, "\\s+", " ")).as("clean"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X4k INVERTED INDEX: term → document-frequency + total term count +
+    // the first 8 postings (sorted doc ids as a csv string — the driver
+    // compare hashes scalar columns, so the list is serialized). One
+    // explode + one partial-aggregable groupBy; posting lists build
+    // distributed (collect_set per term), never on the driver. At 100 TB
+    // the per-term set is bounded by df, and a production sink would
+    // delta-encode the postings — the shape (shuffle on term) is the same.
+    "x34_inverted_index" -> ((s, d) => {
+      documents(s, d).repartition(col("doc_id"))
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("df"),
+          count(lit(1)).as("tf_total"),
+          concat_ws(",", transform(slice(sort_array(collect_set(col("doc_id"))), 1, 8),
+            x => x.cast("string"))).as("postings8"))
+        .orderBy(col("term"))
+    }),
+
+    // X7a PAGERANK (3 unrolled iterations, undirected customer–supplier
+    // graph from order lines; node ids disjoint via 2k / 2k+1 encoding).
+    // FIXED-POINT bigint arithmetic throughout: rank starts at 1e6, each
+    // round is r' = 0.15e6 + 85·Σ(r div outdeg) div 100 using integer
+    // `div` — both engines' integer division is exact, so the result is
+    // bit-identical with no float summation-order concerns. Each iteration
+    // is one equi-join + one partial-aggregable groupBy, both shuffling on
+    // the node id — the canonical scalable PR shape (edges co-partitioned
+    // with ranks; a cluster deployment would bucket both by src). Top-100
+    // via TakeOrderedAndProject, never a global sort.
+    "x35_pagerank" -> ((s, d) => {
+      val e0 = orders(s, d).join(lineitem(s, d),
+          col("o_orderkey") === col("l_orderkey"))
+        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .distinct()
+      val ed = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      // (src, dst, outdeg) reused by all three rounds — one persist, the
+      // harness sweep frees it after the terminal action
+      val edd = ed.join(deg, "src").persist()
+      var r = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+      for (_ <- 1 to 3) {
+        r = edd.join(r, col("src") === col("id"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      }
+      r.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
+
+    // X4l TOKEN CHUNKING: split each document into fixed-size token windows
+    // (64 tokens, stride 48 — overlapping training sequences). Pure per-row
+    // generator (explode of a computed index range): rows fan out
+    // partition-locally before any shuffle, exactly the sequence-packing
+    // precursor x20 (shard packing) consumes. slice-based windows, never a
+    // Spark `sequence(1, n-1)` (which generates DESCENDING when n = 1).
+    "x36_token_chunks" -> ((s, d) => {
+      documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(sequence(lit(0), expr("(n - 1) div 48"))).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("w"), col("n"), (col("chunk_idx") * 48).as("start"))
+        .select(col("doc_id"), col("chunk_idx"),
+          least(lit(64), col("n") - col("start")).cast("long").as("n_chunk_tokens"),
+          element_at(col("w"), (col("start") + 1).cast("int")).as("first_tok"),
+          element_at(col("w"),
+            (col("start") + least(lit(64), col("n") - col("start"))).cast("int"))
+            .as("last_tok"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // X3d K-MEANS CENTROID UPDATE: one Lloyd iteration over the embedding
+    // corpus — assign every vector to its nearest Rademacher anchor (x23's
+    // Voronoi cells) and recompute per-cell means for the first 4 dims.
+    // The means are FIXED-POINT: each coordinate becomes
+    // floor(v·1e6) (one IEEE multiply + floor, bit-identical on both
+    // engines), summed exactly as integers, divided by n with integer
+    // `div`. Assignment + partial-aggregable groupBy = the exact shape a
+    // full k-means training loop iterates; no all-pairs anywhere.
+    "x37_kmeans_update" -> ((s, d) => {
+      import graft.ext.IvfCentroids.{K, c}
+      import graft.ext.Similarity
+      val withDots = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(Seq(col("vec_id"), col("v")) ++
+          (0 until K).map(k =>
+            Similarity.dot(col("v"), typedLit(c(k))).as(s"d$k")): _*)
+      val cell = (0 until K).foldRight(lit(K - 1)) { (k, rest) =>
+        if (k == K - 1) rest
+        else when((k + 1 until K).map(j => col(s"d$k") >= col(s"d$j")).reduce(_ && _),
+          lit(k)).otherwise(rest)
+      }
+      val scaled = (0 until 4).map(j =>
+        floor(element_at(col("v"), j + 1) * lit(1000000.0)).cast("long").as(s"x$j"))
+      withDots.select(Seq(cell.as("cell")) ++ scaled: _*)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"),
+          (0 until 4).map(j => sum(col(s"x$j")).as(s"s$j")): _*)
+        .select(Seq(col("cell"), col("n")) ++
+          (0 until 4).map(j => expr(s"s$j div n").as(s"m$j")): _*)
+        .orderBy(col("cell"))
+    }),
+
+    // J9 BLOOM-PREFILTERED SEMI JOIN (runtime-filter pattern): build a
+    // bloom sketch of the dimension keys (driver-side, O(sketch) — the
+    // sketch is KB-scale however big the fact side is), prefilter the fact
+    // scan with mightContain, then an exact left-semi join removes the
+    // bloom's false positives — so the result equals the plain semi join
+    // the oracle runs, while the fact→shuffle volume drops by the filter's
+    // selectivity. This is what Spark's own runtime row-level filtering
+    // does under AQE; spelled explicitly here as an operator. NOTE: the
+    // constructor EXECUTES the sketch-build job (like x17/x24's eager
+    // steps).
+    "x38_bloom_semi" -> ((s, d) => {
+      val dim = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val bf = dim.stat.bloomFilter("c_custkey", 20000L, 0.03)
+      val bfB = s.sparkContext.broadcast(bf)
+      val might = udf((k: Long) => bfB.value.mightContain(k))
+      orders(s, d)
+        .filter(might(col("o_custkey")))
+        .join(dim, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
+    // X4m BIGRAM TOP-K: corpus-wide adjacent-pair counts — the n-gram
+    // statistics a tokenizer-training / contamination pass reads. Bigrams
+    // build per-row via zip_with over two slices (no positional self-join,
+    // no window), then one partial-aggregable groupBy; top-20 via
+    // TakeOrderedAndProject with a term tie-break.
+    "x39_bigram_topk" -> ((s, d) => {
+      documents(s, d)
+        .select(TextOps.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(explode(zip_with(
+          slice(col("w"), lit(1), size(col("w")) - 1),
+          slice(col("w"), lit(2), size(col("w")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(20)
+    }),
+
+    // W12 COHORT RETENTION: users grouped by first-activity week, activity
+    // counted per week offset — the classic engagement matrix. Day/week
+    // numbers are integer `div` of epoch-micros (micros on both engines,
+    // see Ext3's timestamp note; no timezone arithmetic anywhere). One
+    // shuffle on user_id serves the cohort window; the final groupBy is
+    // partial-aggregable.
+    "w12_retention" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+      events(s, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .select(col("user_id"), expr("tus div 86400000000").as("day"))
+        .withColumn("cohort_day", min(col("day")).over(w))
+        .select(col("user_id"),
+          expr("cohort_day div 7").as("cohort_week"),
+          expr("(day - cohort_day) div 7").as("week_no"))
+        .groupBy(col("cohort_week"), col("week_no"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("cohort_week"), col("week_no"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x32_pii_redact" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex.org or call 555-'
+        |    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' from 10.'
+        |    || CAST(doc_id % 256 AS VARCHAR) || '.0.1' AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(t, '[a-z0-9]+@[a-z0-9.]+')) AS n_email,
+        |  len(regexp_extract_all(t, '555-[0-9]{4}')) AS n_phone,
+        |  len(regexp_extract_all(t, '10\.[0-9]+\.[0-9]+\.[0-9]+')) AS n_ip,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g'),
+        |    '10\.[0-9]+\.[0-9]+\.[0-9]+', '<IP>', 'g') AS redacted
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x33_html_strip" ->
+      """WITH t AS (SELECT doc_id,
+        |  '<div class="d' || CAST(doc_id AS VARCHAR) || '"><p>' || text
+        |    || '</p> &amp; <b>tail&lt;/&gt;</b></div>' AS s
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(s, '<[^>]+>')) AS n_tags,
+        |  trim(regexp_replace(
+        |    regexp_replace(regexp_replace(regexp_replace(
+        |      regexp_replace(s, '<[^>]+>', ' ', 'g'),
+        |      '&amp;', '&', 'g'), '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+        |    '\s+', ' ', 'g')) AS clean
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "x34_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents)
+        |SELECT term, count(DISTINCT doc_id) AS df, count(*) AS tf_total,
+        |  array_to_string(list_transform(
+        |    list_sort(list(DISTINCT doc_id))[1:8], x -> CAST(x AS VARCHAR)), ',')
+        |    AS postings8
+        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+
+    "x35_pagerank" ->
+      """WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+        |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        |ed AS (SELECT a AS src, b AS dst FROM e0
+        |  UNION ALL SELECT b AS src, a AS dst FROM e0),
+        |deg AS (SELECT src, count(*) AS outdeg FROM ed GROUP BY src),
+        |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+        |r1 AS (SELECT dst AS id,
+        |  CAST(150000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN r0 ON r0.id = ed.src JOIN deg USING (src) GROUP BY dst),
+        |r2 AS (SELECT dst AS id,
+        |  CAST(150000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN r1 ON r1.id = ed.src JOIN deg USING (src) GROUP BY dst),
+        |r3 AS (SELECT dst AS id,
+        |  CAST(150000 + (85 * sum(r // outdeg)) // 100 AS BIGINT) AS r
+        |  FROM ed JOIN r2 ON r2.id = ed.src JOIN deg USING (src) GROUP BY dst)
+        |SELECT id, r AS rank FROM r3 ORDER BY rank DESC, id LIMIT 100""".stripMargin,
+
+    "x36_token_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |  len(string_split(text, ' ')) AS n FROM documents),
+        |c AS (SELECT doc_id, w, n,
+        |  unnest(range(0, ((n - 1) // 48) + 1)) AS chunk_idx FROM w),
+        |s AS (SELECT doc_id, chunk_idx, w, n, chunk_idx * 48 AS start FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  least(64, n - start) AS n_chunk_tokens,
+        |  w[CAST(start + 1 AS INT)] AS first_tok,
+        |  w[CAST(start + least(64, n - start) AS INT)] AS last_tok
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "x37_kmeans_update" -> {
+      import graft.ext.IvfCentroids.{K, anchorSqlList}
+      def dot(a: String, b: String) =
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
+      val anchorCols = (0 until K)
+        .map(k => s"${anchorSqlList(k)} AS c$k").mkString(",\n|  ")
+      val dotCols = (0 until K).map(k => s"${dot("v", s"c$k")} AS d$k").mkString(",\n|  ")
+      val cellCase = (0 until K - 1).map(k =>
+        "WHEN " + (k + 1 until K).map(j => s"d$k >= d$j").mkString(" AND ") +
+          s" THEN $k").mkString("CASE ", " ", s" ELSE ${K - 1} END")
+      val sums = (0 until 4).map(j =>
+        s"sum(CAST(floor(v[${j + 1}] * 1000000.0) AS BIGINT)) AS s$j").mkString(", ")
+      val means = (0 until 4).map(j =>
+        s"CAST(s$j // n AS BIGINT) AS m$j").mkString(", ")
+      s"""WITH anchors AS (SELECT
+        |  $anchorCols),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ed AS (SELECT vec_id, v, $dotCols FROM e, anchors),
+        |ec AS (SELECT vec_id, v, $cellCase AS cell FROM ed),
+        |agg AS (SELECT cell, count(*) AS n, $sums FROM ec GROUP BY cell)
+        |SELECT cell, n, $means FROM agg ORDER BY cell""".stripMargin
+    },
+
+    // the bloom prefilter is transparent (false positives removed by the
+    // exact semi join), so the oracle is the plain semi join
+    "x38_bloom_semi" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |  WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "x39_bigram_topk" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 2),
+        |b AS (SELECT unnest(list_transform(range(1, len(w)),
+        |  i -> w[i] || ' ' || w[i+1])) AS bigram FROM w)
+        |SELECT bigram, count(*) AS n FROM b
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "w12_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, day,
+        |  min(day) OVER (PARTITION BY user_id) AS cohort_day FROM e),
+        |x AS (SELECT user_id, cohort_day // 7 AS cohort_week,
+        |  (day - cohort_day) // 7 AS week_no FROM c)
+        |SELECT cohort_week, week_no, count(DISTINCT user_id) AS n_users,
+        |  count(*) AS n_events
+        |FROM x GROUP BY cohort_week, week_no
+        |ORDER BY cohort_week, week_no""".stripMargin)
+}
