@@ -321,14 +321,20 @@ object Ext {
         .orderBy(col("l_returnflag"))
     }),
 
-    // X5b multimodal decode: binary payloads → typed media metadata via the
-    // mapPartitions decode stub (ext/Multimodal; not SQL-expressible —
-    // rows-only check; determinism is spec-tested).
+    // X5b multimodal decode: REAL binary payloads → typed media metadata.
+    // The executors encode a deterministic RGB gradient per doc with the
+    // JDK's own PNG (even ids) / BMP (odd ids) codec, then the byte-level
+    // container sniffer parses format + dimensions back out of the actual
+    // PNG IHDR / BMP info header (ext/Multimodal.sniffMeta). The oracle
+    // predicts the header fields in closed form, so a wrong parse (or a
+    // wrong encode) hash-mismatches. Encode+decode are partition-local
+    // mapPartitions work — no shuffle, linear scaling.
     "x13_multimodal_decode" -> ((s, d) => {
-      graft.ext.Multimodal.decodeStub(
-        documents(s, d).select(col("doc_id"),
-          col("text").cast("binary").as("payload")))
+      graft.ext.Multimodal.sniff(
+        graft.ext.Multimodal.synthImagePayloads(
+          documents(s, d).select(col("doc_id"))))
         .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"))
         .orderBy(col("doc_id"))
     }),
 
@@ -546,6 +552,16 @@ object Ext {
         |  octet_length(encode(text)) AS n_bytes,
         |  md5(text) AS md5_hex,
         |  sha256(text) AS sha256_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the engine really encodes (JDK PNG/BMP writer) and really parses the
+    // container headers back; the oracle predicts those fields in closed
+    // form from the id-derived dimensions
+    "x13_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(8 + doc_id % 5 AS INT) AS width,
+        |  CAST(8 + doc_id % 7 AS INT) AS height
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "x16_lsh_ann" -> {

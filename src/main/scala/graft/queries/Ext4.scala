@@ -222,6 +222,25 @@ object Ext4 {
         .orderBy(col("n").desc, col("bigram")).limit(20)
     }),
 
+    // X5c REAL IMAGE PIXEL DECODE: executors encode a deterministic RGB
+    // gradient per doc with the JDK's lossless codecs (PNG zlib round trip
+    // for even ids, BMP raster for odd), then DECODE the payload back
+    // (inflate + de-filter / raster walk via javax.imageio — pure JDK, no
+    // external codec) and reduce the raster to per-channel pixel sums. The
+    // oracle predicts the sums in closed form from the generative formula,
+    // so any encode OR decode defect hash-mismatches. Both stages are
+    // partition-local mapPartitions (no shuffle) — the exact shape of a
+    // crawl-ingest image feature pass, scaling linearly with executors.
+    "x40_image_decode" -> ((s, d) => {
+      graft.ext.Multimodal.imageStats(
+        graft.ext.Multimodal.synthImagePayloads(
+          documents(s, d).select(col("doc_id"))))
+        .toDF()
+        .select(col("doc_id"), col("format"), col("width"), col("height"),
+          col("n_px"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy(col("doc_id"))
+    }),
+
     // W12 COHORT RETENTION: users grouped by first-activity week, activity
     // counted per week offset — the classic engagement matrix. Day/week
     // numbers are integer `div` of epoch-micros (micros on both engines,
@@ -354,6 +373,24 @@ object Ext4 {
         |  i -> w[i] || ' ' || w[i+1])) AS bigram FROM w)
         |SELECT bigram, count(*) AS n FROM b
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "x40_image_decode" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 5 AS w, 8 + doc_id % 7 AS h
+        |  FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+        |ys AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |p AS (SELECT doc_id, w, h,
+        |  (x * 3 + y * 5 + doc_id) % 256 AS r,
+        |  (x + y * 2 + doc_id * 7) % 256 AS g,
+        |  (x * 11 + y + doc_id * 13) % 256 AS b FROM ys)
+        |SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  count(*) AS n_px,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM p GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "w12_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

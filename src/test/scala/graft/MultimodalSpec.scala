@@ -160,4 +160,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.map(_.n_samples).sum == 5000)
     assert(out.last.peak == 5000)
   }
+
+  test("imageStatsOf: REAL pixel decode through the JDK PNG and BMP codecs") {
+    // 2×2 PNG, id 0: pixel(x,y) r=(3x+5y)%256 g=(x+2y)%256 b=(11x+y)%256
+    //   (0,0)=(0,0,0) (1,0)=(3,1,11) (0,1)=(5,2,1) (1,1)=(8,3,12)
+    val png = Multimodal.synthImage(0L, 2, 2, "png")
+    val s = Multimodal.imageStatsOf(0L, png).get
+    assert((s.format, s.width, s.height, s.n_px) === (("png", 2, 2, 4L)))
+    assert((s.sum_r, s.sum_g, s.sum_b) === ((16L, 6L, 24L)))
+    // same raster through the BMP writer decodes to identical sums
+    val bmp = Multimodal.imageStatsOf(0L, Multimodal.synthImage(0L, 2, 2, "bmp")).get
+    assert((bmp.format, bmp.sum_r, bmp.sum_g, bmp.sum_b) === (("bmp", 16L, 6L, 24L)))
+    // mod-256 wraparound exercises the full byte range
+    val big = Multimodal.imageStatsOf(300L, Multimodal.synthImage(300L, 3, 1, "png")).get
+    assert((big.sum_r, big.sum_g, big.sum_b) ===
+      (((300 % 256) * 3 + 3 + 6).toLong, // r: 44,47,50
+        ((300 * 7 % 256) + (300 * 7 % 256 + 1) + (300 * 7 % 256 + 2)).toLong,
+        ((300 * 13 % 256) * 3 + 11 + 22).toLong))
+    // garbage and empty payloads are dropped, never thrown
+    assert(Multimodal.imageStatsOf(1L, "not an image".getBytes).isEmpty)
+    assert(Multimodal.imageStatsOf(1L, null).isEmpty)
+  }
+
+  test("imageStats operator: real decode in a Spark plan, garbage dropped") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val df = Seq((30L, Multimodal.synthImage(30L, 4, 3, "png")),
+      (31L, Multimodal.synthImage(31L, 4, 3, "bmp")),
+      (32L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    val out = graft.ext.Multimodal.imageStats(df).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq === Seq(30L, 31L))
+    assert(out.forall(s => s.n_px == 12L && s.width == 4 && s.height == 3))
+  }
 }
