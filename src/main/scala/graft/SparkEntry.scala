@@ -33,7 +33,8 @@ object SparkEntry {
       graft.queries.Ext.queries ++
       graft.queries.Ext2.queries ++
       graft.queries.Ext3.queries ++
-      graft.queries.Ext4.queries
+      graft.queries.Ext4.queries ++
+      graft.queries.Ext5.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -44,5 +45,6 @@ object SparkEntry {
       graft.queries.Ext.oracleSql ++
       graft.queries.Ext2.oracleSql ++
       graft.queries.Ext3.oracleSql ++
-      graft.queries.Ext4.oracleSql
+      graft.queries.Ext4.oracleSql ++
+      graft.queries.Ext5.oracleSql
 }

@@ -1,0 +1,252 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import graft.ext.TextOps
+
+/** Round-4 batch 2: corpus n-gram novelty (the contamination/memorization
+  * metric), product-quantization code assignment (the compression side of
+  * ANN), an interval range join via bucket binning (the scalable spelling
+  * of a date-overlap theta join), a salted skew join (the 3-key join that
+  * would otherwise hot-spot 3 tasks), and time-weighted segment sums over
+  * event streams.
+  *
+  * Determinism rules as everywhere in the catalog (ROUND_NOTES.md):
+  * integer `div`; floor-after-one-IEEE-multiply fixed-point; decimal sums
+  * for order-free totals; sequential-fold dots; codebooks baked as
+  * literals on both sides; every result ordered by a unique key.
+  */
+object Ext5 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X4n N-GRAM NOVELTY: per document, how many of its distinct 5-grams
+    // appear in NO other document — the memorization / cross-contamination
+    // metric a training-data audit runs (the inverse of x25's
+    // decontamination overlap). Shape: per-row gram generation (transform
+    // over an index sequence — no self-join, no window), one shuffle on
+    // gram for the document-frequency count, one shuffle back on doc_id.
+    // Both aggregations are partial-aggregable, so the plan survives any
+    // corpus size; gram cardinality is bounded by total token count.
+    "x41_ngram_novelty" -> ((s, d) => {
+      val grams = documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("w")) - 4),
+          i => array_join(slice(col("w"), i, lit(5)), " "))).as("gram"))
+        .distinct()
+      val df = grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("df"))
+      grams.join(df, "gram")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // X3e PRODUCT-QUANTIZATION CODES: 64-dim embedding → 4 subspaces of 16
+    // dims → nearest ±1 codeword per subspace (argmax sequential-fold dot,
+    // ties to the lowest id — x37's rule) → corpus histogram over the
+    // 4-tuple code. The assignment is scan-local (codebook is a plan
+    // literal — on a cluster, a broadcast), the histogram partial-
+    // aggregable; sum_qdot (fixed-point sum of the winning dots) audits
+    // quantization quality the way a recall probe would. This is the
+    // memory-side half of IVF-PQ: x23 picks the cell, this picks the code.
+    "x42_pq_codes" -> ((s, d) => {
+      import graft.ext.PqCodebook.{M, SubDim, Kc, cw}
+      import graft.ext.Similarity
+      val sub = (m: Int) => slice(col("v"), m * SubDim + 1, SubDim)
+      val withDots = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .select(Seq(col("vec_id")) ++
+          (for (m <- 0 until M; k <- 0 until Kc)
+            yield Similarity.dot(sub(m), typedLit(cw(m)(k))).as(s"d${m}_$k")): _*)
+      def cell(m: Int) = (0 until Kc).foldRight(lit(Kc - 1)) { (k, rest) =>
+        if (k == Kc - 1) rest
+        else when((k + 1 until Kc).map(j => col(s"d${m}_$k") >= col(s"d${m}_$j"))
+          .reduce(_ && _), lit(k)).otherwise(rest)
+      }
+      def best(m: Int) = (0 until Kc).map(k => col(s"d${m}_$k")).reduce(greatest(_, _))
+      withDots
+        .select(Seq(col("vec_id")) ++ (0 until M).map(m => cell(m).as(s"c$m")) ++
+          Seq((0 until M).map(m => floor(best(m) * lit(1000000.0)).cast("long"))
+            .reduce(_ + _).as("qdot")): _*)
+        .groupBy((0 until M).map(m => col(s"c$m")): _*)
+        .agg(count(lit(1)).as("n"), sum(col("qdot")).as("sum_qdot"))
+        .orderBy((0 until M).map(m => col(s"c$m")): _*)
+    }),
+
+    // J9 INTERVAL RANGE JOIN via bucket binning: high-value urgent orders
+    // define 14-day windows; count (and price-sum) all orders landing in
+    // each window. The naive spelling is a theta join (|L|×|R| compares —
+    // the plan Spark gives a BETWEEN condition is BroadcastNestedLoop); the
+    // scalable spelling bins both sides by interval-width buckets: each
+    // window covers ≤2 buckets (explode), each right row exactly 1, so the
+    // bucket equi-join bounds candidates and every true pair is matched
+    // exactly once (buckets are disjoint — no post-dedup). Shuffles on the
+    // bucket key only; survives any date range and any row count.
+    "j9_interval_join" -> ((s, d) => {
+      val dayUs = 86400000000L
+      // o_orderdate arrives as TIMESTAMP_NTZ; the session pins UTC, so the
+      // cast to instant is exact and matches DuckDB's epoch_us on the
+      // naive value
+      val win = orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("k"),
+          expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("d"))
+        .select(col("k"), col("d"),
+          explode(sequence(expr("d div 14"), expr("(d + 13) div 14"))).as("bkt"))
+      val r = orders(s, d)
+        .select(col("o_orderkey").as("rk"),
+          expr(s"unix_micros(cast(o_orderdate as timestamp)) div $dayUs").as("rd"),
+          col("o_totalprice"))
+        .select(col("rk"), col("rd"), col("o_totalprice"),
+          expr("rd div 14").as("bkt"))
+      win.join(r, "bkt")
+        .filter(col("rd") >= col("d") && col("rd") < col("d") + 14)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_in_window"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("k"))
+    }),
+
+    // J10 SALTED SKEW JOIN: lineitem keyed by l_returnflag has exactly 3
+    // distinct keys — a plain shuffle join hot-spots 3 tasks however many
+    // executors exist. Salting spreads it: the fact side derives salt =
+    // l_orderkey % 16 (deterministic, no rand()), the 3-row dim side
+    // explodes ×16, and the join key becomes (flag, salt) — 48 evenly-
+    // sized partitions. The final rollup re-aggregates the partials, so
+    // the result is identical to the unsalted join (which is what the
+    // oracle runs). Same pattern as a4_salted_agg, applied to a join.
+    "j10_salted_join" -> ((s, d) => {
+      val dim = lineitem(s, d).select(col("l_returnflag").as("flag")).distinct()
+        .select(col("flag"), ascii(col("flag")).cast("long").as("weight"))
+        .select(col("flag"), col("weight"),
+          explode(sequence(lit(0L), lit(15L))).as("salt"))
+      val fact = lineitem(s, d)
+        .select(col("l_returnflag").as("flag"), col("l_quantity"),
+          (col("l_orderkey") % 16).as("salt"))
+      fact.join(dim, Seq("flag", "salt"))
+        .groupBy(col("flag"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_quantity") * col("weight")).cast("decimal(18,2)"))
+            .cast("double").as("weighted_qty"))
+        .orderBy(col("flag"))
+    }),
+
+    // W13 TIME-WEIGHTED SEGMENT SUMS: each event's value held until the
+    // user's next event (lead over the per-user timeline — one shuffle on
+    // user_id); the weighted total Σ value·duration is the time-weighted-
+    // average numerator every engagement/billing pipeline computes. Fixed
+    // point: value → floor(value·1e3) (one IEEE multiply + floor), duration
+    // in integer micros, products summed as DECIMAL(38,0) so no float
+    // summation-order or bigint-overflow concerns at any scale.
+    "w13_time_weighted" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+      events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          expr("ts_ns div 1000").as("tus"))
+        .withColumn("dur_us", lead(col("tus"), 1).over(w) - col("tus"))
+        .filter(col("dur_us").isNotNull)
+        .select(col("user_id"), col("dur_us"),
+          (floor(col("value") * 1000.0).cast("long") * col("dur_us")).as("wv"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("dur_us")).as("sum_dur_us"),
+          sum(col("wv").cast("decimal(38,0)")).cast("double").as("sum_wv"))
+        .orderBy(col("user_id"))
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x41_ngram_novelty" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 5),
+        |g AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(1, len(w) - 3),
+        |      i -> array_to_string(w[i:i+4], ' '))) AS gram
+        |  FROM w),
+        |df AS (SELECT gram, count(*) AS df FROM g GROUP BY gram)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+        |FROM g JOIN df USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "x42_pq_codes" -> {
+      import graft.ext.PqCodebook.{M, SubDim, Kc, cwSqlList}
+      val cwCols = (for (m <- 0 until M; k <- 0 until Kc)
+        yield s"${cwSqlList(m, k)} AS w${m}_$k").mkString(",\n|  ")
+      def dot(m: Int, k: Int) = {
+        val off = m * SubDim
+        s"list_reduce(list_prepend(0.0, list_transform(range(1, ${SubDim + 1}), " +
+          s"i -> v[$off + i] * w${m}_$k[i])), (acc, x) -> acc + x)"
+      }
+      val dotCols = (for (m <- 0 until M; k <- 0 until Kc)
+        yield s"${dot(m, k)} AS d${m}_$k").mkString(",\n|  ")
+      def cellCase(m: Int) = (0 until Kc - 1).map(k =>
+        "WHEN " + (k + 1 until Kc).map(j => s"d${m}_$k >= d${m}_$j").mkString(" AND ") +
+          s" THEN $k").mkString("CASE ", " ", s" ELSE ${Kc - 1} END")
+      val cellCols = (0 until M).map(m => s"${cellCase(m)} AS c$m").mkString(",\n|  ")
+      def best(m: Int) =
+        s"greatest(${(0 until Kc).map(k => s"d${m}_$k").mkString(", ")})"
+      val qdot = (0 until M)
+        .map(m => s"CAST(floor(${best(m)} * 1000000.0) AS BIGINT)").mkString(" + ")
+      s"""WITH cb AS (SELECT
+        |  $cwCols),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |ed AS (SELECT vec_id, v,
+        |  $dotCols
+        |  FROM e, cb),
+        |ec AS (SELECT vec_id,
+        |  $cellCols,
+        |  $qdot AS qdot
+        |  FROM ed)
+        |SELECT c0, c1, c2, c3, count(*) AS n,
+        |  CAST(sum(qdot) AS BIGINT) AS sum_qdot
+        |FROM ec GROUP BY c0, c1, c2, c3 ORDER BY c0, c1, c2, c3""".stripMargin
+    },
+
+    // the bucket binning is transparent (exact containment re-checked), so
+    // the oracle is the plain BETWEEN theta join
+    "j9_interval_join" ->
+      """WITH l AS (SELECT o_orderkey AS k,
+        |    epoch_us(o_orderdate) // 86400000000 AS d
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 400000),
+        |r AS (SELECT epoch_us(o_orderdate) // 86400000000 AS rd, o_totalprice
+        |  FROM orders)
+        |SELECT k, count(*) AS n_in_window,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM l JOIN r ON rd >= d AND rd < d + 14
+        |GROUP BY k ORDER BY k""".stripMargin,
+
+    // salting is transparent (partials re-aggregate), so the oracle is the
+    // plain join
+    "j10_salted_join" ->
+      """WITH dim AS (SELECT DISTINCT l_returnflag AS flag FROM lineitem),
+        |dw AS (SELECT flag, CAST(ascii(flag) AS BIGINT) AS weight FROM dim)
+        |SELECT flag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity * weight AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS weighted_qty
+        |FROM lineitem JOIN dw ON l_returnflag = flag
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "w13_time_weighted" ->
+      """WITH e AS (SELECT event_id, user_id, value,
+        |    epoch_us(ts) AS tus FROM events),
+        |l AS (SELECT user_id, value, tus,
+        |    lead(tus) OVER (PARTITION BY user_id ORDER BY tus, event_id) - tus
+        |      AS dur_us
+        |  FROM e),
+        |s AS (SELECT user_id, dur_us,
+        |    CAST(floor(value * 1000.0) AS BIGINT) * dur_us AS wv
+        |  FROM l WHERE dur_us IS NOT NULL)
+        |SELECT user_id, count(*) AS n_segments,
+        |  CAST(sum(dur_us) AS BIGINT) AS sum_dur_us,
+        |  CAST(sum(CAST(wv AS DECIMAL(38,0))) AS DOUBLE) AS sum_wv
+        |FROM s GROUP BY user_id ORDER BY user_id""".stripMargin)
+}
