@@ -49,7 +49,9 @@ class Ext2ScaleSpec extends AnyFunSuite {
       .filter(col("id1") =!= col("id2"))
     val nodes = spark.range(n.toLong).select(col("id"))
     val t0 = System.nanoTime()
-    val out = Components.connectedComponents(nodes, edges)
+    // threshold 0 forces the distributed min-label loop (the ≥100 TB path;
+    // the default would take the driver union-find at this edge count)
+    val out = Components.connectedComponents(nodes, edges, localEdgeThreshold = 0L)
     val groups = out.select("cluster_id").distinct().count()
     val secs = (System.nanoTime() - t0) / 1e9
     assert(groups == n / 4)

@@ -12,10 +12,11 @@ class Ext2Spec extends AnyFunSuite {
   import spark.implicits._
 
   private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
-      parts: Int): Map[Long, Long] =
+      parts: Int, localThreshold: Long = 2000000L): Map[Long, Long] =
     Components.connectedComponents(
       nodes.toDF("id").repartition(parts),
-      edges.toDF("id1", "id2").repartition(parts))
+      edges.toDF("id1", "id2").repartition(parts),
+      localEdgeThreshold = localThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
 
   test("components: chain, triangle, isolated node") {
@@ -65,8 +66,14 @@ class Ext2Spec extends AnyFunSuite {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val expected = nodes.map(i => i -> find(i.toInt).toLong).toMap
-      val got = cc(nodes, edges, parts = 1 + rnd.nextInt(8))
-      assert(got === expected, s"trial=$trial n=$n edges=${edges.size}")
+      // both paths — driver union-find (default threshold) and the
+      // distributed min-label loop (threshold 0) — reach the same fixpoint
+      val local = cc(nodes, edges, parts = 1 + rnd.nextInt(8))
+      val iterative = cc(nodes, edges, parts = 1 + rnd.nextInt(8),
+        localThreshold = 0L)
+      assert(local === expected, s"local trial=$trial n=$n edges=${edges.size}")
+      assert(iterative === expected,
+        s"iterative trial=$trial n=$n edges=${edges.size}")
     }
   }
 
