@@ -102,10 +102,15 @@ object Ext4 {
     // with ranks; a cluster deployment would bucket both by src). Top-100
     // via TakeOrderedAndProject, never a global sort.
     "x35_pagerank" -> ((s, d) => {
+      // persist the joined+distinct edge set: the doubled union below reads
+      // it twice and the degree count a third time — uncached, the
+      // join+distinct pipeline would execute once per read inside the edd
+      // materialization (union branches only share work via a cached source)
       val e0 = orders(s, d).join(lineitem(s, d),
           col("o_orderkey") === col("l_orderkey"))
         .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
         .distinct()
+        .persist()
       val ed = e0.select(col("a").as("src"), col("b").as("dst"))
         .union(e0.select(col("b").as("src"), col("a").as("dst")))
       val deg = ed.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))

@@ -138,6 +138,50 @@ object Ext5 {
         .orderBy(col("flag"))
     }),
 
+    // X4o DOC-PIPELINE E2E: the composed training-data flow — normalize →
+    // exact-dedup (first-wins survivor per normalized text) → token count →
+    // token-budget shard packing (ShardPack's distributed prefix sum, an
+    // O(P) offset exchange) → per-shard manifest. Each stage is one of the
+    // catalog's proven primitives; composing them in one plan is what the
+    // real pipeline ships, and the manifest (doc count / token sum / id
+    // range per shard) is what a trainer's data loader reads. Shuffles:
+    // one on the dedup key, one range partition for packing, one partial-
+    // aggregable rollup — nothing quadratic, nothing driver-bound.
+    "x43_docpipe_e2e" -> ((s, d) => {
+      val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+      val surv = documents(s, d)
+        .select(col("doc_id"), norm.as("norm"))
+        .groupBy(col("norm")).agg(min(col("doc_id")).as("doc_id"))
+      val toks = surv.select(col("doc_id"),
+        size(split(col("norm"), " ")).cast("long").as("n_tokens"))
+      graft.ext.ShardPack.pack(toks, "doc_id", "n_tokens", 1000L)
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    }),
+
+    // Q6 CORRELATED-SUBQUERY DECORRELATION: the catalog's SQL-entry
+    // showcase — customers above their nation's average balance, written
+    // as two correlated scalar subqueries. Catalyst decorrelates both into
+    // aggregate+join (PlanSpec pins that no per-row subquery survives), so
+    // the executed plan is the same shuffle-join shape a hand-written
+    // DataFrame version produces. The predicate is spelled multiply-
+    // through (bal·count > sum, exact decimals) so no float division or
+    // summation-order concern exists on either engine.
+    "q6_decorrelate" -> ((s, d) => {
+      graft.tables.Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey, c_acctbal
+        FROM customer c
+        WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+            (SELECT count(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+        ORDER BY c_custkey""")
+    }),
+
     // W13 TIME-WEIGHTED SEGMENT SUMS: each event's value held until the
     // user's next event (lead over the per-user timeline — one shuffle on
     // user_id); the weighted total Σ value·duration is the time-weighted-
@@ -234,6 +278,35 @@ object Ext5 {
         |    AS weighted_qty
         |FROM lineitem JOIN dw ON l_returnflag = flag
         |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "x43_docpipe_e2e" ->
+      """WITH n AS (SELECT doc_id,
+        |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        |  FROM documents),
+        |s AS (SELECT norm, min(doc_id) AS doc_id FROM n GROUP BY norm),
+        |t AS (SELECT doc_id,
+        |    CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens FROM s),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM t),
+        |sh AS (SELECT doc_id, n_tokens,
+        |    GREATEST(CAST(0 AS BIGINT), CAST((cum - 1) // 1000 AS BIGINT))
+        |      AS shard_id FROM c)
+        |SELECT shard_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM sh GROUP BY shard_id ORDER BY shard_id""".stripMargin,
+
+    "q6_decorrelate" ->
+      """SELECT c_custkey, c_acctbal
+        |FROM customer c
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) *
+        |    (SELECT count(*) FROM customer c2
+        |     WHERE c2.c_nationkey = c.c_nationkey)
+        |  > (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        |     WHERE c2.c_nationkey = c.c_nationkey)
+        |ORDER BY c_custkey""".stripMargin,
 
     "w13_time_weighted" ->
       """WITH e AS (SELECT event_id, user_id, value,

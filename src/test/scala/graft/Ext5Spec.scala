@@ -129,6 +129,44 @@ class Ext5Spec extends AnyFunSuite {
     assert(salted.size === 3) // A, N, R
   }
 
+  test("x43_docpipe_e2e: dedup survivor, token counts, budget boundaries") {
+    // docs 1 and 5 normalize identically ("a b c" after case/space fold) —
+    // doc 1 survives; budget 1000 means shards split on the 4-token doc 7
+    val d = docs(Seq(
+      (1L, "a b  c"),
+      (5L, "A B C"),
+      (7L, (0 until 999).map(_ => "t").mkString(" ")),
+      (9L, "x y")))
+    val out = SparkEntry.queries("x43_docpipe_e2e")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // packing order by doc_id: d1 (3 toks, cum 3) shard 0; d7 (999, cum
+    // 1002) shard 1; d9 (2, cum 1004) shard 1
+    assert(out.toSeq === Seq(
+      (0L, 1L, 3L, 1L, 1L),
+      (1L, 2L, 1001L, 7L, 9L)))
+  }
+
+  test("q6_decorrelate: equals the hand-decorrelated DataFrame plan") {
+    import graft.tables.Tables
+    val c = Tables.customer(spark, sf)
+    val stats = c.groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("c_acctbal").cast("decimal(18,2)")).as("s"))
+    val expected = c.join(stats, "c_nationkey")
+      .filter(col("c_acctbal").cast("decimal(18,2)") * col("cnt") > col("s"))
+      .select(col("c_custkey"), col("c_acctbal"))
+      .orderBy(col("c_custkey")).collect().toSeq
+    val got = SparkEntry.queries("q6_decorrelate")(spark, sf).collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // Catalyst decorrelated both scalar subqueries: no per-row subquery
+    // survives into the physical plan
+    val plan = SparkEntry.queries("q6_decorrelate")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), s"subquery survived:\n$plan")
+  }
+
   test("w13_time_weighted: hand timeline — durations, scaling, last-event drop") {
     import spark.implicits._
     val d = tmpDir()
