@@ -206,6 +206,44 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, "counter build lost partial agg")
   }
 
+  test("j9 interval join: bucket equi-join, never a nested loop") {
+    val p = plan("j9_interval_join")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "interval join degenerated to BNLJ — bucket binning lost")
+    assert(!p.contains("CartesianProduct"), "interval join went cartesian")
+    assert(p.contains("TIMESTAMP") || p.contains("o_orderdate"), "scan lost")
+  }
+
+  test("j10 salted join: no broadcast of the exploded dim, partial agg kept") {
+    val p = plan("j10_salted_join")
+    // the final rollup re-aggregates salted partials map-side first
+    assert(count(p, "HashAggregate") >= 2, "salted rollup lost partial agg")
+    assert(!p.contains("CartesianProduct"), "salt join went cartesian")
+  }
+
+  test("x41 novelty: gram fan-out is per-row generate, no self-join") {
+    val p = plan("x41_ngram_novelty")
+    assert(p.contains("Generate") && p.contains("explode("),
+      "grams must explode per-row")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty must not compare documents pairwise")
+  }
+
+  test("x42 pq codes: scan-local assignment, histogram partial-aggregated") {
+    val p = plan("x42_pq_codes")
+    // formatted mode prints each node in the tree AND the details section,
+    // so 2 real exchanges (groupBy + orderBy) appear 4 times
+    assert(count(p, "Exchange") == 4,
+      s"pq assignment should shuffle only at the histogram:\n$p")
+    assert(count(p, "HashAggregate") >= 2, "histogram lost partial agg")
+  }
+
+  test("q6 decorrelate: scalar subqueries become aggregate+join") {
+    val p = plan("q6_decorrelate")
+    assert(!p.contains("Subquery"), "correlated subquery not decorrelated")
+    assert(count(p, "HashAggregate") >= 2, "per-nation stats lost partial agg")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
