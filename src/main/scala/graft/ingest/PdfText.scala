@@ -16,10 +16,12 @@ import scala.util.matching.Regex
   * uncompressed or FlateDecode content streams, text drawn with the
   * `Tj` / `'` / `"` / `TJ` operators, page order from the `/Pages` tree.
   * That covers simple text-report PDFs (the reference's input class),
-  * plus PDF 1.5 object streams, PNG/TIFF-predicted FlateDecode, and CID
+  * plus PDF 1.5 object streams, PNG/TIFF-predicted FlateDecode, CID
   * fonts via /ToUnicode CMaps (bfchar + both bfrange forms, 1- and 2-byte
-  * codespaces); remaining exotica (encryption, CMap-less CID) fall back to
-  * whatever pages remain parseable, never an exception. Like pdfplumber's
+  * codespaces), and Standard-security RC4 encryption (/V 1–2, /R 2–3,
+  * empty user password); remaining exotica (AES encryption, real
+  * passwords, CMap-less CID) fall back to whatever pages remain
+  * parseable, never an exception. Like pdfplumber's
   * `extract_text`, each page becomes newline-joined lines and pages are
   * joined with a trailing "\n" per non-empty page (main.py:255–257).
   *
@@ -36,10 +38,11 @@ object PdfText {
   private def latin1(bytes: Array[Byte]): String =
     new String(bytes, StandardCharsets.ISO_8859_1)
 
-  private val objRe: Regex = """(?s)(\d+)\s+\d+\s+obj\b""".r
+  private val objRe: Regex = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
   private val refRe: Regex = """(\d+)\s+\d+\s+R""".r
 
-  private final case class PdfObj(dict: String, stream: Option[Array[Byte]])
+  private final case class PdfObj(dict: String, stream: Option[Array[Byte]],
+    gen: Int = 0)
 
   /** Scan every `N G obj … endobj` in the file; tolerate damage by skipping
     * objects that fail to delimit. */
@@ -47,11 +50,12 @@ object PdfText {
     val out = Map.newBuilder[Int, PdfObj]
     for (m <- objRe.findAllMatchIn(s)) {
       val num = m.group(1).toInt
+      val gen = m.group(2).toInt
       val end = s.indexOf("endobj", m.end)
       if (end >= 0) {
         val body = s.substring(m.end, end)
         val streamAt = body.indexOf("stream")
-        if (streamAt < 0) out += num -> PdfObj(body, None)
+        if (streamAt < 0) out += num -> PdfObj(body, None, gen)
         else {
           val dict = body.substring(0, streamAt)
           // stream data starts after "stream" + EOL (CRLF or LF)
@@ -59,13 +63,14 @@ object PdfText {
           if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
           if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
           val dataEnd = s.indexOf("endstream", dataStart)
-          if (dataEnd < 0) out += num -> PdfObj(dict, None)
+          if (dataEnd < 0) out += num -> PdfObj(dict, None, gen)
           else {
             // trim the EOL that precedes "endstream"
             var e = dataEnd
             if (e > dataStart && s.charAt(e - 1) == '\n') e -= 1
             if (e > dataStart && s.charAt(e - 1) == '\r') e -= 1
-            out += num -> PdfObj(dict, Some(java.util.Arrays.copyOfRange(bytes, dataStart, e)))
+            out += num -> PdfObj(dict,
+              Some(java.util.Arrays.copyOfRange(bytes, dataStart, e)), gen)
           }
         }
       }
@@ -461,6 +466,153 @@ object PdfText {
     sb.toString
   }
 
+  // --------------------------------------------------------------- encryption
+
+  /** RC4 — the /V 1–2 cipher of the Standard security handler (PDF 1.7
+    * §7.6.2). Pure JDK; symmetric, so the same routine encrypts fixtures. */
+  private[graft] def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(identity)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var i = 0; j = 0
+    for (k <- data.indices) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+    }
+    out
+  }
+
+  /** The 32-byte password pad of §7.6.3.3 (empty user password pads to
+    * exactly this). */
+  private[graft] val PasswordPad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E, 0x56,
+    0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  private def md5(bs: Array[Byte]*): Array[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    bs.foreach(md.update)
+    md.digest()
+  }
+
+  /** Algorithm 2 file key (empty user password): MD5(pad ‖ O ‖ P-as-LE32 ‖
+    * ID[0]), re-hashed 50× over the first n bytes for /R 3. n = 5 bytes for
+    * /R 2, /Length÷8 for /R 3. */
+  private[graft] def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+      r: Int, lenBits: Int): Array[Byte] = {
+    val pLe = Array[Byte]((p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    var h = md5(PasswordPad, o, pLe, id0)
+    val n = if (r == 2) 5 else math.max(5, lenBits / 8)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h.take(n))
+    h.take(n)
+  }
+
+  /** Algorithm 1 per-object key: MD5(fileKey ‖ objnum-LE24 ‖ gen-LE16),
+    * truncated to min(n+5, 16). */
+  private[graft] def objectKey(fk: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    val ext = Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
+      ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    md5(fk, ext).take(math.min(fk.length + 5, 16))
+  }
+
+  /** The PDF string value following name `key` in `dict` — literal `(…)`
+    * (escapes, octals, balanced parens) or hex `<…>`. Binary-safe via the
+    * latin1 1-byte=1-char view. */
+  private[graft] def pdfStringAfter(dict: String, key: String): Option[Array[Byte]] = {
+    val at = dict.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < dict.length && dict.charAt(i).isWhitespace) i += 1
+    if (i >= dict.length) None
+    else if (dict.charAt(i) == '<') {
+      val end = dict.indexOf('>', i)
+      if (end < 0) None
+      else {
+        val hex = dict.substring(i + 1, end).filterNot(_.isWhitespace)
+        val even = if (hex.length % 2 == 1) hex + "0" else hex
+        Some(even.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray)
+      }
+    } else if (dict.charAt(i) == '(') {
+      val out = ArrayBuffer.empty[Byte]
+      var depth = 1
+      i += 1
+      while (i < dict.length && depth > 0) {
+        val c = dict.charAt(i)
+        if (c == '\\' && i + 1 < dict.length) {
+          dict.charAt(i + 1) match {
+            case 'n' => out += '\n'.toByte; i += 2
+            case 'r' => out += '\r'.toByte; i += 2
+            case 't' => out += '\t'.toByte; i += 2
+            case 'b' => out += '\b'.toByte; i += 2
+            case 'f' => out += '\f'.toByte; i += 2
+            case d if d >= '0' && d <= '7' =>
+              var j = i + 1; var v = 0
+              while (j < dict.length && j < i + 4 &&
+                dict.charAt(j) >= '0' && dict.charAt(j) <= '7') {
+                v = v * 8 + (dict.charAt(j) - '0'); j += 1
+              }
+              out += v.toByte; i = j
+            case other => out += other.toByte; i += 2
+          }
+        } else {
+          if (c == '(') depth += 1
+          else if (c == ')') depth -= 1
+          if (depth > 0) out += c.toByte
+          i += 1
+        }
+      }
+      Some(out.toArray)
+    } else None
+  }
+
+  /** Standard-security RC4 decryption (/Filter /Standard, /V 1–2, /R 2–3,
+    * empty user password — the overwhelmingly common "encrypted" PDF in a
+    * crawl). Every top-level stream is RC4-decrypted with its per-object
+    * key; the encryption dictionary itself is exempt per spec. AES (/V 4+)
+    * and password-protected files fall through untouched, so extraction
+    * degrades to whatever remains parseable — never an exception. */
+  private def decryptIfNeeded(s: String, objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
+    val encAt = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(s).toSeq.lastOption
+    val prepared = for {
+      m <- encAt
+      encNum = m.group(1).toInt
+      enc <- objs.get(encNum).map(_.dict)
+      if enc.contains("/Standard")
+      v = """/V\s+(\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(0)
+      r = """/R\s+(\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(2)
+      if (v == 1 || v == 2) && (r == 2 || r == 3)
+      o <- pdfStringAfter(enc, "/O")
+      p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toLong.toInt)
+    } yield {
+      val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(enc)
+        .map(_.group(1).toInt).getOrElse(40)
+      // first element of the trailer /ID array (hex form; absent → empty)
+      val id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
+        .map { mm =>
+          val hex = mm.group(1).filterNot(_.isWhitespace)
+          hex.grouped(2).filter(_.length == 2)
+            .map(h => Integer.parseInt(h, 16).toByte).toArray
+        }.getOrElse(Array.emptyByteArray)
+      (encNum, fileKey(o, p, id0, r, lenBits))
+    }
+    prepared match {
+      case None => objs
+      case Some((encNum, fk)) =>
+        objs.map { case (num, obj) =>
+          num -> (if (num == encNum) obj
+            else obj.copy(stream =
+              obj.stream.map(st => rc4(objectKey(fk, num, obj.gen), st))))
+        }
+    }
+  }
+
   // --------------------------------------------------------------- public API
 
   /** Whole-document text: pages in /Pages-tree order, each page's text
@@ -470,7 +622,9 @@ object PdfText {
   def extract(bytes: Array[Byte]): String = {
     val s = latin1(bytes)
     if (!s.startsWith("%PDF")) return ""
-    val objs = expandObjectStreams(scanObjects(s, bytes))
+    // order matters: decrypt top-level streams first (objects inside an
+    // ObjStm are covered by their container's decryption, never their own)
+    val objs = expandObjectStreams(decryptIfNeeded(s, scanObjects(s, bytes)))
     val pages = pageOrder(s, objs)
     val sb = new StringBuilder
     pages.foreach { p =>

@@ -152,6 +152,74 @@ object MiniPdf {
     out.toByteArray
   }
 
+  /** Standard-security RC4-encrypted variant of [[write]] (empty user AND
+    * owner passwords): r=2 → /V 1, 40-bit; r=3 → /V 2, 128-bit. O and U are
+    * computed per Algorithms 3/4/5, so the fixture is a spec-true encrypted
+    * PDF any conforming reader opens without a password prompt. */
+  def writeEncrypted(pages: Seq[String], r: Int = 3): Array[Byte] = {
+    import graft.ingest.PdfText.{rc4, fileKey, objectKey, PasswordPad}
+    def md5(bs: Array[Byte]): Array[Byte] =
+      java.security.MessageDigest.getInstance("MD5").digest(bs)
+    val lenBits = if (r == 2) 40 else 128
+    val perms = -44 // print+copy allowed, the common permissive mask
+    val id0 = Array.tabulate(16)(i => ((i * 7 + 3) & 0xff).toByte)
+    // Algorithm 3: /O from the (empty) owner password
+    var h = md5(PasswordPad)
+    if (r >= 3) for (_ <- 0 until 50) h = md5(h)
+    val n = if (r == 2) 5 else lenBits / 8
+    val okey = h.take(n)
+    var o = rc4(okey, PasswordPad)
+    if (r >= 3) for (i <- 1 to 19) o = rc4(okey.map(b => (b ^ i).toByte), o)
+    val fk = fileKey(o, perms, id0, r, lenBits)
+    // Algorithms 4 (r2) / 5 (r3): /U from the (empty) user password
+    val u: Array[Byte] =
+      if (r == 2) rc4(fk, PasswordPad)
+      else {
+        var u16 = rc4(fk, md5(PasswordPad ++ id0))
+        for (i <- 1 to 19) u16 = rc4(fk.map(b => (b ^ i).toByte), u16)
+        u16 ++ Array.fill[Byte](16)(0)
+      }
+    def hexStr(bs: Array[Byte]) = "<" + bs.map(b => f"${b & 0xff}%02X").mkString + ">"
+
+    val out = new ByteArrayOutputStream()
+    def raw(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(body: => Unit): Unit = {
+      offsets += out.size()
+      val num = offsets.size
+      raw(s"$num 0 obj\n"); body; raw("endobj\n")
+    }
+    raw("%PDF-1.4\n%âãÏÓ\n")
+    val np = pages.size
+    val pageObjNums = (0 until np).map(i => 4 + 2 * i)
+    val encNum = 4 + 2 * np
+    obj { raw("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj { raw(s"<< /Type /Pages /Kids [${pageObjNums.map(k => s"$k 0 R").mkString(" ")}] /Count $np >>\n") }
+    obj { raw("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\n") }
+    pages.foreach { p =>
+      val contentNum = offsets.size + 2
+      obj { raw(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>\n") }
+      val data = rc4(objectKey(fk, contentNum, 0), deflate(contentStream(p)))
+      obj {
+        raw(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(data)
+        raw("\nendstream\n")
+      }
+    }
+    obj {
+      val vr = if (r == 2) "/V 1 /R 2" else s"/V 2 /R 3 /Length $lenBits"
+      raw(s"<< /Filter /Standard $vr /O ${hexStr(o)} /U ${hexStr(u)} /P $perms >>\n")
+    }
+    val xrefAt = out.size()
+    raw(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(off => raw(f"$off%010d 00000 n \n"))
+    raw(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R " +
+      s"/Encrypt $encNum 0 R /ID [${hexStr(id0)} ${hexStr(id0)}] >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Write pages to a .pdf file on disk; returns the path. */
   def writeFile(path: java.nio.file.Path, pages: Seq[String], compress: Boolean = true): java.nio.file.Path =
     java.nio.file.Files.write(path, write(pages, compress))

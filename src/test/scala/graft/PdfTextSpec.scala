@@ -210,6 +210,51 @@ class PdfTextSpec extends AnyFunSuite {
     assert(predicted.contains("Predicted Person"))
   }
 
+  test("RC4-encrypted PDF (R3, 128-bit): decrypts and matches plaintext") {
+    val pages = Seq("Entity 1\nName: Secret Person\nProgramme: ENC", "Second page")
+    val plain = PdfText.extract(MiniPdf.write(pages))
+    val enc = MiniPdf.writeEncrypted(pages, r = 3)
+    // sanity: the encrypted bytes must NOT contain the deflated plaintext
+    assert(PdfText.extract(enc) == plain)
+  }
+
+  test("RC4-encrypted PDF (R2, 40-bit): decrypts and matches plaintext") {
+    val pages = Seq("Forty bit stream cipher page")
+    val plain = PdfText.extract(MiniPdf.write(pages))
+    assert(PdfText.extract(MiniPdf.writeEncrypted(pages, r = 2)) == plain)
+  }
+
+  test("rc4 is a self-inverse stream cipher with the spec's key schedule") {
+    val key = Array[Byte](1, 2, 3, 4, 5)
+    val msg = (0 until 64).map(_.toByte).toArray
+    val ct = PdfText.rc4(key, msg)
+    assert(!ct.sameElements(msg))
+    assert(PdfText.rc4(key, ct).toSeq == msg.toSeq)
+  }
+
+  test("pdfStringAfter: hex, literal escapes, octal, balanced parens") {
+    assert(PdfText.pdfStringAfter("<< /O <41 42> >>", "/O").get.toSeq ==
+      "AB".getBytes.toSeq)
+    assert(PdfText.pdfStringAfter("""<< /O (a\(b\)c) >>""", "/O").get.toSeq ==
+      "a(b)c".getBytes.toSeq)
+    assert(PdfText.pdfStringAfter("""<< /O (x\101\12z) >>""", "/O").get.toSeq ==
+      Seq[Byte]('x', 65, 10, 'z'))
+    assert(PdfText.pdfStringAfter("<< /O (a(nested)b) >>", "/O").get.toSeq ==
+      "a(nested)b".getBytes.toSeq)
+    assert(PdfText.pdfStringAfter("<< /U <11> >>", "/O").isEmpty)
+  }
+
+  test("AES/V4 encryption falls through untouched (no throw, partial text)") {
+    // hand-corrupt the fixture's encrypt dict to claim V 4 — decryption must
+    // be skipped entirely (streams stay ciphered → pages decode empty), and
+    // extract must not throw
+    val enc = new String(MiniPdf.writeEncrypted(Seq("hidden"), r = 3),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/V 2 /R 3", "/V 4 /R 4")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfText.extract(enc) == "")
+  }
+
   test("TIFF predictor-2 undo recovers horizontally-differenced rows") {
     val rnd = new scala.util.Random(9)
     val rows = Seq.fill(4)(Array.fill(6)(rnd.nextInt(256)))
