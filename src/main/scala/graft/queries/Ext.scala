@@ -35,7 +35,7 @@ object Ext {
     * is the dominant cost — without the repartition it would all run on a
     * single core. At real scale the scan has natural parallelism and AQE
     * coalesces this exchange to a no-op-sized shuffle. */
-  private def docShingles(df: DataFrame): DataFrame = {
+  private[queries] def docShingles(df: DataFrame): DataFrame = {
     val w = TextOps.words(col("text"))
     df.repartition(col("doc_id"))
       .select(col("doc_id"), w.as("w"))

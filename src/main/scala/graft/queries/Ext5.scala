@@ -138,6 +138,54 @@ object Ext5 {
         .orderBy(col("flag"))
     }),
 
+    // X2g SKETCH-ACCURACY AUDIT: for every LSH-banded candidate pair,
+    // report the 8-permutation minhash agreement count NEXT TO the exact
+    // shingle intersection/sizes — the measurement a pipeline owner reads
+    // before trusting sketch-only dedup at full scale (sig_matches/8
+    // estimates Jaccard; inter/(n1+n2-inter) is truth). All integers, so
+    // the audit itself has zero float concerns; one extra join over x3's
+    // plan, nothing quadratic.
+    "x44_sketch_accuracy" -> ((s, d) => {
+      val sh = Ext.docShingles(documents(s, d))
+        .withColumn("sig", TextOps.minhashSig(col("ss")))
+        .persist()
+      val banded = sh.select(col("doc_id"),
+        explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
+      val cand = banded.as("a").join(banded.as("b"),
+          col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val sigMatches = aggregate(
+        zip_with(col("x.sig"), col("y.sig"), (p, q) => (p === q).cast("long")),
+        lit(0L), (acc, v) => acc + v)
+      cand.join(sh.as("x"), col("id1") === col("x.doc_id"))
+        .join(sh.as("y"), col("id2") === col("y.doc_id"))
+        .select(col("id1"), col("id2"), sigMatches.as("sig_matches"),
+          size(array_intersect(col("x.ss"), col("y.ss"))).cast("long").as("inter"),
+          size(col("x.ss")).cast("long").as("n1"),
+          size(col("y.ss")).cast("long").as("n2"))
+        .orderBy(col("id1"), col("id2"))
+    }),
+
+    // W14 GAPS-AND-ISLANDS: per-user consecutive-active-day streaks via the
+    // classic day − row_number() group key — one shuffle on user_id serves
+    // both windows, both rollups partial-aggregable. The engagement-streak
+    // shape every activity dashboard computes.
+    "w14_streaks" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      events(s, d)
+        .select(col("user_id"), expr("(ts_ns div 1000) div 86400000000").as("day"))
+        .distinct()
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy(col("user_id"))
+    }),
+
     // X4o DOC-PIPELINE E2E: the composed training-data flow — normalize →
     // exact-dedup (first-wins survivor per normalized text) → token count →
     // token-budget shard packing (ShardPack's distributed prefix sum, an
@@ -278,6 +326,52 @@ object Ext5 {
         |    AS weighted_qty
         |FROM lineitem JOIN dw ON l_returnflag = flag
         |GROUP BY flag ORDER BY flag""".stripMargin,
+
+    "x44_sketch_accuracy" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |h AS (SELECT doc_id, ss,
+        |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
+        |mh AS (SELECT doc_id, ss,
+        |  list_min(list_transform(hs, x -> (7*x+3) % 2147483647)) AS m0,
+        |  list_min(list_transform(hs, x -> (11*x+5) % 2147483647)) AS m1,
+        |  list_min(list_transform(hs, x -> (13*x+7) % 2147483647)) AS m2,
+        |  list_min(list_transform(hs, x -> (17*x+11) % 2147483647)) AS m3,
+        |  list_min(list_transform(hs, x -> (19*x+13) % 2147483647)) AS m4,
+        |  list_min(list_transform(hs, x -> (23*x+17) % 2147483647)) AS m5,
+        |  list_min(list_transform(hs, x -> (29*x+19) % 2147483647)) AS m6,
+        |  list_min(list_transform(hs, x -> (31*x+23) % 2147483647)) AS m7 FROM h),
+        |bk AS (SELECT doc_id, unnest([
+        |  concat_ws('_', 0, m0, m1), concat_ws('_', 1, m2, m3),
+        |  concat_ws('_', 2, m4, m5), concat_ws('_', 3, m6, m7)]) AS bk FROM mh),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2,
+        |  CAST((CASE WHEN x.m0 = y.m0 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN x.m1 = y.m1 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN x.m2 = y.m2 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN x.m3 = y.m3 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN x.m4 = y.m4 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN x.m5 = y.m5 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN x.m6 = y.m6 THEN 1 ELSE 0 END) +
+        |       (CASE WHEN x.m7 = y.m7 THEN 1 ELSE 0 END) AS BIGINT) AS sig_matches,
+        |  CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) AS inter,
+        |  CAST(len(x.ss) AS BIGINT) AS n1, CAST(len(y.ss) AS BIGINT) AS n2
+        |FROM cand JOIN mh x ON x.doc_id = id1 JOIN mh y ON y.doc_id = id2
+        |ORDER BY id1, id2""".stripMargin,
+
+    "w14_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM d),
+        |st AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY user_id, grp)
+        |SELECT user_id, CAST(max(len) AS BIGINT) AS longest_streak,
+        |  count(*) AS n_streaks, CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM st GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "x43_docpipe_e2e" ->
       """WITH n AS (SELECT doc_id,

@@ -129,6 +129,41 @@ class Ext5Spec extends AnyFunSuite {
     assert(salted.size === 3) // A, N, R
   }
 
+  test("x44_sketch_accuracy: identical docs agree on all 8 perms, exact truth rides along") {
+    // docs 1/2 identical (4 shingles, jaccard 1.0 — must agree on every
+    // permutation and land in a band); doc 3 unrelated
+    val d = docs(Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d e f"),
+      (3L, "q r s t u v")))
+    val out = SparkEntry.queries("x44_sketch_accuracy")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq((1L, 2L, 8L, 4L, 4L, 4L)))
+  }
+
+  test("w14_streaks: streak split, multiple events per day collapse") {
+    import spark.implicits._
+    val d = tmpDir()
+    val dayUs = 86400000000L
+    def ts(day: Long, off: Long = 0) = new Timestamp((day * dayUs + off) / 1000)
+    Seq(
+      // user 1: days 10,11,12 (streak 3: two events on day 11 collapse),
+      // then 15 (streak 1)
+      (0L, ts(10), 1L, "a", 1.0, "{}"),
+      (1L, ts(11), 1L, "a", 1.0, "{}"),
+      (2L, ts(11, 5000000L), 1L, "a", 1.0, "{}"),
+      (3L, ts(12), 1L, "a", 1.0, "{}"),
+      (4L, ts(15), 1L, "a", 1.0, "{}"),
+      // user 2: one day
+      (5L, ts(20), 2L, "a", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("w14_streaks")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((1L, 3L, 2L, 4L), (2L, 1L, 1L, 1L)))
+  }
+
   test("x43_docpipe_e2e: dedup survivor, token counts, budget boundaries") {
     // docs 1 and 5 normalize identically ("a b c" after case/space fold) —
     // doc 1 survives; budget 1000 means shards split on the 4-token doc 7
