@@ -244,6 +244,23 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "HashAggregate") >= 2, "per-nation stats lost partial agg")
   }
 
+  test("q7 pre-agg join: per-part stats partial-aggregated, no subquery") {
+    val p = plan("q7_join_preagg")
+    assert(!p.contains("Subquery"), "stats must come from a pre-aggregation, not a subquery")
+    assert(count(p, "HashAggregate") >= 4,
+      "per-part stats and the final rollup should both keep partial aggregation")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "both joins must stay equi joins")
+  }
+
+  test("x45 PQ rerank: stage-1 corpus carries codes only, queries broadcast") {
+    val p = plan("x45_pq_rerank")
+    assert(p.contains("Broadcast"), "the query/distance-table side should broadcast")
+    assert(!p.contains("CartesianProduct"), "unexpected cartesian product")
+    // stage 2 fetches exact vectors through an equi join on the vector id
+    assert(p.contains("vec_id"), "rerank join must key on vec_id")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
