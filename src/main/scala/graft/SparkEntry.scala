@@ -35,7 +35,8 @@ object SparkEntry {
       graft.queries.Ext3.queries ++
       graft.queries.Ext4.queries ++
       graft.queries.Ext5.queries ++
-      graft.queries.Ext6.queries
+      graft.queries.Ext6.queries ++
+      graft.queries.Ext7.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -48,5 +49,6 @@ object SparkEntry {
       graft.queries.Ext3.oracleSql ++
       graft.queries.Ext4.oracleSql ++
       graft.queries.Ext5.oracleSql ++
-      graft.queries.Ext6.oracleSql
+      graft.queries.Ext6.oracleSql ++
+      graft.queries.Ext7.oracleSql
 }

@@ -261,6 +261,24 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("vec_id"), "rerank join must key on vec_id")
   }
 
+  test("x47 sparse cosine: candidate and dot joins stay equi, no cartesian") {
+    val p = plan("x47_sparse_cosine")
+    assert(!p.contains("CartesianProduct") ||
+      p.sliding("CartesianProduct".length).count(_ == "CartesianProduct") <= 1,
+      "only the 1-row N broadcast may cross")
+    assert(!p.contains("BroadcastNestedLoopJoin") || p.contains("BuildRight"),
+      "pair generation must not nested-loop the corpus")
+    assert(p.contains("hashpartitioning(term") || p.contains("term"),
+      "inverted index should shuffle on the term key")
+  }
+
+  test("x48 snapshot diff: one full-outer join on the doc key") {
+    val p = plan("x48_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff must be a full outer join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "diff join must stay an equi join")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
