@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import graft.ext.TextOps
+
+/** Round-4 batch 5: BM25 relevance scoring (the IR ranking function search
+  * engines actually run, spelled log-free so both engines evaluate it
+  * bit-identically) and within-document co-occurrence mining (the
+  * PMI-precursor corpus statistic).
+  *
+  * Determinism rules as everywhere in the catalog (ROUND_NOTES.md): the
+  * BM25 expression tree casts every leaf to double explicitly and applies
+  * the same single-IEEE-op sequence on both engines (mirroring x18's
+  * tf·N/df precedent); ranking ties break on the term; co-occurrence is
+  * pure integer counts.
+  */
+object Ext8 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X4s BM25 TOP-K: per document, the 3 highest-BM25 terms. The classic
+    // formula is idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with k1=1.2,
+    // b=0.75; the idf factor uses the catalog's log-free N/df substitute
+    // (x18's rule — log is not bit-portable across engines, ranking is
+    // monotone either way). Plan shape = x18 plus one extra broadcast
+    // (the 1-row corpus avgdl): tf and df aggregations shuffle on their
+    // keys (both partial-aggregable), document length joins back on
+    // doc_id, and the top-3 is a per-doc window — no global sort.
+    "x50_bm25_topk" -> ((s, d) => {
+      val docs = documents(s, d)
+      val tok = docs.repartition(col("doc_id"))
+        .select(col("doc_id"), explode(TextOps.words(col("text"))).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tfreq"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val g = docs.agg(count(lit(1)).as("n"),
+        sum(size(TextOps.words(col("text"))).cast("long")).as("toks"))
+        .select(col("n"), (col("toks").cast("double") / col("n")).as("avgdl"))
+      val tfd = col("tfreq").cast("double")
+      val score = tfd * lit(2.2) /
+        (tfd + lit(1.2) * (lit(0.25) +
+          lit(0.75) * (col("dl").cast("double") / col("avgdl")))) *
+        col("n").cast("double") / col("df").cast("double")
+      tf.join(dl, "doc_id").join(dfq, "term").crossJoin(broadcast(g))
+        .select(col("doc_id"), col("term"), score.as("bm25"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("doc_id")).orderBy(col("bm25").desc, col("term"))))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          Ext.trunc6(col("bm25")).as("bm25_6"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
+    // X4t CO-OCCURRENCE MINING: corpus-wide counts of token pairs that
+    // appear in the same document — the PMI / word-association precursor
+    // statistic. Pair generation is ROW-LOCAL (an indexed HOF over the
+    // sorted distinct-token array — max d·(d−1)/2 pairs for d distinct
+    // tokens, no self-join, no shuffle before the count), so the only
+    // shuffle is the partial-aggregable pair count. The oracle spells the
+    // same semantics as a within-doc self-join — transparent, since pairs
+    // are deduped per doc and ordered t1 < t2 on both sides.
+    "x51_cooccurrence" -> ((s, d) => {
+      val toks = array_sort(array_distinct(TextOps.words(col("text"))))
+      val pairs = flatten(transform(toks, (x, i) =>
+        transform(slice(toks, i + 2, size(toks)), y =>
+          struct(x.as("t1"), y.as("t2")))))
+      documents(s, d)
+        .select(explode(pairs).as("p"))
+        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("n_docs").desc, col("t1"), col("t2"))
+        .limit(20)
+    }))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x50_bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tfreq FROM tok
+        |  GROUP BY doc_id, term),
+        |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |g AS (SELECT count(*) AS n,
+        |    CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*)
+        |      AS avgdl
+        |  FROM documents),
+        |sc AS (SELECT doc_id, tf.term AS term,
+        |    CAST(tfreq AS DOUBLE) * 2.2 /
+        |      (CAST(tfreq AS DOUBLE) + 1.2 *
+        |        (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))
+        |      * CAST(n AS DOUBLE) / CAST(df AS DOUBLE) AS bm25
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq ON tf.term = dfq.term, g),
+        |r AS (SELECT doc_id, term, bm25,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY bm25 DESC, term) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+        |  floor(bm25 * 1e6) / 1e6 AS bm25_6
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "x51_cooccurrence" ->
+      """WITH t AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents)
+        |SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_docs
+        |FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |GROUP BY a.tok, b.tok
+        |ORDER BY n_docs DESC, t1, t2 LIMIT 20""".stripMargin)
+}
