@@ -18,10 +18,10 @@ import scala.util.matching.Regex
   * That covers simple text-report PDFs (the reference's input class),
   * plus PDF 1.5 object streams, PNG/TIFF-predicted FlateDecode, CID
   * fonts via /ToUnicode CMaps (bfchar + both bfrange forms, 1- and 2-byte
-  * codespaces), and Standard-security RC4 encryption (/V 1–2, /R 2–3,
-  * empty user password); remaining exotica (AES encryption, real
-  * passwords, CMap-less CID) fall back to whatever pages remain
-  * parseable, never an exception. Like pdfplumber's
+  * codespaces), and Standard-security encryption — RC4 (/V 1–2, /R 2–3)
+  * and AES-128 (/V 4, /R 4, /AESV2), both with the empty user password;
+  * remaining exotica (AESV3/256, real passwords, CMap-less CID) fall
+  * back to whatever pages remain parseable, never an exception. Like pdfplumber's
   * `extract_text`, each page becomes newline-joined lines and pages are
   * joined with a trailing "\n" per non-empty page (main.py:255–257).
   *
@@ -515,11 +515,33 @@ object PdfText {
   }
 
   /** Algorithm 1 per-object key: MD5(fileKey ‖ objnum-LE24 ‖ gen-LE16),
-    * truncated to min(n+5, 16). */
-  private[graft] def objectKey(fk: Array[Byte], num: Int, gen: Int): Array[Byte] = {
+    * truncated to min(n+5, 16). For AESV2 the spec appends the constant
+    * salt "sAlT" (73 41 6C 54) before hashing. */
+  private[graft] def objectKey(fk: Array[Byte], num: Int, gen: Int,
+      aes: Boolean = false): Array[Byte] = {
     val ext = Array[Byte]((num & 0xff).toByte, ((num >> 8) & 0xff).toByte,
       ((num >> 16) & 0xff).toByte, (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
-    md5(fk, ext).take(math.min(fk.length + 5, 16))
+    val salted = if (aes) ext ++ Array[Byte](0x73, 0x41, 0x6C, 0x54) else ext
+    md5(fk, salted).take(math.min(fk.length + 5, 16))
+  }
+
+  /** AES-128-CBC decryption of an AESV2 stream: the first 16 bytes are the
+    * IV, the rest the ciphertext; PKCS#5 padding is stripped leniently
+    * (malformed padding keeps the block — degrade, never throw). */
+  private[graft] def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    if (data.length < 32 || (data.length % 16) != 0) return Array.emptyByteArray
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(data.take(16)))
+      val plain = c.doFinal(data.drop(16))
+      val pad = plain.last & 0xff
+      if (pad >= 1 && pad <= 16 && pad <= plain.length &&
+        plain.takeRight(pad).forall(b => (b & 0xff) == pad))
+        plain.dropRight(pad)
+      else plain
+    } catch { case _: Throwable => Array.emptyByteArray }
   }
 
   /** The PDF string value following name `key` in `dict` — literal `(…)`
@@ -572,12 +594,14 @@ object PdfText {
     } else None
   }
 
-  /** Standard-security RC4 decryption (/Filter /Standard, /V 1–2, /R 2–3,
-    * empty user password — the overwhelmingly common "encrypted" PDF in a
-    * crawl). Every top-level stream is RC4-decrypted with its per-object
-    * key; the encryption dictionary itself is exempt per spec. AES (/V 4+)
-    * and password-protected files fall through untouched, so extraction
-    * degrades to whatever remains parseable — never an exception. */
+  /** Standard-security decryption (/Filter /Standard, empty user
+    * password — the overwhelmingly common "encrypted" PDF in a crawl):
+    * RC4 for /V 1–2 /R 2–3, AES-128-CBC for /V 4 /R 4 with the /AESV2
+    * crypt filter. Every top-level stream is decrypted with its
+    * per-object key; the encryption dictionary itself is exempt per
+    * spec. AESV3 (/V 5) and password-protected files fall through
+    * untouched, so extraction degrades to whatever remains parseable —
+    * never an exception. */
   private def decryptIfNeeded(s: String, objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
     val encAt = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(s).toSeq.lastOption
     val prepared = for {
@@ -587,12 +611,13 @@ object PdfText {
       if enc.contains("/Standard")
       v = """/V\s+(\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(0)
       r = """/R\s+(\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(2)
-      if (v == 1 || v == 2) && (r == 2 || r == 3)
+      aes = v == 4 && r == 4 && enc.contains("/AESV2")
+      if ((v == 1 || v == 2) && (r == 2 || r == 3)) || aes
       o <- pdfStringAfter(enc, "/O")
       p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toLong.toInt)
     } yield {
       val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(enc)
-        .map(_.group(1).toInt).getOrElse(40)
+        .map(_.group(1).toInt).getOrElse(if (aes) 128 else 40)
       // first element of the trailer /ID array (hex form; absent → empty)
       val id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
         .map { mm =>
@@ -600,15 +625,17 @@ object PdfText {
           hex.grouped(2).filter(_.length == 2)
             .map(h => Integer.parseInt(h, 16).toByte).toArray
         }.getOrElse(Array.emptyByteArray)
-      (encNum, fileKey(o, p, id0, r, lenBits))
+      (encNum, fileKey(o, p, id0, r, lenBits), aes)
     }
     prepared match {
       case None => objs
-      case Some((encNum, fk)) =>
+      case Some((encNum, fk, aes)) =>
         objs.map { case (num, obj) =>
           num -> (if (num == encNum) obj
-            else obj.copy(stream =
-              obj.stream.map(st => rc4(objectKey(fk, num, obj.gen), st))))
+            else obj.copy(stream = obj.stream.map { st =>
+              if (aes) aesDecrypt(objectKey(fk, num, obj.gen, aes = true), st)
+              else rc4(objectKey(fk, num, obj.gen), st)
+            }))
         }
     }
   }

@@ -152,14 +152,24 @@ object MiniPdf {
     out.toByteArray
   }
 
-  /** Standard-security RC4-encrypted variant of [[write]] (empty user AND
-    * owner passwords): r=2 → /V 1, 40-bit; r=3 → /V 2, 128-bit. O and U are
-    * computed per Algorithms 3/4/5, so the fixture is a spec-true encrypted
-    * PDF any conforming reader opens without a password prompt. */
+  /** Standard-security encrypted variant of [[write]] (empty user AND
+    * owner passwords): r=2 → /V 1 RC4-40; r=3 → /V 2 RC4-128; r=4 → /V 4
+    * AES-128 (/AESV2 crypt filter, IV-prefixed CBC with PKCS#5 padding).
+    * O and U are computed per Algorithms 3/4/5, so the fixture is a
+    * spec-true encrypted PDF any conforming reader opens without a
+    * password prompt. */
   def writeEncrypted(pages: Seq[String], r: Int = 3): Array[Byte] = {
     import graft.ingest.PdfText.{rc4, fileKey, objectKey, PasswordPad}
     def md5(bs: Array[Byte]): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(bs)
+    val aes = r == 4
+    def aesEncrypt(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(iv))
+      iv ++ c.doFinal(data)
+    }
     val lenBits = if (r == 2) 40 else 128
     val perms = -44 // print+copy allowed, the common permissive mask
     val id0 = Array.tabulate(16)(i => ((i * 7 + 3) & 0xff).toByte)
@@ -200,7 +210,11 @@ object MiniPdf {
       val contentNum = offsets.size + 2
       obj { raw(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>\n") }
-      val data = rc4(objectKey(fk, contentNum, 0), deflate(contentStream(p)))
+      val data =
+        if (aes)
+          aesEncrypt(objectKey(fk, contentNum, 0, aes = true),
+            md5(Array(contentNum.toByte)).take(16), deflate(contentStream(p)))
+        else rc4(objectKey(fk, contentNum, 0), deflate(contentStream(p)))
       obj {
         raw(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
         out.write(data)
@@ -208,7 +222,11 @@ object MiniPdf {
       }
     }
     obj {
-      val vr = if (r == 2) "/V 1 /R 2" else s"/V 2 /R 3 /Length $lenBits"
+      val vr =
+        if (r == 2) "/V 1 /R 2"
+        else if (r == 3) s"/V 2 /R 3 /Length $lenBits"
+        else s"/V 4 /R 4 /Length $lenBits /CF << /StdCF << /CFM /AESV2 " +
+          "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
       raw(s"<< /Filter /Standard $vr /O ${hexStr(o)} /U ${hexStr(u)} /P $perms >>\n")
     }
     val xrefAt = out.size()

@@ -224,6 +224,36 @@ class PdfTextSpec extends AnyFunSuite {
     assert(PdfText.extract(MiniPdf.writeEncrypted(pages, r = 2)) == plain)
   }
 
+  test("AESV2-encrypted PDF (R4, 128-bit): decrypts and matches plaintext") {
+    val pages = Seq("Entity 1\nName: Aes Person\nProgramme: AESENC", "Second page")
+    val plain = PdfText.extract(MiniPdf.write(pages))
+    assert(PdfText.extract(MiniPdf.writeEncrypted(pages, r = 4)) == plain)
+    assert(plain.contains("Aes Person"))
+  }
+
+  test("aesDecrypt: IV-prefixed CBC round trip, lenient padding, bad input") {
+    val key = Array.tabulate(16)(i => (i * 11 + 1).toByte)
+    val iv = Array.tabulate(16)(i => (i * 3 + 7).toByte)
+    val msg = "sixteen byte msg and a tail".getBytes("US-ASCII")
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    val ct = iv ++ c.doFinal(msg)
+    assert(PdfText.aesDecrypt(key, ct).toSeq == msg.toSeq)
+    // not block-aligned / too short → empty, never a throw
+    assert(PdfText.aesDecrypt(key, ct.drop(1)).isEmpty)
+    assert(PdfText.aesDecrypt(key, Array[Byte](1, 2, 3)).isEmpty)
+  }
+
+  test("objectKey: the AES sAlT suffix derives a different key than RC4") {
+    val fk = Array.tabulate(16)(_.toByte)
+    val k1 = PdfText.objectKey(fk, 7, 0)
+    val k2 = PdfText.objectKey(fk, 7, 0, aes = true)
+    assert(!k1.sameElements(k2))
+    assert(k1.length == 16 && k2.length == 16)
+  }
+
   test("rc4 is a self-inverse stream cipher with the spec's key schedule") {
     val key = Array[Byte](1, 2, 3, 4, 5)
     val msg = (0 until 64).map(_.toByte).toArray
