@@ -55,6 +55,52 @@ object Ext8 {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // Q8 EXISTS / NOT-EXISTS DECORRELATION: the other half of q6's
+    // showcase — correlated EXISTS predicates, which Catalyst rewrites to
+    // semi/anti joins (PlanSpec pins that no per-row subquery survives).
+    // Customers with a 1995 urgent order but no low-priority order ever:
+    // one semi + one anti join, both equi on the customer key.
+    "q8_exists_anti" -> ((s, d) => {
+      graft.tables.Tables.registerViews(s, d)
+      s.sql("""
+        SELECT c_custkey, c_mktsegment
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '1-URGENT'
+              AND year(o.o_orderdate) = 1995)
+          AND NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderpriority = '5-LOW')
+        ORDER BY c_custkey""")
+    }),
+
+    // W17 OHLC DOWNSAMPLING: per user and 6-hour bucket, the
+    // open/high/low/close candle every time-series store materializes.
+    // Open/close pick the first/last event by the unique (tus, event_id)
+    // ordering via row_number (portable — no min_by/arg_min tie
+    // ambiguity); high/low are plain partial-aggregable min/max. One
+    // shuffle on (user_id, bucket) serves both windows and the rollup.
+    "w17_ohlc" -> ((s, d) => {
+      val bkt = 21600000000L // 6h in micros
+      val e = events(s, d).select(col("user_id"), col("value"),
+        expr("ts_ns div 1000").as("tus"), col("event_id"))
+        .withColumn("bucket", expr(s"tus div $bkt"))
+      val wAsc = Window.partitionBy(col("user_id"), col("bucket"))
+        .orderBy(col("tus"), col("event_id"))
+      val wDesc = Window.partitionBy(col("user_id"), col("bucket"))
+        .orderBy(col("tus").desc, col("event_id").desc)
+      e.withColumn("rna", row_number().over(wAsc))
+        .withColumn("rnd", row_number().over(wDesc))
+        .groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("rna") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rnd") === 1, col("value"))).as("close"))
+        .orderBy(col("user_id"), col("bucket"))
+    }),
+
     // X4t CO-OCCURRENCE MINING: corpus-wide counts of token pairs that
     // appear in the same document — the PMI / word-association precursor
     // statistic. Pair generation is ROW-LOCAL (an indexed HOF over the
@@ -103,6 +149,33 @@ object Ext8 {
         |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
         |  floor(bm25 * 1e6) / 1e6 AS bm25_6
         |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+
+    "q8_exists_anti" ->
+      """SELECT c_custkey, c_mktsegment
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '1-URGENT'
+        |      AND year(o.o_orderdate) = 1995)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_orderpriority = '5-LOW')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "w17_ohlc" ->
+      """WITH e AS (SELECT user_id, value, epoch_us(ts) AS tus, event_id,
+        |    epoch_us(ts) // 21600000000 AS bucket FROM events),
+        |r AS (SELECT user_id, bucket, value,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY tus, event_id) AS rna,
+        |    row_number() OVER (PARTITION BY user_id, bucket
+        |      ORDER BY tus DESC, event_id DESC) AS rnd
+        |  FROM e)
+        |SELECT user_id, bucket, count(*) AS n,
+        |  max(CASE WHEN rna = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rnd = 1 THEN value END) AS close
+        |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
 
     "x51_cooccurrence" ->
       """WITH t AS (SELECT DISTINCT doc_id,

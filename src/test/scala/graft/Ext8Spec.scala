@@ -47,6 +47,54 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq(("a", "b", 2L), ("a", "c", 1L)))
   }
 
+  test("q8_exists_anti: equals the hand-written semi/anti DataFrame plan") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val c = graft.tables.Tables.customer(spark, sf)
+    val o = graft.tables.Tables.orders(spark, sf)
+    val urgent95 = o.filter(col("o_orderpriority") === "1-URGENT" &&
+      year(col("o_orderdate")) === 1995)
+    val low = o.filter(col("o_orderpriority") === "5-LOW")
+    val expected = c
+      .join(urgent95, col("c_custkey") === urgent95("o_custkey"), "left_semi")
+      .join(low, col("c_custkey") === low("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .orderBy(col("c_custkey")).collect().toSeq
+    val got = SparkEntry.queries("q8_exists_anti")(spark, sf).collect().toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = SparkEntry.queries("q8_exists_anti")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), s"EXISTS not decorrelated:\n$plan")
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected semi+anti joins:\n$plan")
+  }
+
+  test("w17_ohlc: open/close pick by full time order, high/low plain extremes") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8w").toString
+    val bktUs = 21600000000L
+    def ts(bkt: Long, off: Long) = new java.sql.Timestamp((bkt * bktUs + off) / 1000)
+    Seq(
+      // user 1, bucket 10: open 2.0 (earliest), high 9.0, low 1.0,
+      // close 4.0 (latest; same-ts tie broken by event_id)
+      (0L, ts(10, 0), 1L, "a", 2.0, "{}"),
+      (1L, ts(10, 1000000), 1L, "a", 9.0, "{}"),
+      (2L, ts(10, 2000000), 1L, "a", 1.0, "{}"),
+      (3L, ts(10, 3000000), 1L, "a", 3.5, "{}"),
+      (4L, ts(10, 3000000), 1L, "a", 4.0, "{}"),
+      // user 1, bucket 11: single event — all four fields equal
+      (5L, ts(11, 0), 1L, "a", 7.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("w17_ohlc")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(out.toSeq === Seq(
+      (1L, 10L, 5L, 2.0, 9.0, 1.0, 4.0),
+      (1L, 11L, 1L, 7.0, 7.0, 7.0, 7.0)))
+  }
+
   test("x51_cooccurrence: pair generation is row-local — no join in the plan") {
     import org.apache.spark.sql.execution.FormattedMode
     val p = SparkEntry.queries("x51_cooccurrence")(spark, "/root/testdata/sf0.001")
