@@ -10,6 +10,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   * functions are usable from SQL text as well as the Column API. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator custom plan: per-key bounded-heap top-k
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectFunction((
       new FunctionIdentifier("strip_accents_key"),
       new ExpressionInfo(classOf[StripAccentsKey].getName, "strip_accents_key"),

@@ -25,7 +25,7 @@ object Ext7 {
     // embedding exists. Terms are 3-shingles (the corpus vocabulary is
     // tiny, so single-word terms are all common; shingles carry the locality
     // signal). Candidate pairs come from an inverted index over RARE
-    // shingles only (2 ≤ df ≤ 10): a term's posting list of length df
+    // shingles only (2 ≤ df ≤ 4): a term's posting list of length df
     // yields df·(df−1)/2 pairs, so capping df bounds candidate fan-out the
     // same way x4's prefix filter does — common terms never generate
     // pairs. The exact sparse dot then runs per candidate over the shared
@@ -49,7 +49,11 @@ object Ext7 {
         .select(col("doc_id"), col("term"),
           expr("(tfreq * n) div df").as("w"))
         .persist()
-      val rare = dfq.filter(col("df") >= 2 && col("df") <= 10)
+      // df cap = the AllPairs tuning knob: [2,4] keeps the sf0.1 pair
+      // count at ~5k (vs ~436k at df ≤ 10 on this synthetically
+      // self-similar corpus) while still pairing every doc that shares a
+      // genuinely rare shingle
+      val rare = dfq.filter(col("df") >= 2 && col("df") <= 4)
         .select(col("term"))
       val idx = w.join(rare, "term").select(col("term"), col("doc_id"))
       val cand = idx.as("a").join(idx.as("b"),
@@ -141,7 +145,7 @@ object Ext7 {
         |n AS (SELECT count(*) AS n FROM documents),
         |wt AS (SELECT doc_id, tf.term AS term, (tfreq * n) // df AS w
         |  FROM tf JOIN dfq ON tf.term = dfq.term, n),
-        |rare AS (SELECT term FROM dfq WHERE df BETWEEN 2 AND 10),
+        |rare AS (SELECT term FROM dfq WHERE df BETWEEN 2 AND 4),
         |idx AS (SELECT wt.term, doc_id FROM wt JOIN rare ON wt.term = rare.term),
         |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
         |  FROM idx a JOIN idx b ON a.term = b.term AND a.doc_id < b.doc_id),

@@ -101,6 +101,26 @@ object Ext8 {
         .orderBy(col("user_id"), col("bucket"))
     }),
 
+    // W18 NATIVE PER-KEY TOP-K — the catalog entry for the custom
+    // whole-operator plan (plans.TopKPerKey: logical node + planner
+    // strategy + partial/final bounded-heap SparkPlan, injected via
+    // SparkSessionExtensions). Top-3 lineitems per return flag by
+    // (price desc, orderkey, linenumber — a total order, so the k
+    // boundary is deterministic). Unlike the window spelling the
+    // oracle uses, no partition is ever sorted and the shuffle carries
+    // at most k rows per (upstream partition, key).
+    "w18_topk_native" -> ((s, d) => {
+      val src = lineitem(s, d).select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"))
+      graft.ext.TopK.perKey(src,
+          keys = Seq(col("l_returnflag")),
+          order = Seq(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber")),
+          k = 3)
+        .orderBy(col("l_returnflag"), col("l_extendedprice").desc,
+          col("l_orderkey"), col("l_linenumber"))
+    }),
+
     // X4t CO-OCCURRENCE MINING: corpus-wide counts of token pairs that
     // appear in the same document — the PMI / word-association precursor
     // statistic. Pair generation is ROW-LOCAL (an indexed HOF over the
@@ -176,6 +196,18 @@ object Ext8 {
         |  max(value) AS high, min(value) AS low,
         |  max(CASE WHEN rnd = 1 THEN value END) AS close
         |FROM r GROUP BY user_id, bucket ORDER BY user_id, bucket""".stripMargin,
+
+    // the oracle spells the same semantics as the window formulation the
+    // operator replaces
+    "w18_topk_native" ->
+      """WITH r AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |    l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rnk
+        |  FROM lineitem)
+        |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM r WHERE rnk <= 3
+        |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
 
     "x51_cooccurrence" ->
       """WITH t AS (SELECT DISTINCT doc_id,
