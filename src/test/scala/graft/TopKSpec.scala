@@ -75,6 +75,26 @@ class TopKSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((16L, 16L), (33L, 16L), (50L, 16L), (67L, 16L)))
   }
 
+  test("scale sanity: 1M rows / 100k keys complete with bounded per-key state") {
+    import spark.implicits._
+    val df = spark.range(1000000L).toDF("id")
+      .withColumn("key", col("id") % 100000)
+      .withColumn("v", (col("id") * 2654435761L) % 1000003)
+      .repartition(8)
+    val got = graft.ext.TopK.perKey(df, Seq(col("key")),
+      Seq(col("v").desc, col("id")), 2)
+    assert(got.count() === 200000L) // every key has 10 rows, keeps 2
+    // spot-check one key against the window spelling
+    import org.apache.spark.sql.expressions.Window
+    val expect = df.filter(col("key") === 12345)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rnk") <= 2).drop("rnk")
+      .orderBy(col("id")).collect().toSeq
+    val one = got.filter(col("key") === 12345).orderBy(col("id")).collect().toSeq
+    assert(one === expect)
+  }
+
   test("catalog w18 matches the window spelling and never sorts input") {
     val got = SparkEntry.queries("w18_topk_native")(spark, sf)
     val p = got.queryExecution.executedPlan.toString
