@@ -121,6 +121,29 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // W19 SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE-lite): reconstruct each
+    // user's time-ordered event-type sequence as a compact string (one
+    // initial per event — sort_array over (tus, event_id) structs keeps
+    // the order total and engine-independent) and match the
+    // view→click→purchase subsequence with a plain LIKE pattern (LIKE
+    // '%v%c%p%' = subsequence containment, identical semantics on both
+    // engines — no regex dialect risk). Per-user state is bounded by the
+    // user's event count, the same envelope as any sessionization; the
+    // single shuffle is the groupBy on user_id.
+    "w19_sequence_match" -> ((s, d) => {
+      val e = events(s, d).select(col("user_id"),
+        struct(expr("ts_ns div 1000").as("tus"), col("event_id"),
+          substring(col("event_type"), 1, 1).as("c")).as("ev"))
+      e.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          array_join(transform(sort_array(collect_list(col("ev"))),
+            x => x.getField("c")), "").as("seq"))
+        .select(col("user_id"), col("n_events"),
+          substring(col("seq"), 1, 20).as("seq20"),
+          col("seq").like("%v%c%p%").as("has_funnel"))
+        .orderBy(col("user_id"))
+    }),
+
     // X4t CO-OCCURRENCE MINING: corpus-wide counts of token pairs that
     // appear in the same document — the PMI / word-association precursor
     // statistic. Pair generation is ROW-LOCAL (an indexed HOF over the
@@ -208,6 +231,16 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "w19_sequence_match" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,
+        |    substr(event_type, 1, 1) AS c FROM events),
+        |s AS (SELECT user_id, count(*) AS n_events,
+        |    string_agg(c, '' ORDER BY tus, event_id) AS seq
+        |  FROM e GROUP BY user_id)
+        |SELECT user_id, n_events, substr(seq, 1, 20) AS seq20,
+        |  seq LIKE '%v%c%p%' AS has_funnel
+        |FROM s ORDER BY user_id""".stripMargin,
 
     "x51_cooccurrence" ->
       """WITH t AS (SELECT DISTINCT doc_id,

@@ -95,6 +95,28 @@ class Ext8Spec extends AnyFunSuite {
       (1L, 11L, 1L, 7.0, 7.0, 7.0, 7.0)))
   }
 
+  test("w19_sequence_match: order reconstruction and subsequence flag") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8s").toString
+    val t0 = 1700000000000000L
+    def ts(off: Long) = new java.sql.Timestamp((t0 + off) / 1000)
+    Seq(
+      // user 1: v, c, x, p in time order (ids shuffled) → funnel hit
+      (10L, ts(3000), 1L, "purchase", 1.0, "{}"),
+      (11L, ts(1000), 1L, "click", 1.0, "{}"),
+      (12L, ts(0), 1L, "view", 1.0, "{}"),
+      (13L, ts(2000), 1L, "x-other", 1.0, "{}"),
+      // user 2: p before c before v → no funnel
+      (14L, ts(0), 2L, "purchase", 1.0, "{}"),
+      (15L, ts(1000), 2L, "click", 1.0, "{}"),
+      (16L, ts(2000), 2L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("w19_sequence_match")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
+  }
+
   test("x51_cooccurrence: pair generation is row-local — no join in the plan") {
     import org.apache.spark.sql.execution.FormattedMode
     val p = SparkEntry.queries("x51_cooccurrence")(spark, "/root/testdata/sf0.001")
