@@ -63,6 +63,11 @@ object TextOps {
         concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
+  /** All unordered distinct-token pairs "a b" (a < b, binary order) — the
+    * x51 co-occurrence generator as one native codegen'd pass. */
+  def cooccurPairs(tokens: Column): Column =
+    B.column(graft.functions.GraftCooccurPairs(B.expression(tokens)))
+
   /** MinHash signature value j over a pre-hashed shingle array (HOF
     * formulation — the verification twin of the native signature). */
   def minhash(hashes: Column, j: Int): Column =

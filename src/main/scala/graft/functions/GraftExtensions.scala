@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_cooccur_pairs"),
+      new ExpressionInfo(classOf[GraftCooccurPairs].getName, "graft_cooccur_pairs"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftCooccurPairs(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_intersect_card"),
       new ExpressionInfo(classOf[SortedIntersectCard].getName, "graft_intersect_card"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -151,6 +151,31 @@ case class GraftShingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All unordered distinct-token pairs as "a b" strings (binary order,
+  * a < b) — the co-occurrence pair generator (x51), one codegen'd pass
+  * replacing an interpreted nested-transform/flatten HOF chain. */
+case class GraftCooccurPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_cooccur_pairs"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.cooccurPairs(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.cooccurPairs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftCooccurPairs =
+    copy(child = newChild)
+}
+
 /** Sequential-fold dot product over two array<double> columns, bit-identical
   * to the HOF `aggregate(zip_with(...))` form and the oracle's list_reduce
   * (same ascending-index IEEE operation order), minus the per-element boxing

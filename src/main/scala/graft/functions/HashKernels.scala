@@ -104,6 +104,40 @@ object HashKernels {
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
   }
 
+  /** All unordered distinct-token pairs "a b" (binary-ascending, a < b) —
+    * value-equal to the HOF chain `flatten(transform(sort_array(
+    * array_distinct(w)), (x,i) -> transform(slice(...), y -> concat(x,' ',y))))`
+    * and to the oracle's within-doc self-join on `a.tok < b.tok`. One pass
+    * dedup+sort via TreeSet (UTF8String.compareTo = Spark's binary string
+    * order), then a tight pair loop — no boxed lambda dispatch, no
+    * intermediate arrays. Null tokens are skipped (the tokenizer never
+    * produces them). */
+  def cooccurPairs(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) set.add(arr.getUTF8String(i))
+      i += 1
+    }
+    val toks = set.toArray(Array.empty[AnyRef])
+    val m = toks.length
+    val out = new Array[Any](m * (m - 1) / 2)
+    var k = 0
+    var a = 0
+    while (a < m) {
+      var b = a + 1
+      while (b < m) {
+        out(k) = UTF8String.concatWs(Space,
+          toks(a).asInstanceOf[UTF8String], toks(b).asInstanceOf[UTF8String])
+        k += 1
+        b += 1
+      }
+      a += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** First 6 md5 bytes as unsigned 48-bit — the value of DuckDB's
     * `CAST(concat('0x', substr(md5(s),1,12)) AS BIGINT)`. The wider twin of
     * [[hash32]] for fingerprints where 16/32 bits collide too much. */

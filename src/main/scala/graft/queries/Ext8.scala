@@ -153,15 +153,18 @@ object Ext8 {
     // same semantics as a within-doc self-join — transparent, since pairs
     // are deduped per doc and ordered t1 < t2 on both sides.
     "x51_cooccurrence" -> ((s, d) => {
-      val toks = array_sort(array_distinct(TextOps.words(col("text"))))
-      val pairs = flatten(transform(toks, (x, i) =>
-        transform(slice(toks, i + 2, size(toks)), y =>
-          struct(x.as("t1"), y.as("t2")))))
+      // pairs travel as "t1 t2" strings (tokens are space-split, so the
+      // separator is safe) and split back AFTER the count — the split runs
+      // once per distinct pair (vocab-bounded), not once per generated
+      // row. Generation is the native one-pass graft_cooccur_pairs kernel
+      // (dedup+sort+pair loop, codegen'd — the interpreted HOF chain it
+      // replaces dominated this query's time).
       documents(s, d)
-        .select(explode(pairs).as("p"))
-        .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
-        .groupBy(col("t1"), col("t2"))
+        .select(explode(TextOps.cooccurPairs(TextOps.words(col("text")))).as("p"))
+        .groupBy(col("p"))
         .agg(count(lit(1)).as("n_docs"))
+        .select(substring_index(col("p"), " ", 1).as("t1"),
+          substring_index(col("p"), " ", -1).as("t2"), col("n_docs"))
         .orderBy(col("n_docs").desc, col("t1"), col("t2"))
         .limit(20)
     }))

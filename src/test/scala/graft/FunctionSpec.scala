@@ -102,6 +102,32 @@ class FunctionSpec extends AnyFunSuite {
     assert(edge(4).getSeq[String](0) == Seq("x y z", "y z x", "z x y"))
   }
 
+  test("graft_cooccur_pairs equals the sorted-distinct HOF chain") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ext.TextOps
+    def hofPairs(w: org.apache.spark.sql.Column) = {
+      val toks = array_sort(array_distinct(w))
+      flatten(transform(toks, (x, i) =>
+        transform(slice(toks, i + 2, size(toks)), y => concat(x, lit(" "), y))))
+    }
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatch = docs
+      .select(split(col("text"), " ").as("w"))
+      .select(TextOps.cooccurPairs(col("w")).as("native"),
+        hofPairs(col("w")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatch == 0)
+    val edge = Seq(Seq("b", "a", "b"), Seq("z"), Seq.empty[String])
+      .toDF("w")
+      .select(TextOps.cooccurPairs(col("w")).as("native"))
+      .collect()
+    assert(edge(0).getSeq[String](0) == Seq("a b"))
+    assert(edge(1).getSeq[String](0) == Seq.empty)
+    assert(edge(2).getSeq[String](0) == Seq.empty)
+  }
+
   test("graft_simhash48 matches a HOF reconstruction; empty array parity") {
     val spark = TestSpark.spark
     import spark.implicits._
