@@ -63,6 +63,11 @@ object TextOps {
         concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))))
       .otherwise(array().cast("array<string>"))
 
+  /** ALL 3-shingles with multiplicity (position order) — the x47 tf
+    * generator as one native codegen'd pass. */
+  def shingles3All(w: Column): Column =
+    B.column(graft.functions.GraftShingles3All(B.expression(w)))
+
   /** All unordered distinct-token pairs "a b" (a < b, binary order) — the
     * x51 co-occurrence generator as one native codegen'd pass. */
   def cooccurPairs(tokens: Column): Column =

@@ -48,6 +48,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_shingles3_all"),
+      new ExpressionInfo(classOf[GraftShingles3All].getName, "graft_shingles3_all"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftShingles3All(children.head)))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cooccur_pairs"),
       new ExpressionInfo(classOf[GraftCooccurPairs].getName, "graft_cooccur_pairs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -151,6 +151,30 @@ case class GraftShingles3(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ALL 3-word shingles in position order with duplicates (the
+  * tf-with-multiplicity generator) — non-deduping twin of GraftShingles3. */
+case class GraftShingles3All(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_shingles3_all"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.shingles3All(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingles3All($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShingles3All =
+    copy(child = newChild)
+}
+
 /** All unordered distinct-token pairs as "a b" strings (binary order,
   * a < b) — the co-occurrence pair generator (x51), one codegen'd pass
   * replacing an interpreted nested-transform/flatten HOF chain. */

@@ -104,6 +104,23 @@ object HashKernels {
     new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
   }
 
+  /** ALL 3-word shingles in position order, duplicates kept — value-equal
+    * to `transform(sequence(1, n-2), i -> concat_ws(' ', w[i], w[i+1],
+    * w[i+2]))` (the tf-with-multiplicity generator of x47); fewer than 3
+    * tokens ⇒ empty. The non-deduping twin of [[shingles3]]. */
+  def shingles3All(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n < 3) return new GenericArrayData(Array.empty[Any])
+    def at(i: Int): UTF8String = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i + 2 < n) {
+      out(i) = UTF8String.concatWs(Space, at(i), at(i + 1), at(i + 2))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** All unordered distinct-token pairs "a b" (binary-ascending, a < b) —
     * value-equal to the HOF chain `flatten(transform(sort_array(
     * array_distinct(w)), (x,i) -> transform(slice(...), y -> concat(x,' ',y))))`

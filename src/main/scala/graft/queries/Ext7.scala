@@ -38,9 +38,8 @@ object Ext7 {
       val tf = docs.repartition(col("doc_id"))
         .select(col("doc_id"), TextOps.words(col("text")).as("w"))
         .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("w")) - 2),
-          i => array_join(slice(col("w"), i, lit(3)), " "))).as("term"))
+        .select(col("doc_id"),
+          explode(TextOps.shingles3All(col("w"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tfreq"))
       val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -102,6 +102,29 @@ class FunctionSpec extends AnyFunSuite {
     assert(edge(4).getSeq[String](0) == Seq("x y z", "y z x", "z x y"))
   }
 
+  test("graft_shingles3_all equals the non-deduping HOF transform") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ext.TextOps
+    def hofAll(w: org.apache.spark.sql.Column) =
+      when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+        i => array_join(slice(w, i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val mismatch = docs
+      .select(split(col("text"), " ").as("w"))
+      .select(TextOps.shingles3All(col("w")).as("native"), hofAll(col("w")).as("hof"))
+      .filter(not(col("native") <=> col("hof")))
+      .count()
+    assert(mismatch == 0)
+    val edge = Seq(Seq("a", "b"), Seq("x", "y", "z", "x", "y"))
+      .toDF("w")
+      .select(TextOps.shingles3All(col("w")).as("native"))
+      .collect()
+    assert(edge(0).getSeq[String](0) == Seq.empty)
+    assert(edge(1).getSeq[String](0) == Seq("x y z", "y z x", "z x y"))
+  }
+
   test("graft_cooccur_pairs equals the sorted-distinct HOF chain") {
     val spark = TestSpark.spark
     import spark.implicits._
