@@ -68,6 +68,12 @@ object TextOps {
   def shingles3All(w: Column): Column =
     B.column(graft.functions.GraftShingles3All(B.expression(w)))
 
+  /** Distinct n-grams (space-joined) as one native codegen'd pass; the
+    * emitted array is already a set, so explode + groupBy needs no
+    * row-level distinct. */
+  def ngramsDistinct(w: Column, n: Int): Column =
+    B.column(graft.functions.GraftNgrams(B.expression(w), n))
+
   /** All unordered distinct-token pairs "a b" (a < b, binary order) — the
     * x51 co-occurrence generator as one native codegen'd pass. */
   def cooccurPairs(tokens: Column): Column =

@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftShingles3All(children.head)))
     ext.injectFunction((
+      new FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[GraftNgrams].getName, "graft_ngrams"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftNgrams(children.head,
+          children(1).eval(null).asInstanceOf[Number].intValue())))
+    ext.injectFunction((
       new FunctionIdentifier("graft_cooccur_pairs"),
       new ExpressionInfo(classOf[GraftCooccurPairs].getName, "graft_cooccur_pairs"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -175,6 +175,34 @@ case class GraftShingles3All(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Distinct n-grams over array<string> (n fixed at construction — the
+  * SQL registration peels it from a literal second argument). Parametric
+  * twin of GraftShingles3; emits the per-document SET so downstream
+  * explodes need no row-level distinct. */
+case class GraftNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if n >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires n >= 1, got $n")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_ngrams"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.ngramsDistinct(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.ngramsDistinct($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftNgrams =
+    copy(child = newChild)
+}
+
 /** All unordered distinct-token pairs as "a b" strings (binary order,
   * a < b) — the co-occurrence pair generator (x51), one codegen'd pass
   * replacing an interpreted nested-transform/flatten HOF chain. */

@@ -121,6 +121,28 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct n-grams (space-joined, first-occurrence order) — the
+    * parametric twin of [[shingles3]]: fewer than n tokens ⇒ empty. Emits
+    * the SET per document, so a consumer that explodes it needs no
+    * row-level distinct afterwards (x41 drops a full shuffle this way). */
+  def ngramsDistinct(arr: ArrayData, ng: Int): ArrayData = {
+    val n = arr.numElements()
+    if (n < ng) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val win = new Array[UTF8String](ng)
+    var i = 0
+    while (i + ng - 1 < n) {
+      var j = 0
+      while (j < ng) {
+        win(j) = if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+        j += 1
+      }
+      seen.add(UTF8String.concatWs(Space, win: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(Array.empty[AnyRef]).asInstanceOf[Array[Any]])
+  }
+
   /** All unordered distinct-token pairs "a b" (binary-ascending, a < b) —
     * value-equal to the HOF chain `flatten(transform(sort_array(
     * array_distinct(w)), (x,i) -> transform(slice(...), y -> concat(x,' ',y))))`

@@ -31,13 +31,14 @@ object Ext5 {
     // Both aggregations are partial-aggregable, so the plan survives any
     // corpus size; gram cardinality is bounded by total token count.
     "x41_ngram_novelty" -> ((s, d) => {
+      // native distinct-5-gram kernel: the emitted array is already a
+      // per-doc set, so no row-level distinct (a full shuffle) is needed
+      // after the explode
       val grams = documents(s, d)
         .select(col("doc_id"), TextOps.words(col("text")).as("w"))
         .filter(size(col("w")) >= 5)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), size(col("w")) - 4),
-          i => array_join(slice(col("w"), i, lit(5)), " "))).as("gram"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(TextOps.ngramsDistinct(col("w"), 5)).as("gram"))
       val df = grams.groupBy(col("gram"))
         .agg(count(lit(1)).as("df"))
       grams.join(df, "gram")

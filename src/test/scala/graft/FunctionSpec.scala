@@ -125,6 +125,32 @@ class FunctionSpec extends AnyFunSuite {
     assert(edge(1).getSeq[String](0) == Seq("x y z", "y z x", "z x y"))
   }
 
+  test("graft_ngrams equals the distinct HOF transform for n=2..5") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ext.TextOps
+    def hofN(w: org.apache.spark.sql.Column, n: Int) =
+      when(size(w) >= n, array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    for (n <- 2 to 5) {
+      val mismatch = docs
+        .select(split(col("text"), " ").as("w"))
+        .select(TextOps.ngramsDistinct(col("w"), n).as("native"),
+          hofN(col("w"), n).as("hof"))
+        .filter(not(col("native") <=> col("hof")))
+        .count()
+      assert(mismatch == 0, s"n=$n")
+    }
+    // SQL registration peels the literal n
+    val viaSql = spark.sql(
+      "SELECT graft_ngrams(array('a','b','c','b','c'), 2) AS g")
+      .collect()(0).getSeq[String](0)
+    assert(viaSql == Seq("a b", "b c", "c b"))
+  }
+
   test("graft_cooccur_pairs equals the sorted-distinct HOF chain") {
     val spark = TestSpark.spark
     import spark.implicits._
