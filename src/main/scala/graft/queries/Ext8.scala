@@ -121,6 +121,42 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // X2h INCREMENTAL DEDUP: the production flow a batch pipeline actually
+    // runs — a NEW batch (hash-sampled 10% of the corpus, x19's md5 rule)
+    // probed against the EXISTING index (the other 90%), never
+    // batch-vs-batch all-pairs. Candidates come from the shared LSH band
+    // keys (an equi join of the small new side against the index — at
+    // 100 TB the index side is the precomputed, bucketed store and only
+    // the new batch is signed fresh); verification is the exact shingle
+    // containment of the new doc in the old (inter = |new ∩ old|,
+    // containment vs the NEW doc's size — the asymmetric measure that
+    // catches a new doc quoting an indexed one). Integer output only.
+    "x52_incremental_dedup" -> ((s, d) => {
+      val h = TextOps.hash32(concat(lit("sample:"), col("doc_id").cast("string")))
+      val sh = Ext.docShingles(documents(s, d))
+        .withColumn("sig", TextOps.minhashSig(col("ss")))
+        .withColumn("bucket", pmod(h, lit(100)))
+        .persist()
+      val newB = sh.filter(col("bucket") < 10)
+      val oldB = sh.filter(col("bucket") >= 10)
+      val newKeys = newB.select(col("doc_id"),
+        explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
+      val oldKeys = oldB.select(col("doc_id").as("old_id"),
+        explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
+      val cand = newKeys.join(oldKeys, "bk")
+        .select(col("doc_id").as("new_id"), col("old_id"))
+        .distinct()
+      cand
+        .join(sh.select(col("doc_id").as("new_id"), col("ss").as("nss")), "new_id")
+        .join(sh.select(col("doc_id").as("old_id"), col("ss").as("oss")), "old_id")
+        .select(col("new_id"), col("old_id"),
+          size(array_intersect(col("nss"), col("oss"))).cast("long").as("inter"),
+          size(col("nss")).cast("long").as("n_new"),
+          size(col("oss")).cast("long").as("n_old"))
+        .filter(col("inter") * 2 >= col("n_new")) // containment ≥ 50% of new
+        .orderBy(col("new_id"), col("old_id"))
+    }),
+
     // W19 SEQUENCE PATTERN MATCH (MATCH_RECOGNIZE-lite): reconstruct each
     // user's time-ordered event-type sequence as a compact string (one
     // initial per event — sort_array over (tus, event_id) structs keeps
@@ -234,6 +270,38 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "x52_incremental_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |h AS (SELECT doc_id, ss,
+        |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs,
+        |  CAST(concat('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)),1,8))
+        |    AS BIGINT) % 100 AS bucket FROM sh),
+        |mh AS (SELECT doc_id, ss, bucket,
+        |  list_min(list_transform(hs, x -> (7*x+3) % 2147483647)) AS m0,
+        |  list_min(list_transform(hs, x -> (11*x+5) % 2147483647)) AS m1,
+        |  list_min(list_transform(hs, x -> (13*x+7) % 2147483647)) AS m2,
+        |  list_min(list_transform(hs, x -> (17*x+11) % 2147483647)) AS m3,
+        |  list_min(list_transform(hs, x -> (19*x+13) % 2147483647)) AS m4,
+        |  list_min(list_transform(hs, x -> (23*x+17) % 2147483647)) AS m5,
+        |  list_min(list_transform(hs, x -> (29*x+19) % 2147483647)) AS m6,
+        |  list_min(list_transform(hs, x -> (31*x+23) % 2147483647)) AS m7 FROM h),
+        |bk AS (SELECT doc_id, bucket, unnest([
+        |  concat_ws('_', 0, m0, m1), concat_ws('_', 1, m2, m3),
+        |  concat_ws('_', 2, m4, m5), concat_ws('_', 3, m6, m7)]) AS bk FROM mh),
+        |cand AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id
+        |  FROM bk n JOIN bk o ON n.bk = o.bk
+        |  WHERE n.bucket < 10 AND o.bucket >= 10 GROUP BY 1, 2)
+        |SELECT new_id, old_id,
+        |  CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) AS inter,
+        |  CAST(len(x.ss) AS BIGINT) AS n_new, CAST(len(y.ss) AS BIGINT) AS n_old
+        |FROM cand JOIN mh x ON x.doc_id = new_id JOIN mh y ON y.doc_id = old_id
+        |WHERE CAST(len(list_intersect(x.ss, y.ss)) AS BIGINT) * 2
+        |  >= CAST(len(x.ss) AS BIGINT)
+        |ORDER BY new_id, old_id""".stripMargin,
 
     "w19_sequence_match" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS tus, event_id,

@@ -117,6 +117,29 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("x52_incremental_dedup: new-batch copy of an indexed doc is caught") {
+    import spark.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    def bucket(id: Long): Long =
+      graft.functions.HashKernels.hash32(
+        UTF8String.fromString(s"sample:$id")) % 100
+    // pick a "new" id (bucket < 10) and an "old" id (bucket >= 10) by
+    // scanning — the rule is the deterministic md5 sample split
+    val newId = (1L to 500L).find(bucket(_) < 10).get
+    val oldId = (1L to 500L).find(bucket(_) >= 10).get
+    val text = "alpha beta gamma delta epsilon zeta"
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8i").toString
+    Seq((newId, text), (oldId, text))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("x52_incremental_dedup")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // identical docs: 4 shingles, full containment
+    assert(out.toSeq === Seq((newId, oldId, 4L, 4L, 4L)))
+  }
+
   test("x51_cooccurrence: pair generation is row-local — no join in the plan") {
     import org.apache.spark.sql.execution.FormattedMode
     val p = SparkEntry.queries("x51_cooccurrence")(spark, "/root/testdata/sf0.001")
