@@ -138,11 +138,15 @@ object Ext6 {
         element_at(array((0 until Kc).map(k => col(s"qd${m}_$k")): _*),
           col(s"c$m") + 1)
       }.reduce(_ + _)
-      val short = q.join(coded, col("vec_id") =!= col("q_id"))
+      // shortlist via the custom bounded-heap top-k plan (plans.TopKPerKey)
+      // rather than a row_number window: a window would shuffle EVERY
+      // (query, vector) score into |queries| partitions — the partial
+      // top-k stage caps the exchange at 20 rows per (partition, query),
+      // which is what survives a 100 TB corpus scan
+      val scored = q.join(coded, col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), adc.as("adc"))
-        .withColumn("srnk", row_number().over(
-          Window.partitionBy(col("q_id")).orderBy(col("adc").desc, col("n_id"))))
-        .filter(col("srnk") <= 20)
+      val short = graft.ext.TopK.perKey(scored,
+        keys = Seq(col("q_id")), order = Seq(col("adc").desc, col("n_id")), k = 20)
       short.join(e, col("n_id") === col("vec_id"))
         .select(col("q_id"), col("n_id"), Ext.trunc6(col("adc")).as("adc6"),
           Ext.trunc6(Similarity.dot(col("qv"), col("v"))).as("dot6"))
