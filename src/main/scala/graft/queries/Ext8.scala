@@ -121,6 +121,46 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // X4u GOPHER-STYLE RULE FILTER: the absolute-threshold quality gate
+    // every web-scale text pipeline runs before training (word-count
+    // bounds, mean word length bounds, type-token ratio floor, stopword
+    // presence) — the rule-flag counterpart of x21's per-source percentile
+    // gate. Every predicate is multiplied through to integers (len·n
+    // comparisons, never a float ratio), so the flags are bit-stable; the
+    // whole thing is one scan of per-row expressions plus the final
+    // rollup — no shuffle before the aggregate at any corpus size.
+    "x53_gopher_rules" -> ((s, d) => {
+      val stops = Seq("the", "and", "of", "to", "a")
+      val w = TextOps.words(col("text"))
+      documents(s, d)
+        .select(col("doc_id"), w.as("w"), length(col("text")).as("nc"))
+        .select(col("doc_id"),
+          size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          size(filter(col("w"), x => x.isInCollection(stops))).cast("long")
+            .as("n_stop"),
+          col("nc").cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") >= 5 && col("n_tokens") <= 100000).as("ok_count"),
+          // mean word length in [3, 10]: chars include separators, so
+          // compare total chars to token-count multiples (exact integers)
+          (col("n_chars") >= col("n_tokens") * 3 &&
+            col("n_chars") <= col("n_tokens") * 10).as("ok_wordlen"),
+          // type-token ratio ≥ 0.2 ⇔ 5·distinct ≥ tokens
+          (col("n_distinct") * 5 >= col("n_tokens")).as("ok_ttr"),
+          (col("n_stop") >= 2).as("ok_stop"))
+        .withColumn("pass",
+          col("ok_count") && col("ok_wordlen") && col("ok_ttr") && col("ok_stop"))
+        .groupBy(col("pass"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(when(col("ok_count"), 0L).otherwise(1L)).as("fail_count"),
+          sum(when(col("ok_wordlen"), 0L).otherwise(1L)).as("fail_wordlen"),
+          sum(when(col("ok_ttr"), 0L).otherwise(1L)).as("fail_ttr"),
+          sum(when(col("ok_stop"), 0L).otherwise(1L)).as("fail_stop"))
+        .orderBy(col("pass"))
+    }),
+
     // X2h INCREMENTAL DEDUP: the production flow a batch pipeline actually
     // runs — a NEW batch (hash-sampled 10% of the corpus, x19's md5 rule)
     // probed against the EXISTING index (the other 90%), never
@@ -270,6 +310,32 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "x53_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    CAST(len(text) AS BIGINT) AS n_chars FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(w) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |    CAST(len(list_filter(w, x -> x IN ('the','and','of','to','a')))
+        |      AS BIGINT) AS n_stop,
+        |    n_chars
+        |  FROM t),
+        |f AS (SELECT doc_id, n_tokens,
+        |    (n_tokens >= 5 AND n_tokens <= 100000) AS ok_count,
+        |    (n_chars >= n_tokens * 3 AND n_chars <= n_tokens * 10) AS ok_wordlen,
+        |    (n_distinct * 5 >= n_tokens) AS ok_ttr,
+        |    (n_stop >= 2) AS ok_stop
+        |  FROM m),
+        |p AS (SELECT *, (ok_count AND ok_wordlen AND ok_ttr AND ok_stop) AS pass
+        |  FROM f)
+        |SELECT pass, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(CASE WHEN ok_count THEN 0 ELSE 1 END) AS BIGINT) AS fail_count,
+        |  CAST(sum(CASE WHEN ok_wordlen THEN 0 ELSE 1 END) AS BIGINT) AS fail_wordlen,
+        |  CAST(sum(CASE WHEN ok_ttr THEN 0 ELSE 1 END) AS BIGINT) AS fail_ttr,
+        |  CAST(sum(CASE WHEN ok_stop THEN 0 ELSE 1 END) AS BIGINT) AS fail_stop
+        |FROM p GROUP BY pass ORDER BY pass""".stripMargin,
 
     "x52_incremental_dedup" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

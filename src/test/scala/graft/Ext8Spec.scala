@@ -117,6 +117,23 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("x53_gopher_rules: each rule trips independently, rollup exact") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8g").toString
+    Seq(
+      (1L, "the and of to a normal looking doc here"), // passes all
+      (2L, "one two three"),                           // fails count (<5) + stop
+      (3L, "the and " + Seq.fill(20)("ab").mkString(" ")), // mean wordlen < 3
+      (4L, "the and " + Seq.fill(30)("xy").mkString(" ")))  // ttr + wordlen fail
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("x53_gopher_rules")(spark, d)
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    // doc 1 passes; docs 2-4 fail
+    assert(out.toSeq === Seq((false, 3L), (true, 1L)))
+  }
+
   test("x52_incremental_dedup: new-batch copy of an indexed doc is caught") {
     import spark.implicits._
     import org.apache.spark.unsafe.types.UTF8String
