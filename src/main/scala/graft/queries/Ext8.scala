@@ -121,6 +121,36 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // W20 TRAILING-WINDOW ANOMALY FLAG: each event compared against the
+    // mean/variance of its user's previous 10 events — the online outlier
+    // gate every metrics pipeline runs. All math is exact integers on
+    // milli-scaled values: the 2σ test (v−μ)² > 4σ² is multiplied through
+    // to (v·n−Σ)² > 4·(n·Σx²−Σ²) over bigint/decimal sums, so no float
+    // division, sqrt, or summation order exists on either engine. One
+    // shuffle on user_id; the trailing frame is a ROWS window.
+    "w20_trailing_anomaly" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(-10, -1)
+      val e = events(s, d).select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("tus"),
+        floor(col("value") * 1000.0).cast("long").as("vm"))
+      e.withColumn("n", count(col("vm")).over(w))
+        .withColumn("sv", sum(col("vm")).over(w))
+        .withColumn("svv", sum((col("vm") * col("vm")).cast("decimal(38,0)")).over(w))
+        .filter(col("n") >= 3)
+        .withColumn("dev", (col("vm") * col("n") - col("sv")).cast("decimal(38,0)"))
+        .withColumn("anom",
+          col("dev") * col("dev") >
+            (col("svv") * col("n") - col("sv").cast("decimal(38,0)") *
+              col("sv").cast("decimal(38,0)")) * 4)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_tested"),
+          sum(when(col("anom"), 1L).otherwise(0L)).as("n_anomalies"),
+          sum(when(col("anom"), col("event_id")).otherwise(0L)).as("anom_id_sum"))
+        .orderBy(col("user_id"))
+    }),
+
     // X4u GOPHER-STYLE RULE FILTER: the absolute-threshold quality gate
     // every web-scale text pipeline runs before training (word-count
     // bounds, mean word length bounds, type-token ratio floor, stopword
@@ -310,6 +340,28 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "w20_trailing_anomaly" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    CAST(floor(value * 1000.0) AS BIGINT) AS vm FROM events),
+        |t AS (SELECT user_id, event_id, vm,
+        |    count(vm) OVER w AS n,
+        |    sum(vm) OVER w AS sv,
+        |    sum(CAST(vm AS DECIMAL(38,0)) * vm) OVER w AS svv
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+        |f AS (SELECT user_id, event_id,
+        |    CAST(vm * n - sv AS DECIMAL(38,0)) AS dev, n, sv, svv
+        |  FROM t WHERE n >= 3),
+        |a AS (SELECT user_id, event_id,
+        |    (dev * dev > (svv * n - CAST(sv AS DECIMAL(38,0)) *
+        |      CAST(sv AS DECIMAL(38,0))) * 4) AS anom
+        |  FROM f)
+        |SELECT user_id, count(*) AS n_tested,
+        |  CAST(sum(CASE WHEN anom THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
+        |  CAST(sum(CASE WHEN anom THEN event_id ELSE 0 END) AS BIGINT)
+        |    AS anom_id_sum
+        |FROM a GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "x53_gopher_rules" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w,

@@ -117,6 +117,27 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("w20_trailing_anomaly: spike flagged, steady stream is not") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8a").toString
+    val t0 = 1700000000000000L
+    def ts(i: Long) = new java.sql.Timestamp((t0 + i * 1000000) / 1000)
+    // user 1: values 1.0 ×5 then a 100.0 spike (dev² > 4·var=0 → anomaly),
+    // then 1.0 again (trailing window now has variance; |1-μ| small — but
+    // μ jumped, so check only the spike assertion via id sum)
+    val rows = (0L to 4L).map(i => (i, ts(i), 1L, "a", 1.0, "{}")) ++
+      Seq((5L, ts(5), 1L, "a", 100.0, "{}")) ++
+      // user 2: strictly steady — zero variance, zero deviation, no flags
+      (10L to 16L).map(i => (i, ts(i), 2L, "a", 7.5, "{}"))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val out = SparkEntry.queries("w20_trailing_anomaly")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // user 1: events 3,4,5 tested (need n>=3 prior); only id 5 anomalous
+    // user 2: events 13..16 tested, none anomalous
+    assert(out.toSeq === Seq((1L, 3L, 1L, 5L), (2L, 4L, 0L, 0L)))
+  }
+
   test("x53_gopher_rules: each rule trips independently, rollup exact") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-ext8g").toString
