@@ -18,10 +18,12 @@ import scala.util.matching.Regex
   * That covers simple text-report PDFs (the reference's input class),
   * plus PDF 1.5 object streams, PNG/TIFF-predicted FlateDecode, CID
   * fonts via /ToUnicode CMaps (bfchar + both bfrange forms, 1- and 2-byte
-  * codespaces), and Standard-security encryption — RC4 (/V 1–2, /R 2–3)
-  * and AES-128 (/V 4, /R 4, /AESV2), both with the empty user password;
-  * remaining exotica (AESV3/256, real passwords, CMap-less CID) fall
-  * back to whatever pages remain parseable, never an exception. Like pdfplumber's
+  * codespaces), and the full Standard-security matrix — RC4 (/V 1–2,
+  * /R 2–3), AES-128 (/V 4 /R 4, /AESV2) and AES-256 (/V 5 /R 6, /AESV3
+  * with the ISO 32000-2 Algorithm 2.B key derivation), all with the
+  * empty user password; remaining exotica (real passwords, CMap-less
+  * CID) fall back to whatever pages remain parseable, never an
+  * exception. Like pdfplumber's
   * `extract_text`, each page becomes newline-joined lines and pages are
   * joined with a trailing "\n" per non-empty page (main.py:255–257).
   *
@@ -525,9 +527,60 @@ object PdfText {
     md5(fk, salted).take(math.min(fk.length + 5, 16))
   }
 
-  /** AES-128-CBC decryption of an AESV2 stream: the first 16 bytes are the
-    * IV, the rest the ciphertext; PKCS#5 padding is stripped leniently
-    * (malformed padding keeps the block — degrade, never throw). */
+  /** ISO 32000-2 Algorithm 2.B (the /R 6 iterated hash): SHA-256 of
+    * (pwd ‖ salt ‖ udata), then rounds of AES-128-CBC over the 64×
+    * repeated (pwd ‖ K ‖ udata) block with the digest choice driven by
+    * the ciphertext — stops after ≥ 64 rounds when the last cipher byte
+    * permits. Returns the 32-byte key. */
+  private[graft] def hash2B(pwd: Array[Byte], salt: Array[Byte],
+      udata: Array[Byte]): Array[Byte] = {
+    def sha(alg: String, b: Array[Byte]) =
+      java.security.MessageDigest.getInstance(alg).digest(b)
+    var k = sha("SHA-256", pwd ++ salt ++ udata)
+    var i = 0
+    var done = false
+    while (!done) {
+      val base = pwd ++ k ++ udata
+      val k1 = new Array[Byte](base.length * 64)
+      var j = 0
+      while (j < 64) { System.arraycopy(base, 0, k1, j * base.length, base.length); j += 1 }
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      val e = c.doFinal(k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      k = sha(mod match { case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512" }, e)
+      i += 1
+      if (i >= 64 && (e.last & 0xff) <= i - 32) done = true
+    }
+    k.take(32)
+  }
+
+  /** /R 6 file key from /U (48 bytes: hash ‖ validationSalt ‖ keySalt) and
+    * /UE (the AES-wrapped file key), empty user password: validate
+    * hash2B(ε, vSalt) against U[0..32), then unwrap UE with
+    * hash2B(ε, kSalt) (AES-256-CBC, zero IV, no padding). None if the
+    * validation fails (a real password) or the fields are malformed. */
+  private[graft] def fileKeyR6(u: Array[Byte], ue: Array[Byte]): Option[Array[Byte]] = {
+    if (u.length < 48 || ue.length < 32) return None
+    val vSalt = u.slice(32, 40)
+    val kSalt = u.slice(40, 48)
+    val empty = Array.emptyByteArray
+    if (!java.util.Arrays.equals(hash2B(empty, vSalt, empty), u.take(32))) return None
+    try {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.DECRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(hash2B(empty, kSalt, empty), "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      Some(c.doFinal(ue.take(32)))
+    } catch { case _: Throwable => None }
+  }
+
+  /** AES-CBC decryption of an AESV2/AESV3 stream (the key length picks the
+    * variant): the first 16 bytes are the IV, the rest the ciphertext;
+    * PKCS#5 padding is stripped leniently (malformed padding keeps the
+    * block — degrade, never throw). */
   private[graft] def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     if (data.length < 32 || (data.length % 16) != 0) return Array.emptyByteArray
     try {
@@ -604,37 +657,53 @@ object PdfText {
     * never an exception. */
   private def decryptIfNeeded(s: String, objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
     val encAt = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(s).toSeq.lastOption
-    val prepared = for {
+    // (encNum, fileKey, mode): mode 0 = RC4 per-object, 1 = AESV2
+    // per-object (sAlT), 2 = AESV3 (file key used directly)
+    val prepared: Option[(Int, Array[Byte], Int)] = for {
       m <- encAt
       encNum = m.group(1).toInt
       enc <- objs.get(encNum).map(_.dict)
       if enc.contains("/Standard")
       v = """/V\s+(\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(0)
       r = """/R\s+(\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toInt).getOrElse(2)
-      aes = v == 4 && r == 4 && enc.contains("/AESV2")
-      if ((v == 1 || v == 2) && (r == 2 || r == 3)) || aes
-      o <- pdfStringAfter(enc, "/O")
-      p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toLong.toInt)
-    } yield {
-      val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(enc)
-        .map(_.group(1).toInt).getOrElse(if (aes) 128 else 40)
-      // first element of the trailer /ID array (hex form; absent → empty)
-      val id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
-        .map { mm =>
-          val hex = mm.group(1).filterNot(_.isWhitespace)
-          hex.grouped(2).filter(_.length == 2)
-            .map(h => Integer.parseInt(h, 16).toByte).toArray
-        }.getOrElse(Array.emptyByteArray)
-      (encNum, fileKey(o, p, id0, r, lenBits), aes)
-    }
+      aes2 = v == 4 && r == 4 && enc.contains("/AESV2")
+      aes3 = v == 5 && (r == 5 || r == 6) && enc.contains("/AESV3")
+      if ((v == 1 || v == 2) && (r == 2 || r == 3)) || aes2 || aes3
+      key <- if (aes3) {
+        for {
+          u <- pdfStringAfter(enc, "/U")
+          ue <- pdfStringAfter(enc, "/UE")
+          fk <- fileKeyR6(u, ue)
+        } yield fk
+      } else {
+        for {
+          o <- pdfStringAfter(enc, "/O")
+          p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(enc).map(_.group(1).toLong.toInt)
+        } yield {
+          val lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(enc)
+            .map(_.group(1).toInt).getOrElse(if (aes2) 128 else 40)
+          // first element of the trailer /ID array (hex form; absent → empty)
+          val id0 = """/ID\s*\[\s*<([0-9A-Fa-f\s]*)>""".r.findFirstMatchIn(s)
+            .map { mm =>
+              val hex = mm.group(1).filterNot(_.isWhitespace)
+              hex.grouped(2).filter(_.length == 2)
+                .map(h => Integer.parseInt(h, 16).toByte).toArray
+            }.getOrElse(Array.emptyByteArray)
+          fileKey(o, p, id0, r, lenBits)
+        }
+      }
+    } yield (encNum, key, if (aes3) 2 else if (aes2) 1 else 0)
     prepared match {
       case None => objs
-      case Some((encNum, fk, aes)) =>
+      case Some((encNum, fk, mode)) =>
         objs.map { case (num, obj) =>
           num -> (if (num == encNum) obj
             else obj.copy(stream = obj.stream.map { st =>
-              if (aes) aesDecrypt(objectKey(fk, num, obj.gen, aes = true), st)
-              else rc4(objectKey(fk, num, obj.gen), st)
+              mode match {
+                case 2 => aesDecrypt(fk, st)
+                case 1 => aesDecrypt(objectKey(fk, num, obj.gen, aes = true), st)
+                case _ => rc4(objectKey(fk, num, obj.gen), st)
+              }
             }))
         }
     }

@@ -159,10 +159,11 @@ object MiniPdf {
     * spec-true encrypted PDF any conforming reader opens without a
     * password prompt. */
   def writeEncrypted(pages: Seq[String], r: Int = 3): Array[Byte] = {
-    import graft.ingest.PdfText.{rc4, fileKey, objectKey, PasswordPad}
+    import graft.ingest.PdfText.{rc4, fileKey, objectKey, PasswordPad, hash2B}
     def md5(bs: Array[Byte]): Array[Byte] =
       java.security.MessageDigest.getInstance("MD5").digest(bs)
     val aes = r == 4
+    val aes3 = r == 6
     def aesEncrypt(key: Array[Byte], iv: Array[Byte], data: Array[Byte]): Array[Byte] = {
       val c = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
       c.init(javax.crypto.Cipher.ENCRYPT_MODE,
@@ -170,7 +171,26 @@ object MiniPdf {
         new javax.crypto.spec.IvParameterSpec(iv))
       iv ++ c.doFinal(data)
     }
-    val lenBits = if (r == 2) 40 else 128
+    def aesRawEncrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(key, "AES"),
+        new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+      c.doFinal(data)
+    }
+    val empty = Array.emptyByteArray
+    // R6 (AES-256) material: deterministic file key + salts, /U /UE /O /OE
+    // per ISO 32000-2 (empty user AND owner passwords)
+    val fk256 = Array.tabulate[Byte](32)(i => ((i * 37 + 11) & 0xff).toByte)
+    val vSalt = Array.tabulate[Byte](8)(i => ((i * 13 + 1) & 0xff).toByte)
+    val kSalt = Array.tabulate[Byte](8)(i => ((i * 17 + 5) & 0xff).toByte)
+    val ovSalt = Array.tabulate[Byte](8)(i => ((i * 19 + 7) & 0xff).toByte)
+    val okSalt = Array.tabulate[Byte](8)(i => ((i * 23 + 9) & 0xff).toByte)
+    lazy val u48 = hash2B(empty, vSalt, empty) ++ vSalt ++ kSalt
+    lazy val ue32 = aesRawEncrypt(hash2B(empty, kSalt, empty), fk256)
+    lazy val o48 = hash2B(empty, ovSalt, u48) ++ ovSalt ++ okSalt
+    lazy val oe32 = aesRawEncrypt(hash2B(empty, okSalt, u48), fk256)
+    val lenBits = if (r == 2) 40 else if (aes3) 256 else 128
     val perms = -44 // print+copy allowed, the common permissive mask
     val id0 = Array.tabulate(16)(i => ((i * 7 + 3) & 0xff).toByte)
     // Algorithm 3: /O from the (empty) owner password
@@ -211,7 +231,10 @@ object MiniPdf {
       obj { raw(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
         s"/Resources << /Font << /F1 3 0 R >> >> /Contents $contentNum 0 R >>\n") }
       val data =
-        if (aes)
+        if (aes3)
+          aesEncrypt(fk256, md5(Array(contentNum.toByte)).take(16),
+            deflate(contentStream(p)))
+        else if (aes)
           aesEncrypt(objectKey(fk, contentNum, 0, aes = true),
             md5(Array(contentNum.toByte)).take(16), deflate(contentStream(p)))
         else rc4(objectKey(fk, contentNum, 0), deflate(contentStream(p)))
@@ -222,12 +245,20 @@ object MiniPdf {
       }
     }
     obj {
-      val vr =
-        if (r == 2) "/V 1 /R 2"
-        else if (r == 3) s"/V 2 /R 3 /Length $lenBits"
-        else s"/V 4 /R 4 /Length $lenBits /CF << /StdCF << /CFM /AESV2 " +
-          "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
-      raw(s"<< /Filter /Standard $vr /O ${hexStr(o)} /U ${hexStr(u)} /P $perms >>\n")
+      if (aes3) {
+        raw(s"<< /Filter /Standard /V 5 /R 6 /Length 256 " +
+          "/CF << /StdCF << /CFM /AESV3 /AuthEvent /DocOpen /Length 32 >> >> " +
+          "/StmF /StdCF /StrF /StdCF " +
+          s"/U ${hexStr(u48)} /UE ${hexStr(ue32)} " +
+          s"/O ${hexStr(o48)} /OE ${hexStr(oe32)} /P $perms >>\n")
+      } else {
+        val vr =
+          if (r == 2) "/V 1 /R 2"
+          else if (r == 3) s"/V 2 /R 3 /Length $lenBits"
+          else s"/V 4 /R 4 /Length $lenBits /CF << /StdCF << /CFM /AESV2 " +
+            "/AuthEvent /DocOpen /Length 16 >> >> /StmF /StdCF /StrF /StdCF"
+        raw(s"<< /Filter /Standard $vr /O ${hexStr(o)} /U ${hexStr(u)} /P $perms >>\n")
+      }
     }
     val xrefAt = out.size()
     raw(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")

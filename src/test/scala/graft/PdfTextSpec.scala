@@ -231,6 +231,39 @@ class PdfTextSpec extends AnyFunSuite {
     assert(plain.contains("Aes Person"))
   }
 
+  test("AESV3-encrypted PDF (R6, AES-256): decrypts and matches plaintext") {
+    val pages = Seq("Entity 1\nName: Aes256 Person\nProgramme: AES3", "Second page")
+    val plain = PdfText.extract(MiniPdf.write(pages))
+    assert(PdfText.extract(MiniPdf.writeEncrypted(pages, r = 6)) == plain)
+    assert(plain.contains("Aes256 Person"))
+  }
+
+  test("fileKeyR6: wrong validation hash (a real password) yields None") {
+    val pages = Seq("locked")
+    val enc = MiniPdf.writeEncrypted(pages, r = 6)
+    // corrupt one byte of /U's validation hash → key retrieval must fail
+    // closed and extraction degrade to empty, never throw
+    val s = new String(enc, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val uAt = s.indexOf("/U <") + 4
+    val flipped = s.substring(0, uAt) +
+      (if (s.charAt(uAt) == '0') '1' else '0') + s.substring(uAt + 1)
+    assert(PdfText.extract(
+      flipped.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)) == "")
+  }
+
+  test("hash2B: 32-byte output, sensitive to salt and udata") {
+    val e = Array.emptyByteArray
+    val s1 = Array.tabulate[Byte](8)(_.toByte)
+    val s2 = Array.tabulate[Byte](8)(i => (i + 1).toByte)
+    val k1 = PdfText.hash2B(e, s1, e)
+    val k2 = PdfText.hash2B(e, s2, e)
+    val k3 = PdfText.hash2B(e, s1, s2)
+    assert(k1.length == 32 && k2.length == 32 && k3.length == 32)
+    assert(!k1.sameElements(k2) && !k1.sameElements(k3))
+    // deterministic
+    assert(PdfText.hash2B(e, s1, e).toSeq == k1.toSeq)
+  }
+
   test("aesDecrypt: IV-prefixed CBC round trip, lenient padding, bad input") {
     val key = Array.tabulate(16)(i => (i * 11 + 1).toByte)
     val iv = Array.tabulate(16)(i => (i * 3 + 7).toByte)
