@@ -95,6 +95,37 @@ class TopKSpec extends AnyFunSuite {
     assert(one === expect)
   }
 
+  test("property: random corpora with heavy ties equal the window spelling") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.scalacheck.Gen
+    val gen = for {
+      n <- Gen.choose(0, 400)
+      rows <- Gen.listOfN(n, for {
+        key <- Gen.choose(0, 5)      // few keys → deep groups
+        v <- Gen.choose(0, 8)        // few values → constant ties
+      } yield (key, v))
+      k <- Gen.choose(1, 5)
+    } yield (rows, k)
+    val seed = org.scalacheck.rng.Seed(42L)
+    var cur = seed
+    for (_ <- 1 to 8) {
+      val (rows, k) = gen.pureApply(Gen.Parameters.default, cur)
+      cur = cur.next
+      val df = rows.zipWithIndex
+        .map { case ((key, v), id) => (key, v, id.toLong) }
+        .toDF("key", "v", "id").repartition(5)
+      val expected = df.withColumn("rnk", row_number().over(
+          Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+        .filter(col("rnk") <= k).drop("rnk")
+        .orderBy(col("key"), col("id")).collect().toSeq
+      val got = graft.ext.TopK.perKey(df, Seq(col("key")),
+          Seq(col("v").desc, col("id")), k)
+        .orderBy(col("key"), col("id")).collect().toSeq
+      assert(got === expected, s"k=$k rows=${rows.size}")
+    }
+  }
+
   test("catalog w18 matches the window spelling and never sorts input") {
     val got = SparkEntry.queries("w18_topk_native")(spark, sf)
     val p = got.queryExecution.executedPlan.toString
