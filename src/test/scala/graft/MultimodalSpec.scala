@@ -182,6 +182,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.imageStatsOf(1L, null).isEmpty)
   }
 
+  test("imageStatsOf: REAL JPEG decode through the JDK codec (lossy tolerance)") {
+    import graft.ext.Multimodal
+    val w = 32; val h = 24
+    val jpeg = Multimodal.synthImage(5L, w, h, "jpg")
+    // a real JFIF payload came out of the encoder
+    assert((jpeg(0) & 0xff) == 0xff && (jpeg(1) & 0xff) == 0xd8)
+    val st = Multimodal.imageStatsOf(5L, jpeg).get
+    assert(st.format == "jpeg" && st.width == w && st.height == h)
+    assert(st.n_px == w.toLong * h)
+    // lossy round trip: per-channel MEANS must land near the source
+    // pattern's (computed exactly from the generator), not byte-exact
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      er += (x * 3 + y * 5 + 5) % 256
+      eg += (x + y * 2 + 5 * 7) % 256
+      eb += (x * 11 + y + 5 * 13) % 256
+    }
+    val n = (w * h).toDouble
+    assert(math.abs(st.sum_r / n - er / n) < 16.0, s"R mean off: ${st.sum_r / n} vs ${er / n}")
+    assert(math.abs(st.sum_g / n - eg / n) < 16.0, s"G mean off: ${st.sum_g / n} vs ${eg / n}")
+    assert(math.abs(st.sum_b / n - eb / n) < 16.0, s"B mean off: ${st.sum_b / n} vs ${eb / n}")
+  }
+
   test("imageStats operator: real decode in a Spark plan, garbage dropped") {
     val spark = TestSpark.spark
     import spark.implicits._
