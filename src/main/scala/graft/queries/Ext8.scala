@@ -121,6 +121,34 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // J11 FUZZY-MATCH JOIN (entity resolution): match corrupted record
+    // titles back to their sources with an edit-distance verify — the
+    // approximate-string join under every dedup/linkage system (and the
+    // sanctions matcher's cousin: blocking key ≈ the F5 name variants).
+    // The dirty side is derived deterministically (1 in 3 titles gets its
+    // last char replaced, re-keyed +1e6) and replayed by the oracle. The
+    // join is NEVER all-pairs: candidates come from equality on a 12-char
+    // blocking prefix (the perturbation only touches the tail), then
+    // levenshtein — identical classic edit distance in both engines —
+    // verifies within the block. Integer output only.
+    "j11_fuzzy_match" -> ((s, d) => {
+      val titles = documents(s, d)
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("title"))
+      val dirty = titles.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("dirty_id"),
+          concat(substring(col("title"), 1, 39), lit("x")).as("dtitle"))
+      val cand = titles
+        .join(dirty, substring(col("title"), 1, 12) === substring(col("dtitle"), 1, 12))
+      cand.select(col("doc_id"), col("dirty_id"),
+          levenshtein(col("title"), col("dtitle")).cast("long").as("dist"))
+        .filter(col("dist") <= 2)
+        .groupBy(col("dist"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("doc_id")).as("src_id_sum"),
+          sum(col("dirty_id")).as("dirty_id_sum"))
+        .orderBy(col("dist"))
+    }),
+
     // W20 TRAILING-WINDOW ANOMALY FLAG: each event compared against the
     // mean/variance of its user's previous 10 events — the online outlier
     // gate every metrics pipeline runs. All math is exact integers on
@@ -340,6 +368,20 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "j11_fuzzy_match" ->
+      """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS title FROM documents),
+        |dirty AS (SELECT doc_id + 1000000 AS dirty_id,
+        |    substr(title, 1, 39) || 'x' AS dtitle
+        |  FROM t WHERE doc_id % 3 = 0),
+        |cand AS (SELECT doc_id, dirty_id,
+        |    CAST(levenshtein(title, dtitle) AS BIGINT) AS dist
+        |  FROM t JOIN dirty ON substr(title, 1, 12) = substr(dtitle, 1, 12))
+        |SELECT dist, count(*) AS n_pairs,
+        |  CAST(sum(doc_id) AS BIGINT) AS src_id_sum,
+        |  CAST(sum(dirty_id) AS BIGINT) AS dirty_id_sum
+        |FROM cand WHERE dist <= 2
+        |GROUP BY dist ORDER BY dist""".stripMargin,
 
     "w20_trailing_anomaly" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,

@@ -117,6 +117,36 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("j11_fuzzy_match: blocking prefix prunes, distances bucket exactly") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8f").toString
+    // titles are the first 40 chars; ids %3==0 spawn the dirty twin
+    val t1 = "alpha beta gamma delta epsilon zeta etx" // 39 chars + pad
+    Seq(
+      // id 3 → dirty 1000003; its 40-char title ends in a char that the
+      // corruption replaces with 'x' → dist 1 vs its own source
+      (3L, t1 + "Q tail tail tail"),
+      // id 6's title already ends (at char 40) with 'x' → dist 0 twin
+      (6L, t1 + "x tail tail tail"),
+      // id 9 shares NO 12-char prefix with the others → its dirty twin
+      // matches only itself
+      (9L, "completely different title text here longer"),
+      // id 2: no dirty twin (not %3), but same prefix as 3/6 — it may
+      // match their dirty twins within dist 2
+      (2L, t1 + "Q tail tail tail"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("j11_fuzzy_match")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // dist 0: corruption maps both title(3) and title(6) onto t1+"x", so
+    // dirty(6) AND dirty(3) hit source 6 exactly
+    // dist 1: dirty(3) vs {3, 2}, dirty(6) vs {3, 2}, dirty(9) vs 9
+    val byDist = out.map(r => r._1 -> r._2).toMap
+    assert(byDist(0L) === 2L, s"dist-0 bucket: ${out.toSeq}")
+    assert(byDist(1L) === 5L, s"dist-1 bucket: ${out.toSeq}")
+  }
+
   test("w20_trailing_anomaly: spike flagged, steady stream is not") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-ext8a").toString
