@@ -279,6 +279,31 @@ class PlanSpec extends AnyFunSuite {
       "diff join must stay an equi join")
   }
 
+  test("j11 fuzzy match: blocking join stays equi, no nested loop") {
+    val p = plan("j11_fuzzy_match")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"blocking must make the fuzzy join an equi join:\n$p")
+    assert(p.contains("levenshtein"), "edit-distance verify must be in-plan")
+  }
+
+  test("x52 incremental dedup: band probe is an equi join on the bucket key") {
+    val p = plan("x52_incremental_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"the new-batch probe must join on the band key:\n$p")
+  }
+
+  test("x53 gopher rules: pure per-row flags, partial-aggregated rollup") {
+    val p = plan("x53_gopher_rules")
+    assert(!p.contains("Join"), "rule flags must not join")
+    assert(count(p, "HashAggregate") >= 2, "rollup should keep partial aggregation")
+  }
+
+  test("w20 anomaly: one user_id shuffle serves the frame and the rollup") {
+    val p = plan("w20_trailing_anomaly")
+    assert(count(p, "hashpartitioning(user_id") == 1,
+      s"trailing window and rollup should share one exchange:\n$p")
+  }
+
   test("entry: nation dim broadcast into customer scan") {
     val p = SparkEntry.entry(TestSpark.spark)
       .queryExecution.explainString(FormattedMode)
