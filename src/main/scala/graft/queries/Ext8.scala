@@ -121,6 +121,36 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // X2i VERBATIM-SUBSTRING DECONTAMINATION: find training docs that
+    // contain a benchmark string VERBATIM — the exact-match sweep run
+    // after x25's shingle-overlap pass (overlap finds paraphrases;
+    // verbatim finds quotes). Needles are word-aligned spans of a
+    // deterministic held-out set (docs id%50=0, words 3..7). The naive
+    // spelling is contains() over all (needle, doc) pairs — a nested
+    // loop; the scalable spelling blocks on the needle's leading 3-gram
+    // against the doc's 3-gram SET (the same native shingle kernel the
+    // dedup family uses), so only docs sharing the leading gram are
+    // contains()-verified. Self-matches excluded; integer output.
+    "x54_substring_decontam" -> ((s, d) => {
+      val w = TextOps.words(col("text"))
+      val needles = documents(s, d)
+        .filter(col("doc_id") % 50 === 0 && size(w) >= 7)
+        .select(col("doc_id").as("needle_id"),
+          array_join(slice(w, 3, 5), " ").as("needle"),
+          array_join(slice(w, 3, 3), " ").as("lead3"))
+      val grams = documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(TextOps.shingles3(w)).as("g"))
+      grams.join(needles,
+          col("g") === col("lead3") && col("doc_id") =!= col("needle_id"))
+        .filter(col("text").contains(col("needle")))
+        .select(col("needle_id"), col("doc_id")).distinct()
+        .groupBy(col("needle_id"))
+        .agg(count(lit(1)).as("n_contaminated"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("needle_id"))
+    }),
+
     // J11 FUZZY-MATCH JOIN (entity resolution): match corrupted record
     // titles back to their sources with an edit-distance verify — the
     // approximate-string join under every dedup/linkage system (and the
@@ -368,6 +398,21 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    // the blocking is transparent (a doc containing the needle necessarily
+    // contains its leading 3-gram), so the oracle is the plain contains join
+    "x54_substring_decontam" ->
+      """WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS w
+        |  FROM documents),
+        |n AS (SELECT doc_id AS needle_id,
+        |    array_to_string(w[3:7], ' ') AS needle
+        |  FROM w WHERE doc_id % 50 = 0 AND len(w) >= 7),
+        |hits AS (SELECT DISTINCT needle_id, d.doc_id
+        |  FROM n JOIN w d ON d.doc_id <> needle_id
+        |    AND position(needle IN d.text) > 0)
+        |SELECT needle_id, count(*) AS n_contaminated,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM hits GROUP BY needle_id ORDER BY needle_id""".stripMargin,
 
     "j11_fuzzy_match" ->
       """WITH t AS (SELECT doc_id, substr(text, 1, 40) AS title FROM documents),

@@ -117,6 +117,27 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("x54_substring_decontam: verbatim quote found, paraphrase is not") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8x").toString
+    // needle doc 50: words 3..7 = "carol dave erin frank grace"
+    Seq(
+      (50L, "alice bob carol dave erin frank grace heidi ivan"),
+      // doc 1 quotes the needle verbatim mid-text → contaminated
+      (1L, "intro words then carol dave erin frank grace and more"),
+      // doc 2 paraphrases (one word changed) → NOT flagged
+      (2L, "intro words then carol dave erin frank judy and more"),
+      // doc 3 contains the leading 3-gram but not the full needle →
+      // blocked in, verified out
+      (3L, "prefix carol dave erin zzz yyy xxx"))
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("x54_substring_decontam")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((50L, 1L, 1L, 1L)))
+  }
+
   test("j11_fuzzy_match: blocking prefix prunes, distances bucket exactly") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-ext8f").toString
