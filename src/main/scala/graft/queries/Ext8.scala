@@ -121,6 +121,29 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // X4v BOILERPLATE / FAMILIARITY SCORE: score each document by how
+    // corpus-common its bigrams are — high scorers are templated or
+    // boilerplate text (every bigram appears everywhere), low scorers are
+    // novel prose. The LM-lite cousin of perplexity with no log and no
+    // model: the corpus bigram document-frequency table (one shuffle,
+    // partial-aggregable — x39's stat) joins back to each doc's distinct
+    // bigrams, and the score is the exact integer mean df (sum·1 div
+    // count). Top-15 most boilerplate docs, ties to the lower id.
+    "x55_boilerplate_score" -> ((s, d) => {
+      val w = TextOps.words(col("text"))
+      val bigrams = documents(s, d)
+        .select(col("doc_id"), explode(TextOps.ngramsDistinct(w, 2)).as("bg"))
+      val dfq = bigrams.groupBy(col("bg"))
+        .agg(count(lit(1)).as("df"))
+      bigrams.join(dfq, "bg")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("df")).as("sum_df"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_df div n_bigrams").as("mean_df"))
+        .orderBy(col("mean_df").desc, col("doc_id"))
+        .limit(15)
+    }),
+
     // X2i VERBATIM-SUBSTRING DECONTAMINATION: find training docs that
     // contain a benchmark string VERBATIM — the exact-match sweep run
     // after x25's shingle-overlap pass (overlap finds paraphrases;
@@ -398,6 +421,20 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "x55_boilerplate_score" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT DISTINCT doc_id,
+        |    unnest(CASE WHEN len(w) >= 2
+        |      THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |      ELSE [] END) AS bg
+        |  FROM w),
+        |dfq AS (SELECT bg, count(*) AS df FROM bg GROUP BY bg),
+        |sc AS (SELECT doc_id, count(*) AS n_bigrams,
+        |    CAST(sum(df) AS BIGINT) AS sum_df
+        |  FROM bg JOIN dfq USING (bg) GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, sum_df // n_bigrams AS mean_df
+        |FROM sc ORDER BY mean_df DESC, doc_id LIMIT 15""".stripMargin,
 
     // the blocking is transparent (a doc containing the needle necessarily
     // contains its leading 3-gram), so the oracle is the plain contains join

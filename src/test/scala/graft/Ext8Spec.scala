@@ -117,6 +117,20 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("x55_boilerplate_score: templated doc outranks novel prose") {
+    val d = docs(Seq(
+      (1L, "click here to buy now"),   // bigrams shared with 2 and 3
+      (2L, "click here to buy now"),   // exact template copy
+      (3L, "click here to see more"),  // partial template
+      (4L, "completely novel prose about nothing")))
+    val out = SparkEntry.queries("x55_boilerplate_score")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1/2: bigrams {click here(3), here to(3), to buy(2), buy now(2)}
+    // → mean 10 div 4 = 2; doc 3: {3,3,1,1} → 2; doc 4: all df 1 → 1
+    assert(out.toSeq === Seq(
+      (1L, 4L, 2L), (2L, 4L, 2L), (3L, 4L, 2L), (4L, 4L, 1L)))
+  }
+
   test("x54_substring_decontam: verbatim quote found, paraphrase is not") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-ext8x").toString
