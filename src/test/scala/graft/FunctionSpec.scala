@@ -177,6 +177,47 @@ class FunctionSpec extends AnyFunSuite {
     assert(edge(2).getSeq[String](0) == Seq.empty)
   }
 
+  test("fuzz: new kernels equal their HOF twins on random unicode tokens") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.ext.TextOps
+    import org.scalacheck.Gen
+    val tokGen = Gen.oneOf(
+      Gen.oneOf("", "a", "b", "ab", "ß", "日本", "x y"), // adversarial: empty + multibyte + embedded space
+      Gen.alphaNumStr.map(_.take(6)))
+    val arrGen = Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))
+    val corpusGen = Gen.listOfN(60, arrGen)
+    def hofPairs(w: org.apache.spark.sql.Column) = {
+      val toks = array_sort(array_distinct(w))
+      flatten(transform(toks, (x, i) =>
+        transform(slice(toks, i + 2, size(toks)), y => concat(x, lit(" "), y))))
+    }
+    def hofAll(w: org.apache.spark.sql.Column) =
+      when(size(w) >= 3, transform(sequence(lit(1), size(w) - 2),
+        i => array_join(slice(w, i, lit(3)), " ")))
+        .otherwise(array().cast("array<string>"))
+    def hofN(w: org.apache.spark.sql.Column, n: Int) =
+      when(size(w) >= n, array_distinct(transform(
+        sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+        .otherwise(array().cast("array<string>"))
+    var cur = org.scalacheck.rng.Seed(7L)
+    for (_ <- 1 to 4) {
+      val corpus = corpusGen.pureApply(Gen.Parameters.default, cur)
+      cur = cur.next
+      val df = corpus.map(Tuple1(_)).toDF("w")
+      val bad = df.select(
+          TextOps.cooccurPairs(col("w")).as("np"), hofPairs(col("w")).as("hp"),
+          TextOps.shingles3All(col("w")).as("na"), hofAll(col("w")).as("ha"),
+          TextOps.ngramsDistinct(col("w"), 2).as("n2"), hofN(col("w"), 2).as("h2"),
+          TextOps.ngramsDistinct(col("w"), 4).as("n4"), hofN(col("w"), 4).as("h4"))
+        .filter(not(col("np") <=> col("hp")) || not(col("na") <=> col("ha")) ||
+          not(col("n2") <=> col("h2")) || not(col("n4") <=> col("h4")))
+        .count()
+      assert(bad == 0)
+    }
+  }
+
   test("graft_simhash48 matches a HOF reconstruction; empty array parity") {
     val spark = TestSpark.spark
     import spark.implicits._
