@@ -51,6 +51,28 @@ object DocStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Idempotent parquet upsert sink via foreachBatch — the exactly-once
+    * write pattern a production ingestion stream uses: each micro-batch
+    * dedups against the rows ALREADY LANDED (left-anti join on the
+    * content key against the sink's current state), so replayed batches
+    * (restart/retry) cannot double-write. At scale the landed-side read
+    * prunes to the keys' partitions; here the contract (anti join +
+    * append, batch id available for write-ahead bookkeeping) is what the
+    * spec pins. Returns the DataStreamWriter ready to start. */
+  def upsertSink(deduped: DataFrame, outDir: String)
+  : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    deduped.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val landed =
+          try spark.read.parquet(outDir).select(col("content_key"))
+          catch { case _: Exception => // first batch: nothing landed yet
+            spark.emptyDataFrame.select(lit("").as("content_key")).limit(0) }
+        batch.join(landed, Seq("content_key"), "left_anti")
+          .write.mode("append").parquet(outDir)
+      }
+
   /** Per-source tumbling-minute token throughput: partial-aggregable sum +
     * count per (window, source); watermark closes windows for append
     * emission. */

@@ -250,6 +250,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("doc stream: foreachBatch upsert sink is idempotent under replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val out = java.nio.file.Files.createTempDirectory("graft-upsert").toString + "/sink"
+    val input = MemoryStream[Doc](spark)
+    val deduped = DocStreams.dedupByContent(input.toDF())
+    val q = DocStreams.upsertSink(deduped, out).start()
+    try {
+      input.addData(
+        Doc(1, ts(0, 10), "s0", "alpha beta"),
+        Doc(2, ts(0, 20), "s0", "gamma delta"))
+      q.processAllAvailable()
+      // second micro-batch REPLAYS doc 1's content (new id, same bytes —
+      // outside the first batch, so the in-stream dedup has dropped state)
+      // plus one genuinely new doc; the sink's anti join must keep the
+      // landed copy and admit only the new content
+      input.addData(
+        Doc(3, ts(40, 0), "s0", "alpha beta"),
+        Doc(4, ts(40, 1), "s0", "epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val landed = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(landed.map(_._2).distinct.length === landed.length, "duplicate content landed")
+    assert(landed.map(_._1).toSet === Set(1L, 2L, 4L), s"landed: ${landed.toSeq}")
+  }
+
   test("doc stream: per-source token throughput equals the batch aggregate") {
     val spark = TestSpark.spark
     import spark.implicits._
