@@ -121,6 +121,36 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // Q9 MULTI-CORRELATED SELF-JOIN (TPC-H Q21 shape): suppliers who were
+    // the SOLE late shipper on a multi-supplier order — one EXISTS and one
+    // NOT EXISTS over the same fact table with different correlations,
+    // which Catalyst turns into a semi + anti self-join pair (no per-row
+    // subquery survives). "Late" = shipped more than 60 days after the
+    // order date (exact integer day arithmetic on epoch micros — no
+    // engine-specific date functions). The base, semi and anti sides all
+    // shuffle on l_orderkey, so AQE can reuse one exchange layout.
+    "q9_sole_late_supplier" -> ((s, d) => {
+      graft.tables.Tables.registerViews(s, d)
+      s.sql("""
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders
+            ON l_orderkey = o_orderkey
+          WHERE unix_micros(CAST(l_shipdate AS TIMESTAMP)) -
+                unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                > 60 * 86400000000
+        )
+        SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+        FROM late l1
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY l1.l_suppkey
+        ORDER BY numwait DESC, suppkey""")
+    }),
+
     // X4v BOILERPLATE / FAMILIARITY SCORE: score each document by how
     // corpus-common its bigrams are — high scorers are templated or
     // boilerplate text (every bigram appears everywhere), low scorers are
@@ -421,6 +451,24 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "q9_sole_late_supplier" ->
+      """WITH late AS (
+        |  SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders
+        |    ON l_orderkey = o_orderkey
+        |  WHERE epoch_us(l_shipdate) - epoch_us(o_orderdate)
+        |        > 60 * 86400000000
+        |)
+        |SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+        |FROM late l1
+        |WHERE EXISTS (SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM late l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey)
+        |GROUP BY l1.l_suppkey
+        |ORDER BY numwait DESC, suppkey""".stripMargin,
 
     "x55_boilerplate_score" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

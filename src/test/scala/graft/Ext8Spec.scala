@@ -117,6 +117,33 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("q9_sole_late_supplier: equals the hand-built semi/anti self-join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val li = graft.tables.Tables.lineitem(spark, sf)
+    val o = graft.tables.Tables.orders(spark, sf)
+    val late = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(unix_micros(col("l_shipdate").cast("timestamp")) -
+        unix_micros(col("o_orderdate").cast("timestamp")) > 60L * 86400000000L)
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+    val others = li.select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+    val lateOthers = late.select(col("ok").as("ok3"), col("sk").as("sk3"))
+    val expected = late
+      .join(others, col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+      .join(lateOthers, col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("sk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val got = SparkEntry.queries("q9_sole_late_supplier")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got === expected)
+    assert(got.nonEmpty)
+    val plan = SparkEntry.queries("q9_sole_late_supplier")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      s"expected decorrelated semi+anti self-joins:\n$plan")
+  }
+
   test("x55_boilerplate_score: templated doc outranks novel prose") {
     val d = docs(Seq(
       (1L, "click here to buy now"),   // bigrams shared with 2 and 3
