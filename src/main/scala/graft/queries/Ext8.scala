@@ -121,6 +121,24 @@ object Ext8 {
           col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // X2j CROSS-SOURCE OVERLAP MATRIX: near-dup pair counts bucketed by
+    // the (source, source) pair — the contamination matrix a curation
+    // team reads to decide which feeds double-ingest each other. Reuses
+    // the x3 LSH candidate+verify machinery (banded equi join, exact
+    // Jaccard ≥ 0.5), then one broadcast-size source lookup per side and
+    // a partial-aggregable rollup over the unordered source pair.
+    "x57_source_overlap" -> ((s, d) => {
+      val src = documents(s, d).select(col("doc_id"), col("source"))
+      Ext.lshVerifiedPairs(s, d, 0.5)
+        .join(src.select(col("doc_id").as("id1"), col("source").as("s1")), "id1")
+        .join(src.select(col("doc_id").as("id2"), col("source").as("s2")), "id2")
+        .select(least(col("s1"), col("s2")).as("src_a"),
+          greatest(col("s1"), col("s2")).as("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
     // Q9 MULTI-CORRELATED SELF-JOIN (TPC-H Q21 shape): suppliers who were
     // the SOLE late shipper on a multi-supplier order — one EXISTS and one
     // NOT EXISTS over the same fact table with different correlations,
@@ -451,6 +469,39 @@ object Ext8 {
         |SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
         |FROM r WHERE rnk <= 3
         |ORDER BY l_returnflag, l_extendedprice DESC, l_orderkey, l_linenumber""".stripMargin,
+
+    "x57_source_overlap" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |h AS (SELECT doc_id, ss,
+        |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
+        |mh AS (SELECT doc_id,
+        |  list_min(list_transform(hs, x -> (7*x+3) % 2147483647)) AS m0,
+        |  list_min(list_transform(hs, x -> (11*x+5) % 2147483647)) AS m1,
+        |  list_min(list_transform(hs, x -> (13*x+7) % 2147483647)) AS m2,
+        |  list_min(list_transform(hs, x -> (17*x+11) % 2147483647)) AS m3,
+        |  list_min(list_transform(hs, x -> (19*x+13) % 2147483647)) AS m4,
+        |  list_min(list_transform(hs, x -> (23*x+17) % 2147483647)) AS m5,
+        |  list_min(list_transform(hs, x -> (29*x+19) % 2147483647)) AS m6,
+        |  list_min(list_transform(hs, x -> (31*x+23) % 2147483647)) AS m7 FROM h),
+        |bk AS (SELECT doc_id, unnest([
+        |  concat_ws('_', 0, m0, m1), concat_ws('_', 1, m2, m3),
+        |  concat_ws('_', 2, m4, m5), concat_ws('_', 3, m6, m7)]) AS bk FROM mh),
+        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |ver AS (SELECT id1, id2, len(list_intersect(x.ss, y.ss)) AS inter,
+        |    len(x.ss) AS n1, len(y.ss) AS n2
+        |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2),
+        |pairs AS (SELECT id1, id2 FROM ver
+        |  WHERE CAST(inter AS DOUBLE)/(n1+n2-inter) >= 0.5),
+        |lab AS (SELECT id1, id2, da.source AS s1, db.source AS s2
+        |  FROM pairs JOIN documents da ON da.doc_id = id1
+        |  JOIN documents db ON db.doc_id = id2)
+        |SELECT least(s1, s2) AS src_a, greatest(s1, s2) AS src_b,
+        |  count(*) AS n_pairs
+        |FROM lab GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin,
 
     "q9_sole_late_supplier" ->
       """WITH late AS (

@@ -117,6 +117,22 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("x57_source_overlap: dup pair lands in the unordered source bucket") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8o").toString
+    val dup = "alpha beta gamma delta epsilon"
+    Seq(
+      (1L, dup, "en", "feedB", dup.length.toLong),
+      (2L, dup, "en", "feedA", dup.length.toLong),   // near-dup across feeds
+      (3L, "totally unrelated text body here", "en", "feedA", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("x57_source_overlap")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // least/greatest makes the bucket unordered: (feedA, feedB)
+    assert(out.toSeq === Seq(("feedA", "feedB", 1L)))
+  }
+
   test("q9_sole_late_supplier: equals the hand-built semi/anti self-join") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
