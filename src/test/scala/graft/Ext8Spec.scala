@@ -117,6 +117,25 @@ class Ext8Spec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 4L, "vcxp", true), (2L, 3L, "pcv", false)))
   }
 
+  test("x58_cluster_merge: transitive cluster merges attributes, singletons drop") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-ext8m").toString
+    val t = "alpha beta gamma delta epsilon"
+    Seq(
+      // docs 1-2-3 near-dup transitively (identical) across three feeds
+      (1L, t, "en", "feedC", t.length.toLong),
+      (2L, t, "en", "feedA", t.length.toLong),
+      (3L, t, "en", "feedA", t.length.toLong),
+      // doc 9 is a singleton — excluded from the merge output
+      (9L, "totally unrelated text body here now", "en", "feedB", 36L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$d/documents.parquet")
+    val out = SparkEntry.queries("x58_cluster_merge")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq === Seq((1L, 3L, 1L, "feedA,feedC", 15L, 5L)))
+  }
+
   test("x57_source_overlap: dup pair lands in the unordered source bucket") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft-ext8o").toString
