@@ -6,16 +6,20 @@ import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
 import graft.ext.TextOps
 
-/** Round-4 batch 5: BM25 relevance scoring (the IR ranking function search
-  * engines actually run, spelled log-free so both engines evaluate it
-  * bit-identically) and within-document co-occurrence mining (the
-  * PMI-precursor corpus statistic).
+/** Round-4 batches 5–7: BM25 relevance scoring (log-free, bit-portable),
+  * co-occurrence mining (native pair kernel), EXISTS/NOT-EXISTS and
+  * Q21-style decorrelation showcases (q8/q9), OHLC downsampling, the
+  * custom per-key top-k catalog entry (w18), sequence pattern matching
+  * (w19), trailing-window anomaly flags (w20), fuzzy-match join (j11),
+  * and the tail of the dedup lifecycle — incremental probe (x52),
+  * Gopher-rule gate (x53), verbatim-substring decontamination (x54),
+  * boilerplate scoring (x55), cross-source overlap matrix (x57) and
+  * cluster merge / gold record (x58).
   *
-  * Determinism rules as everywhere in the catalog (ROUND_NOTES.md): the
-  * BM25 expression tree casts every leaf to double explicitly and applies
-  * the same single-IEEE-op sequence on both engines (mirroring x18's
-  * tf·N/df precedent); ranking ties break on the term; co-occurrence is
-  * pure integer counts.
+  * Determinism rules as everywhere in the catalog (ROUND_NOTES.md):
+  * integer multiply-through predicates; exact decimal sums; float
+  * formulas cast every leaf to double with the identical IEEE op
+  * sequence on both engines; every result ordered by a unique key.
   */
 object Ext8 {
 
