@@ -37,7 +37,8 @@ object SparkEntry {
       graft.queries.Ext5.queries ++
       graft.queries.Ext6.queries ++
       graft.queries.Ext7.queries ++
-      graft.queries.Ext8.queries
+      graft.queries.Ext8.queries ++
+      graft.queries.Ext9.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
       graft.queries.Ext5.oracleSql ++
       graft.queries.Ext6.oracleSql ++
       graft.queries.Ext7.oracleSql ++
-      graft.queries.Ext8.oracleSql
+      graft.queries.Ext8.oracleSql ++
+      graft.queries.Ext9.oracleSql
 }

@@ -541,48 +541,6 @@ object Ext8 {
         |GROUP BY cluster_id HAVING count(*) >= 2
         |ORDER BY cluster_id""".stripMargin,
 
-    "x58_cluster_merge" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT doc_id,
-        |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
-        |h AS (SELECT doc_id, ss,
-        |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
-        |mh AS (SELECT doc_id,
-        |  list_min(list_transform(hs, x -> (7*x+3) % 2147483647)) AS m0,
-        |  list_min(list_transform(hs, x -> (11*x+5) % 2147483647)) AS m1,
-        |  list_min(list_transform(hs, x -> (13*x+7) % 2147483647)) AS m2,
-        |  list_min(list_transform(hs, x -> (17*x+11) % 2147483647)) AS m3,
-        |  list_min(list_transform(hs, x -> (19*x+13) % 2147483647)) AS m4,
-        |  list_min(list_transform(hs, x -> (23*x+17) % 2147483647)) AS m5,
-        |  list_min(list_transform(hs, x -> (29*x+19) % 2147483647)) AS m6,
-        |  list_min(list_transform(hs, x -> (31*x+23) % 2147483647)) AS m7 FROM h),
-        |bk AS (SELECT doc_id, unnest([
-        |  concat_ws('_', 0, m0, m1), concat_ws('_', 1, m2, m3),
-        |  concat_ws('_', 2, m4, m5), concat_ws('_', 3, m6, m7)]) AS bk FROM mh),
-        |cand AS (SELECT a.doc_id AS id1, b.doc_id AS id2
-        |  FROM bk a JOIN bk b ON a.bk = b.bk AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |ver AS (SELECT id1, id2, len(list_intersect(x.ss, y.ss)) AS inter,
-        |    len(x.ss) AS n1, len(y.ss) AS n2
-        |  FROM cand JOIN sh x ON x.doc_id = id1 JOIN sh y ON y.doc_id = id2),
-        |pairs AS (SELECT id1, id2 FROM ver
-        |  WHERE CAST(inter AS DOUBLE)/(n1+n2-inter) >= 0.5),
-        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-        |  UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS lab FROM documents
-        |  UNION
-        |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id),
-        |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id)
-        |SELECT cluster_id, count(*) AS n_members,
-        |  min(d.doc_id) AS canonical_id,
-        |  array_to_string(list_sort(list_distinct(list(d.source))), ',') AS sources,
-        |  CAST(sum(len(string_split(d.text, ' '))) AS BIGINT) AS total_tokens,
-        |  CAST(max(len(string_split(d.text, ' '))) AS BIGINT) AS max_tokens
-        |FROM lab JOIN documents d ON d.doc_id = lab.id
-        |GROUP BY cluster_id HAVING count(*) >= 2
-        |ORDER BY cluster_id""".stripMargin,
-
     "x57_source_overlap" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
