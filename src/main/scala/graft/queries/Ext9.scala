@@ -260,51 +260,79 @@ object Ext9 {
   def bpeMerges(docsDf: DataFrame, rounds: Int): DataFrame = {
     val spark = docsDf.sparkSession
     import spark.implicits._
+    val (merges, vocab) = bpeLoop(docsDf, rounds)
+    vocab.unpersist(blocking = false)
+    merges.toDF("round", "left", "right", "pair_freq")
+  }
+
+  /** The tokenizer's ENCODE step (x63): learn `rounds` merges, then encode
+    * the corpus against the final vocabulary — per doc, word count and
+    * post-merge symbol count. The encode itself is vocab-bounded (distinct
+    * words carry their symbol arrays through the merge folds), so the only
+    * corpus-scale work after learning is one broadcast join of the word →
+    * symbol-count table back onto the exploded corpus. */
+  def bpeEncode(docsDf: DataFrame, rounds: Int): DataFrame = {
+    val (_, vocab) = bpeLoop(docsDf, rounds)
+    // vocab stays persisted until the harness cache sweep (the result is
+    // lazy — unpersisting here would force recomputation at action time)
+    val wordLen = vocab.select(col("word"),
+      size(col("sym")).cast("long").as("n_sym"))
+    docsDf.select(col("doc_id"), explode(TextOps.words(col("text"))).as("word"))
+      .join(broadcast(wordLen), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_symbols"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shared BPE loop: word-count shuffle once, then vocab-frame rounds with
+    * one driver-side argmax each. Returns the learned merges and the FINAL
+    * vocab frame (word, freq, sym) — still persisted; callers unpersist or
+    * leave it to the harness sweep. */
+  private def bpeLoop(docsDf: DataFrame, rounds: Int)
+    : (Seq[(Int, String, String, Long)], DataFrame) = {
     var vocab = docsDf
       .select(explode(TextOps.words(col("text"))).as("word"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("freq"),
+      .select(col("word"), col("freq"),
         expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
           .as("sym"))
       .persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    try {
-      var r = 1
-      var exhausted = false
-      while (r <= rounds && !exhausted) {
-        // slice-then-index (not sequence(1, n-1)): sequence descends when
-        // start > stop, so a 1-symbol word would fabricate a null pair
-        val best = vocab
-          .select(col("freq"), explode(expr(
-            "transform(slice(sym, 1, size(sym) - 1), (x, i) -> struct(x AS l, sym[i+1] AS r))"))
-            .as("p"))
-          .groupBy(col("p.l").as("l"), col("p.r").as("r"))
-          .agg(sum(col("freq")).as("cnt"))
-          .orderBy(col("cnt").desc, col("l"), col("r"))
-          .limit(1).collect()
-        if (best.isEmpty) exhausted = true
-        else {
-          val (l, rr, cnt) = (best(0).getString(0), best(0).getString(1),
-            best(0).getLong(2))
-          merges += ((r, l, rr, cnt))
-          val next = vocab.select(col("freq"),
-            aggregate(col("sym"), array().cast("array<string>"),
-              (acc, x) =>
-                when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
-                    x === lit(rr),
-                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
-                .otherwise(concat(acc, array(x)))).as("sym"))
-            .persist()
-          // materialize before dropping the parent so lineage never
-          // re-executes a freed cache
-          next.count()
-          vocab.unpersist(blocking = false)
-          vocab = next
-          r += 1
-        }
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // slice-then-index (not sequence(1, n-1)): sequence descends when
+      // start > stop, so a 1-symbol word would fabricate a null pair
+      val best = vocab
+        .select(col("freq"), explode(expr(
+          "transform(slice(sym, 1, size(sym) - 1), (x, i) -> struct(x AS l, sym[i+1] AS r))"))
+          .as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, rr, cnt) = (best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
+        merges += ((r, l, rr, cnt))
+        val next = vocab.select(col("word"), col("freq"),
+          aggregate(col("sym"), array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+                  x === lit(rr),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
+              .otherwise(concat(acc, array(x)))).as("sym"))
+          .persist()
+        // materialize before dropping the parent so lineage never
+        // re-executes a freed cache
+        next.count()
+        vocab.unpersist(blocking = false)
+        vocab = next
+        r += 1
       }
-    } finally vocab.unpersist(blocking = false)
-    merges.toSeq.toDF("round", "left", "right", "pair_freq")
+    }
+    (merges.toSeq, vocab)
   }
 
   private val lag16Terms: String = (1 to 15).map { k =>
