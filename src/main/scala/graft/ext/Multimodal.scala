@@ -262,6 +262,146 @@ object Multimodal {
       }).toDF("doc_id", "payload")
   }
 
+  /** Seed-MIXED gradient: unlike [[synthImage]]'s linear seed term (which
+    * shifts all pixels uniformly — aHash is shift-invariant, so every seed
+    * would collide), the seed multiplies position-dependent factors, so
+    * distinct seeds scramble the block structure and only genuine twins
+    * hash together. */
+  def synthImageMixed(s: Long, w: Int, h: Int, format: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 3 + y * 5 + (x * y + 1) * s) % 256).toInt
+        val g = ((x + y * 2 + (x + y + 2) * s * 7) % 256).toInt
+        val b = ((x * 11 + y + (x * 2 + y + 3) * s * 13) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, baos)
+    baos.toByteArray
+  }
+
+  /** Seeded variant of [[synthImagePayloads]]: pixel content and dimensions
+    * derive from `doc_id div 2`, format from doc-id parity — so every even/
+    * odd id pair carries the SAME image in two different containers (PNG
+    * zlib vs BMP raster). The synthetic stand-in for the commonest real
+    * image near-dup: one picture re-encoded by different sites. */
+  def synthImagePayloadsSeeded(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map { id =>
+        val s = id / 2
+        val w = (8 + s % 5).toInt
+        val h = (8 + s % 7).toInt
+        val fmt = if (id % 2 == 0) "png" else "bmp"
+        (id, synthImageMixed(s, w, h, fmt))
+      }).toDF("doc_id", "payload")
+  }
+
+  /** 64-bit average-hash halves per image. */
+  final case class ImageHash(doc_id: Long, ahash_hi: Long, ahash_lo: Long)
+
+  /** REAL perceptual hash (aHash) over the decoded raster, in EXACT integer
+    * arithmetic end to end so an oracle can replay it from the generative
+    * pixel formula: luminance = 299r+587g+114b (scaled, never divided),
+    * 8×8 block value = block-sum div block-count, reference = 64-block-sum
+    * div 64, bit b set iff block b strictly exceeds the reference. The two
+    * 32-bit halves ship as separate longs — a single 64-bit hash could set
+    * bit 63 and overflow signed BIGINT on the oracle side. */
+  def imageAHashOf(id: Long, bytes: Array[Byte]): Option[ImageHash] =
+    try {
+      val b = if (bytes == null) Array.emptyByteArray else bytes
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        if (w < 8 || h < 8) None
+        else {
+          val sums = new Array[Long](64)
+          val cnts = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val by = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val bx = x * 8 / w
+              val p = img.getRGB(x, y)
+              val lum = 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+                114L * (p & 0xff)
+              val bi = by * 8 + bx
+              sums(bi) += lum; cnts(bi) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val bvals = Array.tabulate(64)(i => sums(i) / cnts(i))
+          val mean = bvals.sum / 64
+          var hi = 0L; var lo = 0L
+          var i = 0
+          while (i < 64) {
+            if (bvals(i) > mean) {
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          Some(ImageHash(id, hi, lo))
+        }
+      }
+    } catch { case _: Exception => None }
+
+  /** The operator form: (doc_id, payload) → aHash halves; undecodable or
+    * sub-8×8 payloads contribute nothing. Same partition-local decode
+    * shape as [[imageStats]]. */
+  def imageAHashes(df: DataFrame): Dataset[ImageHash] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => imageAHashOf(id, bytes) })
+  }
+
+  /** REAL WAV encode of a deterministic square wave: amplitude
+    * 1000 + 100·(id mod 50), half-period 8 + (id mod 8) samples, length
+    * 2048 + 512·(id mod 4) — canonical 44-byte PCM16 mono header + LE
+    * samples. Square waves keep every audio feature in closed form: RMS of
+    * a ±A window is EXACTLY A (perfect square through IEEE sqrt), so the
+    * oracle predicts even the double-typed column bit-for-bit. */
+  def synthWav(id: Long): Array[Byte] = {
+    val amp = (1000 + (id % 50) * 100).toInt
+    val half = (8 + id % 8).toInt
+    val n = (2048 + (id % 4) * 512).toInt
+    val sampleRate = 8000
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val s = if ((i / half) % 2 == 0) amp else -amp
+      bb.putShort(s.toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic audio corpus: one WAV payload per input row, encoded in
+    * the executors (partition-local, no shuffle). */
+  def synthWavPayloads(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthWav(id)))).toDF("doc_id", "payload")
+  }
+
   /** >>> STUB DECODE <<< deterministic pseudo-decode of a binary payload.
     * Retained ONLY for container formats the JDK cannot decode (video,
     * compressed audio) — lossless images decode for real via
