@@ -40,7 +40,8 @@ object SparkEntry {
       graft.queries.Ext8.queries ++
       graft.queries.Ext9.queries ++
       graft.queries.Ext10.queries ++
-      graft.queries.Ext11.queries
+      graft.queries.Ext11.queries ++
+      graft.queries.Ext12.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.queries.Ext8.oracleSql ++
       graft.queries.Ext9.oracleSql ++
       graft.queries.Ext10.oracleSql ++
-      graft.queries.Ext11.oracleSql
+      graft.queries.Ext11.oracleSql ++
+      graft.queries.Ext12.oracleSql
 }
