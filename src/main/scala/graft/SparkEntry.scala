@@ -41,7 +41,8 @@ object SparkEntry {
       graft.queries.Ext9.queries ++
       graft.queries.Ext10.queries ++
       graft.queries.Ext11.queries ++
-      graft.queries.Ext12.queries
+      graft.queries.Ext12.queries ++
+      graft.queries.Ext13.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -60,5 +61,6 @@ object SparkEntry {
       graft.queries.Ext9.oracleSql ++
       graft.queries.Ext10.oracleSql ++
       graft.queries.Ext11.oracleSql ++
-      graft.queries.Ext12.oracleSql
+      graft.queries.Ext12.oracleSql ++
+      graft.queries.Ext13.oracleSql
 }
