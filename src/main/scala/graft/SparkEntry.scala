@@ -43,7 +43,8 @@ object SparkEntry {
       graft.queries.Ext11.queries ++
       graft.queries.Ext12.queries ++
       graft.queries.Ext13.queries ++
-      graft.queries.Ext14.queries
+      graft.queries.Ext14.queries ++
+      graft.queries.Ext15.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -64,5 +65,6 @@ object SparkEntry {
       graft.queries.Ext11.oracleSql ++
       graft.queries.Ext12.oracleSql ++
       graft.queries.Ext13.oracleSql ++
-      graft.queries.Ext14.oracleSql
+      graft.queries.Ext14.oracleSql ++
+      graft.queries.Ext15.oracleSql
 }
