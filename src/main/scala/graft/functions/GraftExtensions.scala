@@ -12,6 +12,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // whole-operator custom plan: per-key bounded-heap top-k
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    // optimizer rule: schema-known small dims broadcast even without stats
+    ext.injectOptimizerRule(_ => graft.plans.SmallDimBroadcast)
     ext.injectFunction((
       new FunctionIdentifier("strip_accents_key"),
       new ExpressionInfo(classOf[StripAccentsKey].getName, "strip_accents_key"),
