@@ -284,19 +284,49 @@ object Ext9 {
       .orderBy(col("doc_id"))
   }
 
+  /** Session-scoped memo of learned merges, keyed by the canonicalized
+    * corpus plan + round count. x60 (learn) and x63 (encode) share the same
+    * 6-round loop; without the memo each catalog run pays the ~12 driver
+    * jobs twice. On a hit the final vocab is REBUILT LAZILY by replaying
+    * the memoized merges as fold expressions — zero driver jobs; the
+    * vocab-size recompute folds into the caller's one action. */
+  private val bpeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Int), Seq[(Int, String, String, Long)]]()
+
+  /** The base vocabulary frame: (word, freq, sym = chars of word). */
+  private def baseVocab(docsDf: DataFrame): DataFrame = docsDf
+    .select(explode(TextOps.words(col("text"))).as("word"))
+    .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    .select(col("word"), col("freq"),
+      expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
+        .as("sym"))
+
+  /** One merge application: greedy left-to-right non-overlapping replace of
+    * the adjacent pair (l, r) by their concatenation, as a fold over sym. */
+  private def mergeFold(vocab: DataFrame, l: String, rr: String): DataFrame =
+    vocab.select(col("word"), col("freq"),
+      aggregate(col("sym"), array().cast("array<string>"),
+        (acc, x) =>
+          when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
+              x === lit(rr),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
+          .otherwise(concat(acc, array(x)))).as("sym"))
+
   /** Shared BPE loop: word-count shuffle once, then vocab-frame rounds with
     * one driver-side argmax each. Returns the learned merges and the FINAL
     * vocab frame (word, freq, sym) — still persisted; callers unpersist or
     * leave it to the harness sweep. */
   private def bpeLoop(docsDf: DataFrame, rounds: Int)
     : (Seq[(Int, String, String, Long)], DataFrame) = {
-    var vocab = docsDf
-      .select(explode(TextOps.words(col("text"))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      .select(col("word"), col("freq"),
-        expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))")
-          .as("sym"))
-      .persist()
+    val key = (docsDf.queryExecution.logical.canonicalized.semanticHash(),
+      rounds)
+    val hit = bpeMemo.get(key)
+    if (hit != null) {
+      var vocab = baseVocab(docsDf)
+      for ((_, l, rr, _) <- hit) vocab = mergeFold(vocab, l, rr)
+      return (hit, vocab)
+    }
+    var vocab = baseVocab(docsDf).persist()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -316,14 +346,7 @@ object Ext9 {
         val (l, rr, cnt) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((r, l, rr, cnt))
-        val next = vocab.select(col("word"), col("freq"),
-          aggregate(col("sym"), array().cast("array<string>"),
-            (acc, x) =>
-              when(size(acc) > 0 && element_at(acc, -1) === lit(l) &&
-                  x === lit(rr),
-                concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
-              .otherwise(concat(acc, array(x)))).as("sym"))
-          .persist()
+        val next = mergeFold(vocab, l, rr).persist()
         // materialize before dropping the parent so lineage never
         // re-executes a freed cache
         next.count()
@@ -332,6 +355,7 @@ object Ext9 {
         r += 1
       }
     }
+    bpeMemo.put(key, merges.toSeq)
     (merges.toSeq, vocab)
   }
 
