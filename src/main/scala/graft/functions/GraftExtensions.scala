@@ -57,9 +57,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_ngrams"),
       new ExpressionInfo(classOf[GraftNgrams].getName, "graft_ngrams"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        GraftNgrams(children.head,
-          children(1).eval(null).asInstanceOf[Number].intValue())))
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        // the builder evaluates n at construction time, so it must be a
+        // foldable non-null integer — anything else (a column, a null
+        // literal) would otherwise surface as an opaque NPE/CCE here
+        val nExpr = children(1)
+        if (!nExpr.foldable)
+          throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "_LEGACY_ERROR_TEMP_3071",
+            messageParameters = Map("msg" ->
+              "graft_ngrams: n must be an integer literal (got a non-foldable expression)"))
+        nExpr.eval(null) match {
+          case n: Number => GraftNgrams(children.head, n.intValue())
+          case _ =>
+            throw new org.apache.spark.sql.AnalysisException(
+              errorClass = "_LEGACY_ERROR_TEMP_3071",
+              messageParameters = Map("msg" ->
+                "graft_ngrams: n must be a non-null integer literal"))
+        }
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_cooccur_pairs"),
       new ExpressionInfo(classOf[GraftCooccurPairs].getName, "graft_cooccur_pairs"),

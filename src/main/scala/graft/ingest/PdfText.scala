@@ -652,9 +652,11 @@ object PdfText {
     * RC4 for /V 1–2 /R 2–3, AES-128-CBC for /V 4 /R 4 with the /AESV2
     * crypt filter. Every top-level stream is decrypted with its
     * per-object key; the encryption dictionary itself is exempt per
-    * spec. AESV3 (/V 5) and password-protected files fall through
-    * untouched, so extraction degrades to whatever remains parseable —
-    * never an exception. */
+    * spec. AES-256 (/V 5 /R 5–6 with the /AESV3 crypt filter) is also
+    * handled for the empty-user-password case via the R6 key-derivation
+    * (fileKeyR6); only files with a real password fall through untouched,
+    * so extraction degrades to whatever remains parseable — never an
+    * exception. */
   private def decryptIfNeeded(s: String, objs: Map[Int, PdfObj]): Map[Int, PdfObj] = {
     val encAt = """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findAllMatchIn(s).toSeq.lastOption
     // (encNum, fileKey, mode): mode 0 = RC4 per-object, 1 = AESV2

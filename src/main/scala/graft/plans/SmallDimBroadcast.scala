@@ -23,7 +23,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   */
 object SmallDimBroadcast extends Rule[LogicalPlan] {
 
-  private val smallDims = Set("nation.parquet", "region.parquet")
+  /** basename → the key column that identifies the known dim schema. The
+    * name alone is not enough (an unrelated user table in a directory that
+    * happens to be called nation.parquet would get broadcast regardless of
+    * size, risking OOM) — so the hint additionally requires the dim's key
+    * column in the scan schema AND a hard on-disk size bound. */
+  private val smallDims = Map(
+    "nation.parquet" -> "n_nationkey",
+    "region.parquet" -> "r_regionkey")
+
+  /** 32 MiB on disk ≈ well under any sane broadcast budget once decoded;
+    * the real dims are a few KiB at every scale factor. */
+  private val maxDimBytes = 32L * 1024 * 1024
 
   private def isSmallDim(p: LogicalPlan): Boolean = p match {
     case Project(_, c)       => isSmallDim(c)
@@ -31,7 +42,12 @@ object SmallDimBroadcast extends Rule[LogicalPlan] {
     case SubqueryAlias(_, c) => isSmallDim(c)
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.exists(rp => smallDims.contains(rp.getName))
+        fs.location.rootPaths.exists { rp =>
+          smallDims.get(rp.getName).exists { keyCol =>
+            fs.dataSchema.fieldNames.contains(keyCol) &&
+              fs.location.sizeInBytes <= maxDimBytes
+          }
+        }
       case _ => false
     }
     case _ => false

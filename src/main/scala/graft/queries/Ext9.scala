@@ -181,7 +181,12 @@ object Ext9 {
     // is the catalog-entry cost of demonstrating a table's physical
     // design, same as j12.
     "x59_partition_prune" -> ((s, d) => {
-      val dir = "/root/repo/target/tmp/graft_x59_events"
+      // scratch location derived from the session warehouse (as j12 does)
+      // rather than a baked-in absolute path, so any checkout location /
+      // concurrent session with its own warehouse works
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val dir = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(wh), "graft_x59_events").toString
       events(s, d)
         .select(col("user_id"), col("event_id"),
           floor(col("value") * 1000.0).cast("long").as("vm"),

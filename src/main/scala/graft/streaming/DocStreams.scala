@@ -65,10 +65,18 @@ object DocStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // Only the first-batch missing-sink case may yield an empty landed
+        // set; any OTHER read failure (corrupt footer, FS hiccup) must fail
+        // the micro-batch so the retry preserves the anti-join's
+        // idempotence — swallowing it would let a replay double-write.
+        val sinkPath = new org.apache.hadoop.fs.Path(outDir)
+        val fs = sinkPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
         val landed =
-          try spark.read.parquet(outDir).select(col("content_key"))
-          catch { case _: Exception => // first batch: nothing landed yet
-            spark.emptyDataFrame.select(lit("").as("content_key")).limit(0) }
+          if (fs.exists(sinkPath) && fs.listStatus(sinkPath)
+                .exists(_.getPath.getName.endsWith(".parquet")))
+            spark.read.parquet(outDir).select(col("content_key"))
+          else // first batch: nothing landed yet
+            spark.emptyDataFrame.select(lit("").as("content_key")).limit(0)
         batch.join(landed, Seq("content_key"), "left_anti")
           .write.mode("append").parquet(outDir)
       }

@@ -43,6 +43,36 @@ class Ext16Spec extends AnyFunSuite {
     }
   }
 
+  test("SmallDimBroadcast rule: name-collision table with a foreign schema is NOT hinted") {
+    // an unrelated user table whose directory merely happens to be called
+    // nation.parquet must not be force-broadcast (OOM risk) — the rule
+    // additionally requires the known dim key column in the scan schema
+    val conf = spark.conf
+    val saved = conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val wh = new java.net.URI(conf.get("spark.sql.warehouse.dir"))
+    val impostor = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(wh), "ext16_impostor/nation.parquet").toString
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.range(1000)
+        .select(col("id").as("k"), (col("id") % 7).as("v"))
+        .write.mode("overwrite").parquet(impostor)
+      val left = spark.range(1000).select(col("id").as("k"), lit("x").as("tag"))
+      val j = left.join(spark.read.parquet(impostor), Seq("k"))
+        .groupBy(col("v")).agg(count(lit(1)).as("n"))
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"impostor nation.parquet must not be broadcast by the rule:\n$plan")
+    } finally {
+      saved match {
+        case Some(v) => conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+        case None    => conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      }
+      val p = new org.apache.hadoop.fs.Path(impostor).getParent
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("w28_share_of_total: no unpartitioned window anywhere in the plan") {
     val sf = "/root/testdata/sf0.001"
     val df = SparkEntry.queries("w28_share_of_total")(spark, sf)

@@ -151,6 +151,20 @@ class FunctionSpec extends AnyFunSuite {
     assert(viaSql == Seq("a b", "b c", "c b"))
   }
 
+  test("graft_ngrams rejects non-literal / null n with an analysis error") {
+    val spark = TestSpark.spark
+    val colN = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql(
+        "SELECT graft_ngrams(array('a','b'), size(array('a'))+id) FROM range(1)")
+        .collect()
+    }
+    assert(colN.getMessage.contains("integer literal"), colN.getMessage)
+    val nullN = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_ngrams(array('a','b'), NULL)").collect()
+    }
+    assert(nullN.getMessage.contains("integer literal"), nullN.getMessage)
+  }
+
   test("graft_cooccur_pairs equals the sorted-distinct HOF chain") {
     val spark = TestSpark.spark
     import spark.implicits._
