@@ -68,10 +68,37 @@ class NormSpec extends AnyFunSuite {
         "anastasiya", "fatima", "gulnara", "ekaterina", "malgorzata",
         "nadezhda", "shirin", "tamara", "ximena", "zuzanna"))
       assert(femaleFirstNames.contains(n), s"missing female name: $n")
-    assert(femaleFirstNames.size >= 1100)
+    // round-5 expansion: broad world coverage (Celtic, French, Slavic,
+    // Arabic/Persian/Turkish, Indic, East/Southeast Asian, African,
+    // Caucasus, Baltic) — 6,800+ female entries. The floor pins the
+    // dictionary against silent shrinkage.
+    for (n <- Seq("niamh", "myfanwy", "amandine", "desislava", "kateryna",
+        "benazir", "hodan", "tilelli", "kalliyan", "thandar",
+        "aishwarya", "sayuri", "meiling", "thandiwe", "funmilayo",
+        "tsiala", "hasmik", "boglarka", "dovile", "mihaela"))
+      assert(femaleFirstNames.contains(n), s"missing female name: $n")
+    assert(femaleFirstNames.size >= 6500,
+      s"female dictionary shrank: ${femaleFirstNames.size}")
     // male / unknown names must NOT leak into the female class
-    for (n <- Seq("john", "pablo", "sergio", "xx-not-a-name"))
+    for (n <- Seq("john", "pablo", "sergio", "xx-not-a-name",
+        // unisex / predominantly-male names the reference's detector would
+        // NOT class as plain "female" — they must stay out so the cascade's
+        // everything-else-is-Male branch matches (main.py:781–784)
+        "alex", "jordan", "casey", "taylor", "morgan", "deniz", "kiran"))
       assert(!femaleFirstNames.contains(n), s"wrongly female: $n")
+  }
+
+  test("D2 dictionary resource is well-formed (lowercase ascii, unique, two-class)") {
+    val in = getClass.getResourceAsStream("/graft/gender_names.tsv")
+    val lines = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toSeq
+    val rows = lines.map(_.split("\t"))
+    assert(rows.forall(_.length == 2), "every row must be name<TAB>class")
+    val names = rows.map(_(0))
+    assert(names.distinct.size == names.size, "duplicate names in dictionary")
+    assert(names.forall(_.matches("[\\p{Ll}]+")),
+      "names must be lowercase letters (lookup lowercases the probe)")
+    assert(rows.map(_(1)).toSet == Set("male", "female"))
+    assert(names == names.sorted, "dictionary must stay sorted for diffable growth")
   }
 
   test("D2 cascade yields Female for an expansion name (no XML gender)") {
