@@ -1,5 +1,6 @@
 package graft
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.enrich.{Fields, Rem2Fill}
@@ -46,7 +47,7 @@ object Pipeline {
     // partitioning), and persist it — the enriched frame feeds the probe,
     // the candidate join, and the final projection, and each branch would
     // otherwise re-run from_xml + the enrichment UDFs from scratch.
-    val enriched = Fields.enrich(entities.repartition(col("entity_seq"))).persist()
+    val enriched = Fields.enrich(entities.repartition(col("entity_seq"))).persistTracked()
     // materialize the persist and learn the feed size in one cheap job —
     // every branch below reuses the cached frame, and the size routes the
     // fill through its local-vs-distributed switch without a probe scan

@@ -25,8 +25,23 @@ object SparkEntry {
       .orderBy(col("c_custkey"))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2.
+    *
+    * Every constructor is wrapped so that building a query first releases
+    * the intra-query persists registered by previously built queries
+    * ([[GraftCaches]]): running the catalog back-to-back keeps at most one
+    * query's caches in storage without any caller-side clearCache
+    * convention. (Interleaved construction stays correct — released
+    * caches recompute on their next action.) */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
+    rawQueries.map { case (name, f) =>
+      name -> { (s: SparkSession, d: String) =>
+        GraftCaches.releasePrior()
+        f(s, d)
+      }
+    }
+
+  private def rawQueries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Core.queries ++
       graft.queries.Windows.queries ++
       graft.queries.Relational.queries ++

@@ -1,5 +1,6 @@
 package graft.ext
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -71,7 +72,7 @@ object Components {
     // materializes the pipeline exactly once and decides the path.
     val en = edges.select(col("id1").cast("long").as("a"),
         col("id2").cast("long").as("b"))
-      .persist()
+      .persistTracked()
     val eCount = en.count()
     if (eCount <= localEdgeThreshold) {
       // Duplicate pairs and self-loops are harmless to union-find — no
@@ -109,7 +110,7 @@ object Components {
 
     // Both directions, built from the CACHED normalized edges so the edge
     // pipeline is never re-executed; materialized once, then `en` is freed.
-    val und = en.union(en.select(col("b").as("a"), col("a").as("b"))).persist()
+    val und = en.union(en.select(col("b").as("a"), col("a").as("b"))).persistTracked()
     und.count()
     en.unpersist(blocking = false)
 
@@ -120,7 +121,7 @@ object Components {
     // covers every endpoint).
     var cached = und.groupBy(col("b")).agg(min(col("a")).as("m"))
       .select(col("b").as("id"), least(col("b"), col("m")).as("lab"))
-      .persist()
+      .persistTracked()
     var labels = frozen(cached)
     var round = 1
     var done = false
@@ -141,7 +142,7 @@ object Components {
       val next = stepped.join(l2, col("lab") === col("jid"))
         .select(col("id"), least(col("lab"), col("jlab")).as("lab"),
           (least(col("lab"), col("jlab")) < col("old_lab")).as("chg"))
-        .persist()
+        .persistTracked()
       val changed = next.filter(col("chg")).count()
       done = changed == 0
       // the old cache backs the new one's materialized blocks only via the
@@ -160,7 +161,7 @@ object Components {
     val outDf = nodes.select(col("id"))
       .join(labels.withColumnRenamed("lab", "cluster_id"), Seq("id"), "left")
       .select(col("id"), coalesce(col("cluster_id"), col("id")).as("cluster_id"))
-      .persist()
+      .persistTracked()
     outDf.count()
     cached.unpersist(blocking = false)
     outDf

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -66,7 +67,7 @@ object Ext {
       minJac: Double): DataFrame = {
     val sh = docShingles(documents(s, d))
       .withColumn("sig", TextOps.minhashSig(col("ss")))
-      .persist()
+      .persistTracked()
     val banded = sh.select(col("doc_id"),
         explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
     val cand = banded.as("a").join(banded.as("b"),
@@ -120,7 +121,7 @@ object Ext {
     // and the final exact-Jaccard verify makes the output provably identical.
     "x4_ngram_jaccard" -> ((s, d) => {
       val t = 0.6
-      val sh = docShinglesHashed(documents(s, d)).persist()
+      val sh = docShinglesHashed(documents(s, d)).persistTracked()
       val inv = sh.select(col("doc_id"), size(col("hs")).as("n"),
         explode(col("ss")).as("shingle"))
       val freq = inv.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -129,7 +130,7 @@ object Ext {
           Window.partitionBy(col("doc_id")).orderBy(col("df"), col("shingle"))))
       val prefix = ranked.filter(col("pos") <= col("n") - ceil(col("n") * t) + 1)
         .select(col("doc_id"), col("n"), col("pos"), col("shingle"))
-        .persist()
+        .persistTracked()
       // length filter: Jaccard ≥ t ⇒ ⌈t·n1⌉ ≤ n2 (both directions).
       // POSITIONAL filter (full PPJoin): at a shared token sitting at
       // 1-based rank pos within each doc's df-sorted order, the remaining

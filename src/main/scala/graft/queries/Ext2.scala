@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -40,7 +41,7 @@ object Ext2 {
       // tokenizers)
       .filter(size(col("toks")) > 0)
       .select(col("doc_id"), TextOps.simhash48(col("toks")).as("fp"))
-      .persist()
+      .persistTracked()
     val lo = f.select(col("doc_id"), col("fp"), lit(0).as("bi"),
       col("fp").bitwiseAND(lit((1L << 24) - 1)).as("bv"))
     val hi = f.select(col("doc_id"), col("fp"), lit(1).as("bi"),
@@ -200,7 +201,7 @@ object Ext2 {
     "x25_decontamination" -> ((s, d) => {
       val t = 0.05 // the synthetic corpus has no heavy cross-split leaks; a
                    // real deployment sets this near 0.8
-      val sh = docShinglesHashed(documents(s, d)).persist()
+      val sh = docShinglesHashed(documents(s, d)).persistTracked()
       val bench = sh.filter(col("doc_id") % 100 === 0)
         .select(col("doc_id").as("bench_id"), col("hs").as("bench_hs"))
       val corpus = sh.filter(col("doc_id") % 100 =!= 0)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -102,28 +103,47 @@ object Ext4 {
     // with ranks; a cluster deployment would bucket both by src). Top-100
     // via TakeOrderedAndProject, never a global sort.
     "x35_pagerank" -> ((s, d) => {
-      // persist the joined+distinct edge set: the doubled union below reads
-      // it twice and the degree count a third time — uncached, the
+      // persist the joined+distinct edge set: the union below reads it
+      // twice and each degree aggregate once more — uncached, the
       // join+distinct pipeline would execute once per read inside the edd
       // materialization (union branches only share work via a cached source)
-      val e0 = orders(s, d).join(lineitem(s, d),
+      // edge-build diet (round 5): narrow both join inputs so the orders
+      // side broadcasts (2 cols × #orders — well under the threshold; at
+      // cluster scale AQE falls back to a shuffle join), leaving ONE
+      // shuffle in the whole build: the pair distinct. Node-id arithmetic
+      // stays after the distinct so the aggregation keys are the narrow
+      // natural columns.
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
-        .select((col("o_custkey") * 2).as("a"), (col("l_suppkey") * 2 + 1).as("b"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
-        .persist()
-      val ed = e0.select(col("a").as("src"), col("b").as("dst"))
-        .union(e0.select(col("b").as("src"), col("a").as("dst")))
-      // degree via a whole-partition window rather than groupBy+join: one
-      // exchange on src annotates every edge in place (no second pass over
-      // ed, no join), and the cached edd comes out hash-partitioned by
-      // src — measured ~20% faster end-to-end than the join spelling at
-      // sf0.1. (src, dst, outdeg) is reused by all three rounds — one
-      // persist, the harness sweep frees it after the terminal action.
-      val edd = ed.withColumn("outdeg",
-        count(lit(1)).over(Window.partitionBy(col("src")))).persist()
-      var r = edd.select(col("src").as("id")).distinct()
-        .select(col("id"), lit(1000000L).as("r"))
-      for (_ <- 1 to 3) {
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      // degree per SIDE of the bipartite edge set instead of a window over
+      // the doubled (src, dst) union: deg_a/deg_b are node-cardinality
+      // aggregates (map-side combinable, tiny next to the edge set), so the
+      // planner broadcasts them back onto e0 — the full-width degree
+      // exchange the window spelling paid disappears. At cluster scale the
+      // same plan degrades gracefully: AQE swaps the degree joins to
+      // shuffle joins only when the node set itself is huge.
+      val degA = e0.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      val degB = e0.groupBy(col("b")).agg(count(lit(1)).as("outdeg"))
+      val edd = e0.join(degA, "a")
+          .select(col("a").as("src"), col("b").as("dst"), col("outdeg"))
+        .union(e0.join(degB, "b")
+          .select(col("b").as("src"), col("a").as("dst"), col("outdeg")))
+        .persistTracked()
+      // round 1 fused into the edge set: the start rank is UNIFORM (1e6),
+      // so the first round's contribution per edge is just 1e6 div outdeg —
+      // no init-rank distinct and no first join. Identical result: every
+      // node appears as dst (undirected doubling), so no rank is dropped.
+      var r = edd
+        .select(col("dst"), expr("1000000 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      for (_ <- 2 to 3) {
         r = edd.join(r, col("src") === col("id"))
           .select(col("dst"), expr("r div outdeg").as("c"))
           .groupBy(col("dst")).agg(sum(col("c")).as("cs"))

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -149,7 +150,7 @@ object Ext5 {
     "x44_sketch_accuracy" -> ((s, d) => {
       val sh = Ext.docShingles(documents(s, d))
         .withColumn("sig", TextOps.minhashSig(col("ss")))
-        .persist()
+        .persistTracked()
       val banded = sh.select(col("doc_id"),
         explode(TextOps.bandKeys(col("sig"), 4)).as("bk"))
       val cand = banded.as("a").join(banded.as("b"),

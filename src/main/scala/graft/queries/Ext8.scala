@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -364,7 +365,7 @@ object Ext8 {
       val sh = Ext.docShingles(documents(s, d))
         .withColumn("sig", TextOps.minhashSig(col("ss")))
         .withColumn("bucket", pmod(h, lit(100)))
-        .persist()
+        .persistTracked()
       val newB = sh.filter(col("bucket") < 10)
       val oldB = sh.filter(col("bucket") >= 10)
       val newKeys = newB.select(col("doc_id"),

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.GraftCaches.TrackedPersist
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -331,7 +332,7 @@ object Ext9 {
       for ((_, l, rr, _) <- hit) vocab = mergeFold(vocab, l, rr)
       return (hit, vocab)
     }
-    var vocab = baseVocab(docsDf).persist()
+    var vocab = baseVocab(docsDf).persistTracked()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -351,7 +352,7 @@ object Ext9 {
         val (l, rr, cnt) = (best(0).getString(0), best(0).getString(1),
           best(0).getLong(2))
         merges += ((r, l, rr, cnt))
-        val next = mergeFold(vocab, l, rr).persist()
+        val next = mergeFold(vocab, l, rr).persistTracked()
         // materialize before dropping the parent so lineage never
         // re-executes a freed cache
         next.count()

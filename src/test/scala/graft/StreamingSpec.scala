@@ -43,6 +43,35 @@ class StreamingSpec extends AnyFunSuite {
       r.getAs[Long]("n") == 2)) // two clicks in minute 0
   }
 
+  test("session_window agg: streaming result equals batch result (w25 parity twin)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // exercise the merge boundary too: an event at EXACTLY gap distance
+    // must merge (break only when strictly exceeded) — same semantics the
+    // w25 batch oracle spells as `> gap`
+    val corpus = events ++ Seq(
+      Event(1, ts(7, 0), "click", 6.0),   // exactly 5:00 after 02:00 ⇒ merges
+      Event(1, ts(12, 1), "click", 7.0),  // 5:01 after 07:00 ⇒ new session
+      Event(3, ts(3, 0), "view", 8.0))
+
+    val batch = EventStreams.sessionCounts(corpus.toDF())
+      .orderBy("user_id", "s_start").collect().toSeq
+
+    val input = MemoryStream[Event](spark)
+    input.addData(corpus: _*)
+    val q = EventStreams.sessionCounts(input.toDF())
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sessions_parity")
+      .orderBy("user_id", "s_start").collect().toSeq
+
+    assert(streamed == batch)
+    // user 1: [00:10 .. 07:00+gap] merged (4 events), then [12:01] alone
+    val u1 = batch.filter(_.getAs[Long]("user_id") == 1L)
+    assert(u1.map(_.getAs[Long]("n_events")) == Seq(4L, 1L))
+  }
+
   test("watermark drops data later than 10 minutes behind the max event time") {
     val spark = TestSpark.spark
     import spark.implicits._
