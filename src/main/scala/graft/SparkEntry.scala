@@ -62,7 +62,8 @@ object SparkEntry {
       graft.queries.Ext15.queries ++
       graft.queries.Ext16.queries ++
       graft.queries.Ext17.queries ++
-      graft.queries.Ext18.queries
+      graft.queries.Ext18.queries ++
+      graft.queries.Ext19.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -87,5 +88,6 @@ object SparkEntry {
       graft.queries.Ext15.oracleSql ++
       graft.queries.Ext16.oracleSql ++
       graft.queries.Ext17.oracleSql ++
-      graft.queries.Ext18.oracleSql
+      graft.queries.Ext18.oracleSql ++
+      graft.queries.Ext19.oracleSql
 }
