@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
 import graft.ext.TextOps
 
@@ -59,6 +60,76 @@ object Ext19 {
           col("p.t").as("n_tokens"),
           (col("chunk") * 64 + col("p.bin")).as("bin_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // X79 VOCAB COVERAGE CURVE: what share of corpus tokens the top-k
+    // vocabulary entries cover, k ∈ {100, 1000, 10000} — the curve that
+    // sizes a tokenizer vocabulary. ONE corpus-scale word count feeds all
+    // three points; each top-k is a bounded TakeOrdered (never a global
+    // sort of the vocabulary), and the share is integer per-mille
+    // (multiply before `div` — exact on both engines).
+    "x79_vocab_coverage" -> ((s, d) => {
+      import graft.GraftCaches.TrackedPersist
+      val freq = documents(s, d)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+        .persistTracked()
+      val total = freq.agg(sum(col("c")).as("total"))
+      val pts = Seq(100, 1000, 10000).map { k =>
+        freq.orderBy(col("c").desc, col("word")).limit(k)
+          .agg(lit(k.toLong).as("k"), sum(col("c")).as("covered"))
+      }.reduce(_.union(_))
+      pts.crossJoin(broadcast(total))
+        .select(col("k"), col("covered"), col("total"),
+          expr("(covered * 1000) div total").as("per_mille"))
+        .orderBy(col("k"))
+    }),
+
+    // X80 DUP-CLUSTER SIZE HISTOGRAM: the dedup AUDIT view — how many
+    // exact-duplicate clusters exist at each size (1 = unique). Two
+    // partial-aggregable shuffles (content-hash groupBy, then size
+    // groupBy), 32 B/doc on the wire — the same scale shape as x1.
+    "x80_dup_histogram" -> ((s, d) => {
+      documents(s, d)
+        .groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("sz")).as("n_docs"))
+        .orderBy(col("sz"))
+    }),
+
+    // X82 CONTAMINATION SPAN MERGE: union overlapping character intervals
+    // per doc and report the covered length — the span-level form of
+    // decontamination (x25 is document-level), where flagged ranges from
+    // several matchers must merge before redaction. Spans are synthesized
+    // deterministically (the corpus ships none) and replayed by the
+    // oracle; the operator is the classic islands merge: a span opens a
+    // new island when its start exceeds every previous end (keyed running
+    // max), islands aggregate per doc. All windows are keyed by doc_id —
+    // no unpartitioned window at any corpus size.
+    "x82_span_merge" -> ((s, d) => {
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("s"), col("e"), col("i"))
+      val spans = documents(s, d)
+        .select(col("doc_id"), explode(sequence(lit(0L), lit(4L))).as("i"))
+        .select(col("doc_id"), col("i"),
+          ((col("doc_id") * 7 + col("i") * 13) % 180).as("s"))
+        .withColumn("e", col("s") + 10 + pmod(col("doc_id") + col("i"), lit(30)))
+      val islands = spans
+        .withColumn("prev_max_e",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("opens",
+          when(col("prev_max_e").isNull || col("s") > col("prev_max_e"), 1L)
+            .otherwise(0L))
+        .withColumn("island",
+          sum(col("opens")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      islands
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min(col("s")).as("is_s"), max(col("e")).as("is_e"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("is_e") - col("is_s")).as("covered_len"))
+        .orderBy(col("doc_id"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -83,5 +154,56 @@ object Ext19 {
         |    LATERAL (SELECT coalesce(list_position(
         |      list_transform(st.fills, f -> f + d.t <= 200), true), 0) AS pos) p)
         |SELECT doc_id, t AS n_tokens, chunk * 64 + bin AS bin_id
-        |FROM st ORDER BY doc_id""".stripMargin)
+        |FROM st ORDER BY doc_id""".stripMargin,
+
+    "x79_vocab_coverage" ->
+      """WITH f AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word),
+        |t AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM f),
+        |p AS (
+        |  SELECT CAST(100 AS BIGINT) AS k, CAST(sum(c) AS BIGINT) AS covered
+        |  FROM (SELECT c FROM f ORDER BY c DESC, word LIMIT 100)
+        |  UNION ALL
+        |  SELECT 1000, CAST(sum(c) AS BIGINT)
+        |  FROM (SELECT c FROM f ORDER BY c DESC, word LIMIT 1000)
+        |  UNION ALL
+        |  SELECT 10000, CAST(sum(c) AS BIGINT)
+        |  FROM (SELECT c FROM f ORDER BY c DESC, word LIMIT 10000))
+        |SELECT k, covered, total, (covered * 1000) // total AS per_mille
+        |FROM p, t ORDER BY k""".stripMargin,
+
+    "x80_dup_histogram" ->
+      """SELECT sz, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs
+        |FROM (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
+        |  FROM documents GROUP BY 1)
+        |GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "x82_span_merge" ->
+      """WITH spans AS (
+        |  SELECT doc_id, i,
+        |    (doc_id * 7 + i * 13) % 180 AS s,
+        |    (doc_id * 7 + i * 13) % 180 + 10 + (doc_id + i) % 30 AS e
+        |  FROM documents, (SELECT unnest(range(0, 5)) AS i)),
+        |marked AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY s, e, i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY doc_id ORDER BY s, e, i
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS opens,
+        |    i
+        |  FROM spans),
+        |isl AS (
+        |  SELECT doc_id, s, e,
+        |    CAST(sum(opens) OVER (PARTITION BY doc_id ORDER BY s, e, i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS island
+        |  FROM marked)
+        |SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT) AS n_islands,
+        |  CAST(sum(is_e - is_s) AS BIGINT) AS covered_len
+        |FROM (SELECT doc_id, island, min(s) AS is_s, max(e) AS is_e
+        |  FROM isl GROUP BY doc_id, island)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
 }

@@ -71,4 +71,59 @@ class Ext19Spec extends AnyFunSuite {
       s"FFD used ${byBin.size} bins vs next-fit $nextFitBins")
     GraftCaches.releasePrior()
   }
+
+  test("x79_vocab_coverage: monotone curve, exact against a local word count") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x79_vocab_coverage")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(100L, 1000L, 10000L))
+    // local ground truth
+    val freq = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = freq.values.sum
+    val ranked = freq.toSeq.sortBy { case (w, c) => (-c, w) }.map(_._2)
+    for ((k, covered, tot, pm) <- rows) {
+      assert(tot == total)
+      assert(covered == ranked.take(k.toInt).sum, s"k=$k")
+      assert(pm == covered * 1000 / total)
+    }
+    // monotone non-decreasing coverage
+    assert(rows.map(_._2).toSeq == rows.map(_._2).toSeq.sorted)
+    GraftCaches.releasePrior()
+  }
+
+  test("x80_dup_histogram: sizes partition the corpus; matches exact dedup counts") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x80_dup_histogram")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nDocs = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(rows.map(_._3).sum == nDocs, "histogram must partition the corpus")
+    for ((sz, nc, nd) <- rows) assert(nd == sz * nc)
+    // cross-check the duplicate mass against x1's exact-dedup survivors:
+    // total docs − clusters = removed duplicates
+    val survivors = SparkEntry.queries("x1_exact_dedup")(spark, sf).count()
+    assert(rows.map(_._2).sum == survivors,
+      "cluster count must equal exact-dedup survivor count")
+    GraftCaches.releasePrior()
+  }
+
+  test("x82_span_merge: hand-checkable doc and global invariants") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("x82_span_merge")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // doc 0: spans (s = 13i % 180, e = s + 10 + i) for i in 0..4:
+    //   (0,10) (13,24) (26,38) (39,52) (52,66) — 52 = end(39,52) merges
+    //   (at-boundary touch is NOT strictly greater), so islands are
+    //   {0-10},{13-24},{26-38},{39-66}: 4 islands, covered 10+11+12+27=60
+    assert(rows.head == ((0L, 4L, 60L)), s"doc 0 got ${rows.head}")
+    // invariants for every doc: 1 ≤ islands ≤ 5, covered ≥ longest span (10),
+    // covered ≤ sum of span lengths (≤ 5·39)
+    for ((id, n, cov) <- rows) {
+      assert(n >= 1 && n <= 5, s"doc $id islands $n")
+      assert(cov >= 10 && cov <= 195, s"doc $id covered $cov")
+    }
+    assert(rows.size == 500)
+  }
 }
