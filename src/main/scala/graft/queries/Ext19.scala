@@ -98,6 +98,35 @@ object Ext19 {
         .orderBy(col("sz"))
     }),
 
+    // X83 PRIORITY SAMPLING (Duffield–Lund–Thorup): weight-sensitive
+    // sampling with unbiased subset-sum estimates — the sampler a corpus
+    // profiler uses when long documents must be proportionally more
+    // likely. Integer-faithful: u ∈ [1, 2^31] from the salted hash,
+    // priority = (w·2^31) div u (the w/u rank in fixed point), sample =
+    // top-20 priorities (bounded TakeOrdered — never a global sort), and
+    // the DLT estimate per sampled doc is max(w, τ) with τ the 21st
+    // priority. Per-row expression + two bounded top-k passes over one
+    // cached 21-row frame: scale cost is the scan, as a sampler should be.
+    "x83_priority_sample" -> ((s, d) => {
+      import graft.GraftCaches.TrackedPersist
+      val w = size(TextOps.words(col("text"))).cast("long")
+      val u = pmod(TextOps.hash32(
+        concat(lit("prio:"), col("doc_id").cast("string"))),
+        lit(2147483648L)) + 1
+      val scored = documents(s, d)
+        .select(col("doc_id"), w.as("w"), u.as("u"))
+        .select(col("doc_id"), col("w"),
+          expr("(w * 2147483648) div u").as("priority"))
+      val top21 = scored.orderBy(col("priority").desc, col("doc_id"))
+        .limit(21).persistTracked()
+      val tau = top21.agg(min(col("priority")).as("tau"))
+      top21.orderBy(col("priority").desc, col("doc_id")).limit(20)
+        .crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("w"), col("priority"),
+          expr("greatest(w, tau div 2147483648)").as("w_est"))
+        .orderBy(col("doc_id"))
+    }),
+
     // X82 CONTAMINATION SPAN MERGE: union overlapping character intervals
     // per doc and report the covered length — the span-level form of
     // decontamination (x25 is document-level), where flagged ranges from
@@ -179,6 +208,21 @@ object Ext19 {
         |FROM (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
         |  FROM documents GROUP BY 1)
         |GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "x83_priority_sample" ->
+      """WITH sc AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(concat('0x', substr(md5('prio:' || CAST(doc_id AS VARCHAR)), 1, 8))
+        |      AS BIGINT) % 2147483648 + 1 AS u
+        |  FROM documents),
+        |p AS (SELECT doc_id, w, (w * 2147483648) // u AS priority FROM sc),
+        |t21 AS (SELECT doc_id, w, priority FROM p
+        |  ORDER BY priority DESC, doc_id LIMIT 21),
+        |tau AS (SELECT min(priority) AS tau FROM t21)
+        |SELECT doc_id, w, priority, GREATEST(w, tau // 2147483648) AS w_est
+        |FROM (SELECT doc_id, w, priority FROM t21
+        |  ORDER BY priority DESC, doc_id LIMIT 20), tau
+        |ORDER BY doc_id""".stripMargin,
 
     "x82_span_merge" ->
       """WITH spans AS (

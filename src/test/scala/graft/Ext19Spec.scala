@@ -109,6 +109,31 @@ class Ext19Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x83_priority_sample: equals a local DLT replay; estimates dominate weights") {
+    val sf = "/root/testdata/sf0.001"
+    // local replay of the integer-faithful Duffield–Lund–Thorup sampler
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        (pmod(graft.ext.TextOps.hash32(
+          concat(lit("prio:"), col("doc_id").cast("string"))),
+          lit(2147483648L)) + 1).as("u"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val ranked = docs
+      .map { case (id, w, u) => (id, w, w * 2147483648L / u) }
+      .sortBy { case (id, _, p) => (-p, id) }
+    val tau = ranked(20)._3
+    val want = ranked.take(20)
+      .map { case (id, w, p) => (id, (w, p, math.max(w, tau / 2147483648L))) }
+      .toMap
+    val got = SparkEntry.queries("x83_priority_sample")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    for ((_, (w, _, est)) <- got) assert(est >= w)
+    GraftCaches.releasePrior()
+  }
+
   test("x82_span_merge: hand-checkable doc and global invariants") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("x82_span_merge")(spark, sf)

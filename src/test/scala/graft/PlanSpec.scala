@@ -309,4 +309,31 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.explainString(FormattedMode)
     assert(p.contains("BroadcastHashJoin"))
   }
+
+  test("x35 pagerank: broadcast edge build, no window, bounded top-k") {
+    val p = plan("x35_pagerank")
+    // round-5 shape: orders side broadcasts into the lineitem scan, the
+    // per-side degree aggregates broadcast back onto the cached edges, and
+    // no window operator appears anywhere (the old degree-window exchange
+    // is gone); final top-100 never global-sorts
+    assert(p.contains("BroadcastHashJoin"), "edge build should broadcast")
+    assert(!p.contains("Window"), s"degree must not use a window:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not global-sort")
+    GraftCaches.releasePrior()
+  }
+
+  test("x79 vocab coverage: bounded top-k per point, no global sort") {
+    val p = plan("x79_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"each coverage point must be a bounded top-k:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x83 priority sample: per-row scoring, bounded top-k, no global sort") {
+    val p = plan("x83_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"the sample must come from a bounded top-k:\n$p")
+    assert(!p.contains("CartesianProduct"), "tau attach must broadcast")
+    GraftCaches.releasePrior()
+  }
 }
