@@ -98,6 +98,33 @@ object Ext19 {
         .orderBy(col("sz"))
     }),
 
+    // X84 DUPLICATED-SPAN DETECTION: find exact 32-token spans appearing
+    // more than once in the corpus (stride 16) — the span-level exact
+    // dedup of Lee et al., "Deduplicating Training Data Makes Language
+    // Models Better" (suffix-array method; here the equivalent
+    // fixed-length-window spelling a distributed engine uses). Windows
+    // explode partition-locally, the span digest (md5 — 16 B on the wire,
+    // never the text) feeds ONE partial-aggregable groupBy, and the
+    // report is a bounded top-20. At 100 TB the shape is unchanged:
+    // shuffle volume tracks distinct span digests, not corpus bytes.
+    "x84_dup_spans" -> ((s, d) => {
+      val spans = documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"),
+          size(TextOps.words(col("text"))).as("n"))
+        .filter(col("n") >= 32)
+        .select(col("doc_id"), col("w"),
+          explode(sequence(lit(1), col("n") - 31, lit(16))).as("i"))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("w"), col("i"), lit(32)), " ")).as("h"))
+      spans.groupBy(col("h"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_occ") > 1)
+        .orderBy(col("n_occ").desc, col("h"))
+        .limit(20)
+    }),
+
     // X83 PRIORITY SAMPLING (Duffield–Lund–Thorup): weight-sensitive
     // sampling with unbiased subset-sum estimates — the sampler a corpus
     // profiler uses when long documents must be proportionally more
@@ -208,6 +235,18 @@ object Ext19 {
         |FROM (SELECT md5(text) AS h, CAST(count(*) AS BIGINT) AS sz
         |  FROM documents GROUP BY 1)
         |GROUP BY sz ORDER BY sz""".stripMargin,
+
+    "x84_dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |sp AS (SELECT doc_id, md5(array_to_string(w[i:i+31], ' ')) AS h
+        |  FROM (SELECT doc_id, w, unnest(range(1, n-30, 16)) AS i
+        |    FROM w WHERE n >= 32))
+        |SELECT h, CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS first_doc
+        |FROM sp GROUP BY h HAVING count(*) > 1
+        |ORDER BY n_occ DESC, h LIMIT 20""".stripMargin,
 
     "x83_priority_sample" ->
       """WITH sc AS (SELECT doc_id,

@@ -134,6 +134,34 @@ class Ext19Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x84_dup_spans: equals a local window-hash replay") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val occ = scala.collection.mutable.Map.empty[String, (Long, Set[Long], Long)]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for ((id, text) <- docs) {
+      val w = text.split(" ", -1)
+      var i = 0
+      while (i + 32 <= w.length) {
+        val span = w.slice(i, i + 32).mkString(" ")
+        val h = md.digest(span.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        val (n, ds, fd) = occ.getOrElse(h, (0L, Set.empty[Long], Long.MaxValue))
+        occ(h) = (n + 1, ds + id, math.min(fd, id))
+        i += 16
+      }
+    }
+    val want = occ.toSeq.collect { case (h, (n, ds, fd)) if n > 1 =>
+      (h, n, ds.size.toLong, fd) }
+      .sortBy { case (h, n, _, _) => (-n, h) }.take(20)
+    val got = SparkEntry.queries("x84_dup_spans")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._2 >= 2))
+  }
+
   test("x82_span_merge: hand-checkable doc and global invariants") {
     val sf = "/root/testdata/sf0.001"
     val rows = SparkEntry.queries("x82_span_merge")(spark, sf)
