@@ -106,7 +106,9 @@ object Ext20 {
     // IEEE sqrt is correctly rounded on both engines, and everything after
     // the floor(sqrt(·)) is integer, so the ppm weights replay exactly.
     // ONE partial-aggregable shuffle (groupBy source); the total is a
-    // broadcast one-row frame.
+    // broadcast one-row frame. The per-source aggregate (a handful of
+    // rows) persists so the total does NOT re-run the corpus scan — one
+    // pass over 100 TB, not two.
     "x86_temp_mixture" -> ((s, d) => {
       val bySrc = documents(s, d)
         .groupBy(col("source"))
@@ -114,6 +116,7 @@ object Ext20 {
           sum(size(TextOps.words(col("text"))).cast("long")).as("n_tokens"))
         .withColumn("w_root",
           floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+        .persistTracked()
       val tot = bySrc.agg(sum(col("w_root")).as("tot"))
       bySrc.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"), col("n_tokens"), col("w_root"),

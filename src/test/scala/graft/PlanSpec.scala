@@ -336,4 +336,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), "tau attach must broadcast")
     GraftCaches.releasePrior()
   }
+
+  test("x84 dup spans: joinless — span explode + two partial-agg shuffles") {
+    val p = plan("x84_dup_spans")
+    assert(!p.contains("Join"), s"span dedup must not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "report is a bounded top-k")
+    // "Exchange (" matches tree nodes only (the details section prints
+    // "(10) Exchange", which this pattern skips)
+    assert(count(p, "Exchange (") == 2,
+      s"exactly the digest groupBy + dedup shuffles expected:\n$p")
+  }
+
+  test("x81 decontam audit: candidate join equi on band key, no cartesian") {
+    val p = plan("x81_minhash_decontam")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"LSH candidates must come from an equi join:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x85 bigram LM: one materialized bigram frame feeds counts and score") {
+    val p = plan("x85_bigram_lm_score")
+    assert(count(p, "InMemoryTableScan (") == 3,
+      s"bg persist must serve c2, c1 and the score join (3 readers):\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"score join must stay equi on (l, r):\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x86 temp mixture: one corpus scan; total is a scalar broadcast") {
+    val p = plan("x86_temp_mixture")
+    assert(p.contains("InMemoryTableScan"),
+      s"per-source aggregate must persist so the total reuses it:\n$p")
+    assert(p.contains("partial_count"), "groupBy must partial-aggregate")
+    GraftCaches.releasePrior()
+  }
+
+  test("x87 winnowing: joinless — window mins per row, bounded top-k") {
+    val p = plan("x87_winnowing")
+    assert(!p.contains("Join"), s"fingerprint rollup must not join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "report is a bounded top-k")
+  }
 }
