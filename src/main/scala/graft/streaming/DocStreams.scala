@@ -51,6 +51,33 @@ object DocStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** The x84/x88 span digest as a per-row expression: md5 of each
+    * 32-token window at stride 16 (1-based starts, matching the batch
+    * catalog spelling exactly, so stream and backfill agree on every
+    * digest). Docs under 32 tokens carry no spans (empty array). */
+  private def spanDigests(text: org.apache.spark.sql.Column) = {
+    val w = TextOps.words(text)
+    when(size(w) >= 32,
+      transform(sequence(lit(1), size(w) - 31, lit(16)),
+        i => md5(concat_ws(" ", slice(w, i, lit(32))).cast("binary"))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Stream-static decontamination (the streaming twin of x25/x84): drop
+    * any arriving doc that shares a 32-token span digest with the static
+    * benchmark set. The benchmark index collapses to ONE static row
+    * holding the digest set — a stream-static join Spark broadcasts, so
+    * per-trigger cost is the batch's span expression plus a set probe;
+    * state is zero (pure filter, no watermark needed). */
+  def decontamFilter(docs: DataFrame, benchSpanDigests: DataFrame): DataFrame = {
+    val idx = benchSpanDigests.agg(collect_set(col("h")).as("bench_hs"))
+    docs
+      .withColumn("spans", spanDigests(col("text")))
+      .crossJoin(idx)
+      .filter(!arrays_overlap(col("spans"), col("bench_hs")))
+      .drop("spans", "bench_hs")
+  }
+
   /** Idempotent parquet upsert sink via foreachBatch — the exactly-once
     * write pattern a production ingestion stream uses: each micro-batch
     * dedups against the rows ALREADY LANDED (left-anti join on the

@@ -376,4 +376,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"fingerprint rollup must not join:\n$p")
     assert(p.contains("TakeOrderedAndProject"), "report is a bounded top-k")
   }
+
+  test("x88 scrub: one materialized span frame; digest joins stay equi") {
+    val p = plan("x88_boilerplate_scrub")
+    assert(count(p, "InMemoryTableScan (") == 2,
+      s"span persist must serve the flag groupBy and the join back:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"digest and doc joins must stay equi:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x89 provenance: ONE content-key shuffle serves all three windows") {
+    val p = plan("x89_dedup_provenance")
+    assert(count(p, "hashpartitioning(h") == 1,
+      s"rank, survivor and size must share the h shuffle:\n$p")
+    assert(!p.contains("Join"), s"the trail needs no join:\n$p")
+  }
 }

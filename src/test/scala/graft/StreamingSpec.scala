@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{explode, expr}
 import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.EventStreams
 import graft.streaming.EventStreams.{Event, Session}
@@ -256,6 +257,50 @@ class StreamingSpec extends AnyFunSuite {
     val kept = spark.table("doc_fp_dedup").select("doc_id")
       .collect().map(_.getLong(0)).toSet
     assert(kept == Set(1L, 3L)) // byte-hash dedup would have kept 2 and 4 too
+  }
+
+  test("doc stream: decontamination drops span-matching docs, zero state") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    // a 40-token benchmark doc; its stride-16 32-token span digests form
+    // the static index (same spelling as the x84 batch catalog entry)
+    val benchText = (1 to 40).map(i => s"b$i").mkString(" ")
+    val benchSpans = Seq(benchText).toDF("text")
+      .select(explode(expr(
+        """transform(sequence(1, size(split(text, ' ')) - 31, 16),
+          |  i -> md5(cast(concat_ws(' ', slice(split(text, ' '), i, 32))
+          |       as binary)))""".stripMargin)).as("h"))
+    // contaminated = carries the bench's first 32-token window verbatim,
+    // placed so the STREAM doc's second stride-16 window (start 17) lines
+    // up with it digest-for-digest; clean = same length, own text;
+    // short = under 32 tokens (no spans, must pass)
+    val contaminated = ((1 to 16).map(i => s"c$i") ++
+      (1 to 32).map(i => s"b$i")).mkString(" ")
+    val clean = (1 to 48).map(i => s"k$i").mkString(" ")
+    val short = (1 to 10).map(i => s"s$i").mkString(" ")
+    val input = MemoryStream[Doc](spark)
+    val q = DocStreams.decontamFilter(input.toDF(), benchSpans)
+      .writeStream.format("memory").queryName("doc_decontam")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(
+        Doc(1, ts(0, 10), "s0", contaminated),
+        Doc(2, ts(0, 20), "s0", clean),
+        Doc(3, ts(0, 30), "s1", short))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("doc_decontam").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+    // batch twin over the same rows must agree (stream == batch)
+    val batchKept = DocStreams.decontamFilter(
+      Seq(Doc(1, ts(0, 10), "s0", contaminated),
+        Doc(2, ts(0, 20), "s0", clean),
+        Doc(3, ts(0, 30), "s1", short)).toDF(), benchSpans)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == kept)
   }
 
   test("doc stream: content dedup keeps reorderings that fingerprints drop") {
