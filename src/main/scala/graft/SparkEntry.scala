@@ -65,7 +65,8 @@ object SparkEntry {
       graft.queries.Ext18.queries ++
       graft.queries.Ext19.queries ++
       graft.queries.Ext20.queries ++
-      graft.queries.Ext21.queries
+      graft.queries.Ext21.queries ++
+      graft.queries.Ext22.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -93,5 +94,6 @@ object SparkEntry {
       graft.queries.Ext18.oracleSql ++
       graft.queries.Ext19.oracleSql ++
       graft.queries.Ext20.oracleSql ++
-      graft.queries.Ext21.oracleSql
+      graft.queries.Ext21.oracleSql ++
+      graft.queries.Ext22.oracleSql
 }

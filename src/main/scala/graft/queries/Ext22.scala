@@ -1,0 +1,131 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.tables.Tables._
+import graft.ext.{Similarity, TextOps}
+import graft.GraftCaches.TrackedPersist
+
+/** Round-5 batch, part 4: the ANN recall audit (x90 — the eval that tells
+  * you whether x7's IVF shortcut can be trusted before it replaces x6 in
+  * production) and the cross-source span-copy matrix (x91 — corpus
+  * forensics: which sources syndicate content from which, the signal that
+  * drives per-source dedup and mixture decisions).
+  */
+object Ext22 {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X90 ANN RECALL AUDIT: recall@5 of the IVF bucket search (x7's plan
+    // shape) against the brute-force ground truth (x6's), per query —
+    // the acceptance gate every ANN index must pass before the exact
+    // path is turned off. Both rankings share ONE scanned+persisted
+    // embedding frame; ground truth is bounded by the QUERY SAMPLE (an
+    // audit runs on a sample by design — the corpus side still prunes by
+    // bucket for the IVF arm, and the brute arm broadcasts the sample,
+    // so cost is sample × corpus, never corpus²).
+    "x90_ann_recall" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
+        .persistTracked()
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nv").as("qnv"))
+      val cos6 = Ext.trunc6(
+        Similarity.dot(col("qv"), col("v")) / sqrt(col("qnv") * col("nv")))
+      def top5(pairs: DataFrame): DataFrame = pairs
+        .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("n_id"))
+      val gt = top5(q.join(e, col("vec_id") =!= col("q_id")))
+      val ivf = top5(q.join(e,
+        col("q_label") === col("label") && col("vec_id") =!= col("q_id")))
+      val hits = ivf.join(gt, Seq("q_id", "n_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0) * 1000 div 5").as("recall_pm"))
+        .orderBy(col("q_id"))
+    }),
+
+    // X91 CROSS-SOURCE SPAN-COPY MATRIX: for every source pair, how many
+    // distinct 32-token spans (x84's digests) both carry — the
+    // syndication fingerprint of a crawl. The (source, digest) frame
+    // dedups once, then ONE digest groupBy emits each digest's sorted
+    // source set and per-row pair expansion (bounded by #sources², never
+    // by corpus rows) feeds a partial-aggregable pair count. No join in
+    // the plan at all.
+    "x91_source_copy_matrix" -> ((s, d) => {
+      val spans = documents(s, d)
+        .select(col("source"), TextOps.words(col("text")).as("w"),
+          size(TextOps.words(col("text"))).as("n"))
+        .filter(col("n") >= 32)
+        .select(col("source"), col("w"),
+          explode(sequence(lit(1), col("n") - 31, lit(16))).as("i"))
+        .select(col("source"),
+          md5(array_join(slice(col("w"), col("i"), lit(32)), " ")).as("h"))
+        .distinct()
+      spans.groupBy(col("h"))
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(ss, (a, i) ->
+            |  transform(slice(ss, i + 2, size(ss)),
+            |    b -> struct(a AS src_a, b AS src_b))))""".stripMargin)).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_spans"))
+        .orderBy(col("src_a"), col("src_b"))
+    }))
+
+  private val dotSql =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1), i -> qv[i]*v[i])), (a,b) -> a+b)"
+  private val naSql =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len(qv)+1), i -> qv[i]*qv[i])), (a,b) -> a+b)"
+  private val nbSql =
+    "list_reduce(list_prepend(0.0, list_transform(range(1, len(v)+1), i -> v[i]*v[i])), (a,b) -> a+b)"
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x90_ann_recall" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+        |  WHERE vec_id % 100 = 0),
+        |gp AS (SELECT q_id, vec_id AS n_id,
+        |    $dotSql AS d, $naSql AS na, $nbSql AS nb
+        |  FROM q, e WHERE vec_id <> q_id),
+        |gr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 DESC, n_id)
+        |    AS rnk FROM gp),
+        |ip AS (SELECT q_id, vec_id AS n_id,
+        |    $dotSql AS d, $naSql AS na, $nbSql AS nb
+        |  FROM q JOIN e ON q_label = label AND vec_id <> q_id),
+        |ir AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 DESC, n_id)
+        |    AS rnk FROM ip),
+        |h AS (SELECT g.q_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM (SELECT q_id, n_id FROM gr WHERE rnk <= 5) g
+        |  JOIN (SELECT q_id, n_id FROM ir WHERE rnk <= 5) i
+        |    ON g.q_id = i.q_id AND g.n_id = i.n_id
+        |  GROUP BY 1)
+        |SELECT q.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_pm
+        |FROM q LEFT JOIN h ON q.q_id = h.q_id ORDER BY q.q_id""".stripMargin,
+
+    "x91_source_copy_matrix" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w,
+        |    len(string_split(text, ' ')) AS n FROM documents),
+        |sp AS (SELECT source, md5(array_to_string(w[i:i+31], ' ')) AS h
+        |  FROM (SELECT source, w, unnest(range(1, n-30, 16)) AS i
+        |    FROM d WHERE n >= 32)),
+        |ds AS (SELECT DISTINCT h, source FROM sp)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_spans
+        |FROM ds a JOIN ds b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

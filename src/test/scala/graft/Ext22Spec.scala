@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** x90 ANN recall audit (full double-precision replay — the sequential
+  * fold order matches Similarity.dot, so bits agree) and x91 source copy
+  * matrix (span digest replay). */
+class Ext22Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x90_ann_recall: equals the brute-force replay; IVF recall is partial") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      math.floor(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)) * 1e6) / 1e6
+    val queries = rows.filter(_._1 % 100 == 0)
+    val want = queries.map { case (qid, qlab, qv) =>
+      def top5(cands: Seq[(Long, Int, Array[Double])]): Set[Long] =
+        cands.filter(_._1 != qid)
+          .map { case (id, _, v) => (id, cos6(qv, v)) }
+          .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+      val gt = top5(rows.toSeq)
+      val ivf = top5(rows.toSeq.filter(_._2 == qlab))
+      val hits = (gt & ivf).size.toLong
+      (qid, hits, hits * 1000L / 5)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("x90_ann_recall")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+    // the audit is informative: some query misses its bucket's horizon
+    // (otherwise the IVF arm would be pointless to audit)
+    assert(got.forall { case (_, h, pm) => h >= 0 && h <= 5 && pm == h * 200 })
+    GraftCaches.releasePrior()
+  }
+
+  test("x91_source_copy_matrix: equals the pairwise digest replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), col("text"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val bySrc = scala.collection.mutable.Map.empty[String, Set[String]]
+    for ((src, text) <- docs) {
+      val w = text.split(" ", -1)
+      var i = 0
+      while (i + 32 <= w.length) {
+        val h = md.digest(w.slice(i, i + 32).mkString(" ").getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        bySrc(src) = bySrc.getOrElse(src, Set.empty) + h
+        i += 16
+      }
+    }
+    val srcs = bySrc.keys.toSeq.sorted
+    val want = (for {
+      a <- srcs; b <- srcs if a < b
+      n = (bySrc(a) & bySrc(b)).size if n > 0
+    } yield (a, b, n.toLong)).sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("x91_source_copy_matrix")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}

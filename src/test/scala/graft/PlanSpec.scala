@@ -392,4 +392,19 @@ class PlanSpec extends AnyFunSuite {
       s"rank, survivor and size must share the h shuffle:\n$p")
     assert(!p.contains("Join"), s"the trail needs no join:\n$p")
   }
+
+  test("x90 recall audit: both arms read ONE persisted embedding frame") {
+    val p = plan("x90_ann_recall")
+    assert(count(p, "InMemoryTableScan (") >= 4,
+      s"gt and ivf arms must reuse the persisted scan, not re-read parquet:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the brute arm must broadcast the query sample:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x91 copy matrix: joinless — pair expansion is per-digest generate") {
+    val p = plan("x91_source_copy_matrix")
+    assert(!p.contains("Join"), s"pair expansion must not self-join:\n$p")
+    assert(p.contains("partial_count"), "pair count must partial-aggregate")
+  }
 }
