@@ -53,6 +53,68 @@ object Ext22 {
         .orderBy(col("q_id"))
     }),
 
+    // X92 HARD-NEGATIVE MINING: for each query vector, the top-3 most
+    // similar vectors with a DIFFERENT label — the contrastive-training
+    // sampler (similar-but-wrong-class examples are what the loss needs).
+    // Same audit contract as x90: the query sample broadcasts against
+    // the persisted corpus frame; a production run would swap the exact
+    // arm for x7's bucket shortlist, same downstream plan.
+    "x92_hard_negatives" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
+        .persistTracked()
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("v").as("qv"), col("nv").as("qnv"))
+      val cos6 = Ext.trunc6(
+        Similarity.dot(col("qv"), col("v")) / sqrt(col("qnv") * col("nv")))
+      q.join(e, col("q_label") =!= col("label"))
+        .select(col("q_id"), col("vec_id").as("n_id"), cos6.as("cos6"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("cos6").desc, col("n_id"))))
+        .filter(col("rnk") <= 3)
+        .select(col("q_id"), col("n_id"), col("rnk"), col("cos6"))
+        .orderBy(col("q_id"), col("rnk"))
+    }),
+
+    // X93 SCALAR QUANTIZATION AUDIT (SQ8): quantize each dimension to an
+    // 8-bit code against the corpus per-dim [min, max] (the FAISS SQ8
+    // codec), reconstruct, and report each vector's truncated MSE — the
+    // measurement that decides whether 4× compression is safe for the
+    // ANN index. Per-dim stats are ONE partial-aggregable shuffle over
+    // (dim, value) pairs (64 groups regardless of corpus size), folded
+    // into two 64-element arrays broadcast back; quantize + error is
+    // then pure per-row fold work in the scan, spelled term-identically
+    // on both engines (floor-trunc, sequential sum — no float hazards).
+    "x93_sq8_quantize" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val stats = e.select(posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("dim")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("mn"), col("mx"))))
+          .as("st"))
+        .select(expr("transform(st, s -> s.mn)").as("mins"),
+          expr("transform(st, s -> s.mx)").as("maxs"))
+      e.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(
+          """aggregate(
+            |  transform(sequence(1, size(v)), i ->
+            |    CASE WHEN maxs[i-1] = mins[i-1] THEN 0.0D ELSE
+            |      (v[i-1] - (mins[i-1] +
+            |         floor((v[i-1] - mins[i-1]) * 255.0D / (maxs[i-1] - mins[i-1]))
+            |           * (maxs[i-1] - mins[i-1]) / 255.0D)) *
+            |      (v[i-1] - (mins[i-1] +
+            |         floor((v[i-1] - mins[i-1]) * 255.0D / (maxs[i-1] - mins[i-1]))
+            |           * (maxs[i-1] - mins[i-1]) / 255.0D))
+            |    END),
+            |  0.0D, (a, x) -> a + x)""".stripMargin).as("sse"))
+        .select(col("vec_id"),
+          Ext.trunc6(col("sse") / lit(64.0)).as("mse6"))
+        .orderBy(col("vec_id"))
+    }),
+
     // X91 CROSS-SOURCE SPAN-COPY MATRIX: for every source pair, how many
     // distinct 32-token spans (x84's digests) both carry — the
     // syndication fingerprint of a crawl. The (source, digest) frame
@@ -116,6 +178,42 @@ object Ext22 {
         |SELECT q.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
         |  CAST(coalesce(n_hits, 0) * 1000 // 5 AS BIGINT) AS recall_pm
         |FROM q LEFT JOIN h ON q.q_id = h.q_id ORDER BY q.q_id""".stripMargin,
+
+    "x92_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e
+        |  WHERE vec_id % 100 = 0),
+        |p AS (SELECT q_id, vec_id AS n_id,
+        |    $dotSql AS d, $naSql AS na, $nbSql AS nb
+        |  FROM q JOIN e ON q_label <> label),
+        |c AS (SELECT q_id, n_id,
+        |    CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 AS cos6 FROM p),
+        |r AS (SELECT q_id, n_id, cos6, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY cos6 DESC, n_id) AS rnk FROM c)
+        |SELECT q_id, n_id, rnk, cos6 FROM r WHERE rnk <= 3
+        |ORDER BY q_id, rnk""".stripMargin,
+
+    "x93_sq8_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |    FROM embeddings),
+        |dm AS (SELECT i AS dim, min(v[i]) AS mn, max(v[i]) AS mx
+        |  FROM e, (SELECT unnest(range(1, 65)) AS i) GROUP BY i),
+        |st AS (SELECT list(mn ORDER BY dim) AS mins,
+        |    list(mx ORDER BY dim) AS maxs FROM dm),
+        |s AS (SELECT vec_id, list_reduce(list_prepend(0.0,
+        |    list_transform(range(1, len(v)+1), i ->
+        |      CASE WHEN maxs[i] = mins[i] THEN 0.0 ELSE
+        |        (v[i] - (mins[i] +
+        |           floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]))
+        |             * (maxs[i] - mins[i]) / 255.0)) *
+        |        (v[i] - (mins[i] +
+        |           floor((v[i] - mins[i]) * 255.0 / (maxs[i] - mins[i]))
+        |             * (maxs[i] - mins[i]) / 255.0))
+        |      END)), (a, b) -> a + b) AS sse
+        |  FROM e, st)
+        |SELECT vec_id, CAST(floor((sse / 64.0) * 1e6) AS DOUBLE)/1e6 AS mse6
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "x91_source_copy_matrix" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w,

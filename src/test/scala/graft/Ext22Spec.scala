@@ -43,6 +43,64 @@ class Ext22Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x92_hard_negatives: equals the different-label top-3 replay") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      math.floor(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)) * 1e6) / 1e6
+    val want = rows.filter(_._1 % 100 == 0).flatMap { case (qid, qlab, qv) =>
+      rows.toSeq.filter(_._2 != qlab)
+        .map { case (id, _, v) => (id, cos6(qv, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(3).zipWithIndex
+        .map { case ((id, c), k) => (qid, id, k + 1L, c) }
+    }.sortBy(t => (t._1, t._3)).toSeq
+    val got = SparkEntry.queries("x92_hard_negatives")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3))).toSeq
+    assert(got == want)
+    // hard negatives are genuinely hard: best wrong-class neighbor is
+    // still quite similar on this corpus
+    assert(got.filter(_._3 == 1L).forall(_._4 > 0.0))
+    GraftCaches.releasePrior()
+  }
+
+  test("x93_sq8_quantize: equals the codec replay; error bounded by step size") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val dims = rows.head._2.length
+    val mins = (0 until dims).map(i => rows.map(_._2(i)).min).toArray
+    val maxs = (0 until dims).map(i => rows.map(_._2(i)).max).toArray
+    def mse6(v: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) {
+        if (maxs(i) != mins(i)) {
+          val code = math.floor((v(i) - mins(i)) * 255.0 / (maxs(i) - mins(i)))
+          val recon = mins(i) + code * (maxs(i) - mins(i)) / 255.0
+          s += (v(i) - recon) * (v(i) - recon)
+        }
+        i += 1
+      }
+      math.floor(s / 64.0 * 1e6) / 1e6
+    }
+    val want = rows.map { case (id, v) => (id, mse6(v)) }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("x93_sq8_quantize")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+    // codec guarantee: per-dim error < one quantization step, so the MSE
+    // is under the max step squared
+    val maxStep2 = (0 until dims)
+      .map(i => math.pow((maxs(i) - mins(i)) / 255.0, 2)).max
+    assert(got.forall { case (_, m) => m >= 0.0 && m <= maxStep2 })
+  }
+
   test("x91_source_copy_matrix: equals the pairwise digest replay") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), col("text"))

@@ -407,4 +407,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"pair expansion must not self-join:\n$p")
     assert(p.contains("partial_count"), "pair count must partial-aggregate")
   }
+
+  test("x92 hard negatives: query sample broadcasts, corpus persisted") {
+    val p = plan("x92_hard_negatives")
+    assert(!p.contains("CartesianProduct"),
+      s"the label-mismatch join must broadcast the sample:\n$p")
+    assert(count(p, "InMemoryTableScan (") >= 2,
+      s"sample and corpus arms must reuse the persisted scan:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x93 SQ8: per-dim stats partial-aggregate; codec is scan-local") {
+    val p = plan("x93_sq8_quantize")
+    assert(p.contains("partial_min") && p.contains("partial_max"),
+      s"per-dim stats must map-side combine:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin Cross") ||
+      p.contains("BroadcastExchange"),
+      s"the 64-element stat arrays must broadcast back:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no corpus-scale shuffle join belongs in the codec:\n$p")
+  }
 }
