@@ -115,6 +115,38 @@ object Ext22 {
         .orderBy(col("vec_id"))
     }),
 
+    // X94 SEMANTIC DEDUP (SemDeDup, Abbas et al.): embedding-cosine pair
+    // graph (x14's label-bucketed candidates, cosine ≥ 0.35) → transitive
+    // clusters via the SAME distributed CC primitive the text path uses
+    // (ext/Components: min-label + pointer jumping, O(log n) rounds) →
+    // survivor = min vec_id per cluster. Every vector reports its
+    // survivor and cluster size — singletons keep themselves, so the
+    // output is a total retention decision, not just a pair list. Scale:
+    // candidates are bucket-equi-joined (never all-pairs), CC shuffles
+    // edges only.
+    "x94_semantic_dedup" -> ((s, d) => {
+      val e = embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("nv", Similarity.norm2(col("v")))
+        .persistTracked()
+      val cos6 = Ext.trunc6(Similarity.dot(col("a.v"), col("b.v")) /
+        sqrt(col("a.nv") * col("b.nv")))
+      val pairs = e.as("a").join(e.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          cos6.as("cos6"))
+        .filter(col("cos6") >= 0.35)
+        .select(col("id1"), col("id2"))
+      val nodes = e.select(col("vec_id").as("id"))
+      graft.ext.Components.connectedComponents(nodes, pairs)
+        .select(col("id").as("vec_id"), col("cluster_id").as("keep_id"))
+        .withColumn("n_members",
+          count(lit(1)).over(Window.partitionBy(col("keep_id"))))
+        .withColumn("is_kept", (col("vec_id") === col("keep_id")).cast("boolean"))
+        .orderBy(col("vec_id"))
+    }),
+
     // X91 CROSS-SOURCE SPAN-COPY MATRIX: for every source pair, how many
     // distinct 32-token spans (x84's digests) both carry — the
     // syndication fingerprint of a crawl. The (source, digest) frame
@@ -214,6 +246,28 @@ object Ext22 {
         |  FROM e, st)
         |SELECT vec_id, CAST(floor((sse / 64.0) * 1e6) AS DOUBLE)/1e6 AS mse6
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    "x94_semantic_dedup" ->
+      """WITH RECURSIVE e AS (SELECT vec_id, label,
+        |    CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i]*b.v[i])), (x,y) -> x+y) AS d,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(a.v)+1), i -> a.v[i]*a.v[i])), (x,y) -> x+y) AS na,
+        |  list_reduce(list_prepend(0.0, list_transform(range(1, len(b.v)+1), i -> b.v[i]*b.v[i])), (x,y) -> x+y) AS nb
+        |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id),
+        |pairs AS (SELECT id1, id2 FROM p
+        |  WHERE CAST(floor((d/sqrt(na*nb))*1e6) AS DOUBLE)/1e6 >= 0.35),
+        |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+        |  UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
+        |reach AS (
+        |  SELECT vec_id AS id, vec_id AS lab FROM e
+        |  UNION
+        |  SELECT ed.b AS id, r.lab AS lab FROM reach r JOIN edges ed ON ed.a = r.id),
+        |lab AS (SELECT id, min(lab) AS keep_id FROM reach GROUP BY id)
+        |SELECT id AS vec_id, keep_id,
+        |  count(*) OVER (PARTITION BY keep_id) AS n_members,
+        |  id = keep_id AS is_kept
+        |FROM lab ORDER BY vec_id""".stripMargin,
 
     "x91_source_copy_matrix" ->
       """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w,

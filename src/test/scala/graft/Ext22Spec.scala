@@ -101,6 +101,43 @@ class Ext22Spec extends AnyFunSuite {
     assert(got.forall { case (_, m) => m >= 0.0 && m <= maxStep2 })
   }
 
+  test("x94_semantic_dedup: equals the union-find replay") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getSeq[Float](2).map(_.toDouble).toArray))
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos6(a: Array[Double], b: Array[Double]): Double =
+      math.floor(dot(a, b) / math.sqrt(dot(a, a) * dot(b, b)) * 1e6) / 1e6
+    val parent = scala.collection.mutable.Map(rows.map(r => r._1 -> r._1).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    for {
+      (ida, laba, va) <- rows; (idb, labb, vb) <- rows
+      if laba == labb && ida < idb && cos6(va, vb) >= 0.35
+    } {
+      val (ra, rb) = (find(ida), find(idb))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val byRoot = rows.map(_._1).groupBy(find)
+    val want = rows.map(_._1).map { id =>
+      val root = find(id)
+      (id, root, byRoot(root).length.toLong, id == root)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("x94_semantic_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == want)
+    // retention decision is total and self-consistent
+    assert(got.map(_._1).distinct.size == rows.length)
+    assert(got.forall { case (id, keep, _, kept) => keep <= id && kept == (id == keep) })
+    assert(got.exists(_._3 > 1))
+    GraftCaches.releasePrior()
+  }
+
   test("x91_source_copy_matrix: equals the pairwise digest replay") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("source"), col("text"))
