@@ -66,7 +66,8 @@ object SparkEntry {
       graft.queries.Ext19.queries ++
       graft.queries.Ext20.queries ++
       graft.queries.Ext21.queries ++
-      graft.queries.Ext22.queries
+      graft.queries.Ext22.queries ++
+      graft.queries.Ext23.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -95,5 +96,6 @@ object SparkEntry {
       graft.queries.Ext19.oracleSql ++
       graft.queries.Ext20.oracleSql ++
       graft.queries.Ext21.oracleSql ++
-      graft.queries.Ext22.oracleSql
+      graft.queries.Ext22.oracleSql ++
+      graft.queries.Ext23.oracleSql
 }

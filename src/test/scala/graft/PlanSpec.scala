@@ -417,6 +417,23 @@ class PlanSpec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("q14 promo share: part dim broadcasts; one partial-agg pass") {
+    val p = plan("q14_promo_share")
+    assert(p.contains("BroadcastHashJoin"), s"part must broadcast:\n$p")
+    assert(p.contains("partial_sum"), "revenue sums must map-side combine")
+  }
+
+  test("q18 large orders: quantity rollup filters BEFORE the wide joins") {
+    val p = plan("q18_large_orders")
+    // the HAVING-filtered aggregate must sit below both attribute joins —
+    // if a join ran first, the plan would carry orders×lineitem width
+    val aggIdx = p.indexOf("HashAggregate")
+    val joinIdx = p.indexOf("Join")
+    assert(aggIdx >= 0 && joinIdx >= 0 && joinIdx < aggIdx,
+      s"joins must consume the filtered rollup (tree prints top-down):\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("x93 SQ8: per-dim stats partial-aggregate; codec is scan-local") {
     val p = plan("x93_sq8_quantize")
     assert(p.contains("partial_min") && p.contains("partial_max"),
