@@ -67,7 +67,9 @@ object SparkEntry {
       graft.queries.Ext20.queries ++
       graft.queries.Ext21.queries ++
       graft.queries.Ext22.queries ++
-      graft.queries.Ext23.queries
+      graft.queries.Ext23.queries ++
+      graft.queries.Ext24.queries ++
+      graft.queries.Ext25.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -97,5 +99,7 @@ object SparkEntry {
       graft.queries.Ext20.oracleSql ++
       graft.queries.Ext21.oracleSql ++
       graft.queries.Ext22.oracleSql ++
-      graft.queries.Ext23.oracleSql
+      graft.queries.Ext23.oracleSql ++
+      graft.queries.Ext24.oracleSql ++
+      graft.queries.Ext25.oracleSql
 }

@@ -108,6 +108,32 @@ object DocStreams {
           .write.mode("append").parquet(outDir)
       }
 
+  /** Windowed counts feeding the streaming top-k: per tumbling event-time
+    * day and event type, the event count — watermarked so closed windows
+    * emit once in append mode. Rank-truncation is NOT expressible inside
+    * a streaming aggregation (no windows-over-aggregates in a stream), so
+    * the stream emits the keyed counts and [[topKFinish]] applies the
+    * rank per closed window — in foreachBatch, or over the sink table.
+    * The batch catalog twin is w32_window_topk, and the StreamingSpec
+    * pins stream == batch over the same corpus. */
+  def windowedTypeCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(to_date(col("w.start")).as("day"), col("event_type"), col("n"))
+
+  /** Batch finisher for [[windowedTypeCounts]]: top-k event types per day
+    * (rank by count desc, type asc — w32's exact tie-break). The window
+    * partitions by day, so the shape stays keyed at any scale. */
+  def topKFinish(counts: DataFrame, k: Int): DataFrame =
+    counts
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("day")).orderBy(col("n").desc, col("event_type"))))
+      .filter(col("rk") <= k)
+      .orderBy(col("day"), col("rk"))
+
   /** Per-source tumbling-minute token throughput: partial-aggregable sum +
     * count per (window, source); watermark closes windows for append
     * emission. */

@@ -444,4 +444,52 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"no corpus-scale shuffle join belongs in the codec:\n$p")
   }
+
+  test("x95 SymSpell: candidate join is EQUI on the delete key, no cartesian") {
+    val p = plan("x95_spelling_variants")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"spelling-variant candidates must come from the delete-key equi join:\n$p")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"expected a hash/sort equi join on the delete key:\n$p")
+  }
+
+  test("x97 backoff LM: n-gram joins stay equi; only the scalar broadcasts") {
+    val p = plan("x97_backoff_lm")
+    assert(!p.contains("CartesianProduct"),
+      s"no cartesian belongs in the LM joins:\n$p")
+    // the single allowed nested-loop is the 1-row n_train scalar attach
+    // (count the tree spelling — the details section repeats node names)
+    assert(count(p, "BroadcastNestedLoopJoin Cross") <= 1,
+      s"only the n_train scalar may nested-loop:\n$p")
+    assert(count(p, "partial_count") >= 3,
+      s"n-gram counts must map-side combine:\n$p")
+  }
+
+  test("x98 Lloyd: corpus never shuffles for assignment — k-row broadcast " +
+    "fan-out twice; updates partial-aggregate") {
+    val p = plan("x98_kmeans_lloyd")
+    assert(count(p, "BroadcastNestedLoopJoin Cross") == 2,
+      s"each of the 2 assignment rounds is a k-row broadcast fan-out:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"the corpus must not shuffle-join during Lloyd rounds:\n$p")
+    assert(count(p, "partial_sum") >= 2,
+      s"centroid updates must map-side combine:\n$p")
+  }
+
+  test("x99 l-diversity: joinless — two keyed aggregations") {
+    val p = plan("x99_l_diversity")
+    assert(!p.contains("Join"), s"l-diversity needs no join:\n$p")
+    assert(count(p, "HashAggregate") >= 2,
+      s"expected the two-level keyed aggregation:\n$p")
+  }
+
+  test("w32 windowed top-k: rank stays keyed by day, never a global window") {
+    val p = plan("w32_window_topk")
+    assert(!p.contains("SinglePartition"),
+      s"per-day rank must partition by the day window:\n$p")
+    assert(p.contains("partial_count"),
+      s"the per-(day,type) counts must map-side combine:\n$p")
+  }
 }

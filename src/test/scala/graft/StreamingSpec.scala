@@ -382,4 +382,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"))) ==
       Seq(("s0", 5L), ("s1", 1L), ("s0", 4L)))
   }
+
+  test("windowed top-k: stream counts + batch finisher equal w32 exactly") {
+    import graft.streaming.DocStreams
+    val spark = TestSpark.spark
+    val sf = "/root/testdata/sf0.001"
+    val batch = SparkEntry.queries("w32_window_topk")(spark, sf)
+      .collect().toSeq
+
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    val dirP = java.nio.file.Files.createTempDirectory("events-topk")
+    java.nio.file.Files.copy(src, dirP.resolve("part-0.parquet"))
+    val streamRaw = spark.readStream
+      .schema(spark.read.parquet(src.toString).schema)
+      .parquet(dirP.toString)
+    val q = DocStreams.windowedTypeCounts(graft.tables.Tables.eventsFrom(streamRaw))
+      .writeStream.format("memory").queryName("win_topk")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = DocStreams.topKFinish(spark.table("win_topk"), 3)
+      .collect().toSeq
+
+    assert(streamed.map(_.toSeq) == batch.map(_.toSeq))
+    assert(batch.nonEmpty &&
+      batch.map(_.getAs[Int]("rk")).forall(rk => rk >= 1 && rk <= 3))
+  }
 }
