@@ -69,7 +69,8 @@ object SparkEntry {
       graft.queries.Ext22.queries ++
       graft.queries.Ext23.queries ++
       graft.queries.Ext24.queries ++
-      graft.queries.Ext25.queries
+      graft.queries.Ext25.queries ++
+      graft.queries.Ext26.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -101,5 +102,6 @@ object SparkEntry {
       graft.queries.Ext22.oracleSql ++
       graft.queries.Ext23.oracleSql ++
       graft.queries.Ext24.oracleSql ++
-      graft.queries.Ext25.oracleSql
+      graft.queries.Ext25.oracleSql ++
+      graft.queries.Ext26.oracleSql
 }

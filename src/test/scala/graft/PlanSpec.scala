@@ -485,6 +485,26 @@ class PlanSpec extends AnyFunSuite {
       s"expected the two-level keyed aggregation:\n$p")
   }
 
+  test("x100 t-closeness: margins broadcast; the fact aggregates once") {
+    val p = plan("x100_t_closeness")
+    assert(count(p, "BroadcastNestedLoopJoin Cross") <= 1,
+      s"only the 1-row total may nested-loop:\n$p")
+    assert(p.contains("partial_count"),
+      s"the QI-cell counts must map-side combine:\n$p")
+    assert(count(p, "InMemoryTableScan (") >= 2,
+      s"margins must reuse the persisted cell frame, not re-aggregate:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x101 MRL audit: both arms read ONE persisted embedding frame") {
+    val p = plan("x101_mrl_truncation")
+    assert(count(p, "InMemoryTableScan (") >= 4,
+      s"full and prefix arms must reuse the persisted scan:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"both arms must broadcast the query sample:\n$p")
+    GraftCaches.releasePrior()
+  }
+
   test("w32 windowed top-k: rank stays keyed by day, never a global window") {
     val p = plan("w32_window_topk")
     assert(!p.contains("SinglePartition"),
