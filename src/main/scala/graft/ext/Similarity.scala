@@ -30,4 +30,12 @@ object Similarity {
   /** cosine = dot / sqrt(|a|² * |b|²), computed exactly in this shape. */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / sqrt(norm2(a) * norm2(b))
+
+  /** Squared L2 distance as the same strictly sequential left-fold over
+    * per-element squared differences — NOT |a|²+|b|²−2·a·b, which is
+    * mathematically equal but rounds differently; the oracle replays
+    * list_reduce over (a[i]-b[i])² in the same ascending-index order. */
+  def dist2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
 }

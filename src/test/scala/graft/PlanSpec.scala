@@ -512,4 +512,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"),
       s"the per-(day,type) counts must map-side combine:\n$p")
   }
+
+  test("x102 containment: bucketed equi-joins only, shingle frame persisted") {
+    val p = plan("x102_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"candidate generation must stay an inverted-index equi-join:\n$p")
+    assert(count(p, "InMemoryTableScan (") >= 2,
+      s"the hashed-shingle frame must be computed once and reused:\n$p")
+    assert(p.contains("partial_count"),
+      s"the df counts must map-side combine:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x104 soft dedup: exactly one hash shuffle (on the bow key)") {
+    val p = plan("x104_soft_dedup")
+    assert(count(p, "hashpartitioning(bow_key") == 1,
+      s"the weight window should shuffle once on the cluster key:\n$p")
+    assert(!p.contains("SinglePartition") || p.contains("rangepartitioning"),
+      s"no global single-partition window:\n$p")
+  }
+
+  test("x105 fertility: map-side combine; only the 1-row min nested-loops") {
+    val p = plan("x105_tokenizer_fertility")
+    assert(p.contains("partial_count"),
+      s"the per-lang aggregate must map-side combine:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin Cross") <= 1,
+      s"only the 1-row min may nested-loop:\n$p")
+  }
 }
