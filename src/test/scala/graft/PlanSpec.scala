@@ -539,4 +539,26 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "BroadcastNestedLoopJoin Cross") <= 1,
       s"only the 1-row min may nested-loop:\n$p")
   }
+
+  test("x106 cluster eval: ONE corpus-scale aggregate; contingency reused " +
+    "from cache for every derived stat") {
+    val p = plan("x106_cluster_purity")
+    assert(p.contains("partial_count"),
+      s"the (cell,label) contingency must map-side combine:\n$p")
+    assert(count(p, "InMemoryTableScan (") >= 3,
+      s"marginals and Rand must reuse the persisted contingency:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"only broadcast nested-loop for the 1-row frames:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x107 token budget: corpus aggregates once; the apportion window " +
+    "runs on the tiny per-source frame") {
+    val p = plan("x107_token_budget")
+    assert(p.contains("partial_sum"),
+      s"the token count must map-side combine:\n$p")
+    assert(count(p, "InMemoryTableScan (") >= 2,
+      s"the total must reuse the persisted per-source frame:\n$p")
+    GraftCaches.releasePrior()
+  }
 }
