@@ -72,7 +72,8 @@ object SparkEntry {
       graft.queries.Ext25.queries ++
       graft.queries.Ext26.queries ++
       graft.queries.Ext27.queries ++
-      graft.queries.Ext28.queries
+      graft.queries.Ext28.queries ++
+      graft.queries.Ext29.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -107,5 +108,6 @@ object SparkEntry {
       graft.queries.Ext25.oracleSql ++
       graft.queries.Ext26.oracleSql ++
       graft.queries.Ext27.oracleSql ++
-      graft.queries.Ext28.oracleSql
+      graft.queries.Ext28.oracleSql ++
+      graft.queries.Ext29.oracleSql
 }

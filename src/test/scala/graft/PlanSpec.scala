@@ -561,4 +561,19 @@ class PlanSpec extends AnyFunSuite {
       s"the total must reuse the persisted per-source frame:\n$p")
     GraftCaches.releasePrior()
   }
+
+  test("x108 code-switch: pure per-row expressions, no shuffle before the " +
+    "output sort") {
+    val p = plan("x108_code_switch")
+    assert(!p.contains("Join"), s"half-voting needs no join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"only the final sort's range exchange is allowed:\n$p")
+  }
+
+  test("x109 group split: exactly one hash shuffle (on the cluster key)") {
+    val p = plan("x109_group_split")
+    assert(count(p, "hashpartitioning(bow_key") == 1,
+      s"the cluster-size window should shuffle once on the bow key:\n$p")
+    assert(!p.contains("Join"), s"the split needs no join:\n$p")
+  }
 }
