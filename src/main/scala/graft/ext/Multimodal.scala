@@ -184,6 +184,49 @@ object Multimodal {
   final case class ImageStats(doc_id: Long, format: String, width: Int,
       height: Int, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+  /** Output of the REAL resize stage: target dims, per-channel sums of the
+    * resized raster, and a position-weighted checksum that pins every
+    * output pixel's VALUE AND PLACE (channel sums alone are permutation-
+    * blind). */
+  final case class ResizeStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, chk: Long)
+
+  /** REAL nearest-neighbor image resize: decode the payload with the JDK
+    * codec (same path as [[imageStatsOf]]), sample source pixel
+    * (⌊x·W/tw⌋, ⌊y·H/th⌋) for each target (x,y), and reduce the resized
+    * raster to [[ResizeStats]]. Fully partition-local (no shuffle) —
+    * decode+scale is the canonical crawl-ingest thumbnail pass, scaling
+    * linearly with executors; undecodable payloads emit no row. */
+  def imageResizeStats(df: DataFrame, tw: Int, th: Int): Dataset[ResizeStats] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        try {
+          val b = if (bytes == null) Array.emptyByteArray else bytes
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b))
+          if (img == null) None
+          else {
+            val sw = img.getWidth; val sh = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L; var chk = 0L
+            var y = 0
+            while (y < th) {
+              var x = 0
+              while (x < tw) {
+                val p = img.getRGB(x * sw / tw, y * sh / th)
+                val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val bb = p & 0xff
+                sr += r; sg += g; sb += bb
+                chk += ((r.toLong << 16) | (g << 8) | bb) * (y.toLong * tw + x + 1)
+                x += 1
+              }
+              y += 1
+            }
+            Some(ResizeStats(id, tw, th, sr, sg, sb, chk))
+          }
+        } catch { case _: Exception => None }
+      })
+  }
+
   /** REAL image encode: render a deterministic RGB gradient
     * (r,g,b at (x,y) = linear forms in x, y, id mod 256) and compress it
     * with the JDK's own PNG (zlib) or BMP writer. Produces a genuine binary
