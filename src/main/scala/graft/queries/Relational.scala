@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
+import graft.GraftCaches.TrackedPersist
 
 /** Join-family / set-operation / grouping-set coverage (SURVEY §2.4, §2.8,
   * §2.13 "absent" families — implemented so a reference user gains them).
@@ -227,10 +228,148 @@ object Relational {
           coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
           col("n"), col("sum_qty"), col("g_rf"), col("g_ls"))
         .orderBy(col("g_rf"), col("g_ls"), col("returnflag"), col("linestatus"))
+    }),
+
+    // TPC-H Q15 shape — TOP SUPPLIER(S) BY WINDOWED REVENUE: per-supplier
+    // decimal revenue over a 90-day ship window, then every supplier
+    // achieving the maximum (Q15's view + max-join tie semantics, kept as
+    // a 1-row broadcast instead of a re-scan). The fact side aggregates
+    // once, partial-aggregable; the max never causes a second lineitem
+    // pass.
+    "q15_top_supplier" -> ((s, d) => {
+      // window bounds as epoch micros (1996-01-01, 1996-04-01 UTC) — the
+      // repo's no-timezone-arithmetic rule; identical integers on both
+      // engines regardless of the column's NTZ/LTZ physical reading
+      val rev = lineitem(s, d)
+        .filter(unix_micros(col("l_shipdate").cast("timestamp"))
+            .between(820454400000000L, 828316799999999L))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+          .as("rev"))
+        .persistTracked()
+      val mx = rev.agg(max(col("rev")).as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("rev") === col("mx"))
+        .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          col("rev").cast("double").as("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // TPC-H Q16 shape — SUPPLIER BREADTH PER PART CLASS: distinct
+    // suppliers per (brand, size) over the lineitem part-supplier pairs
+    // (the schema's partsupp stand-in), excluding one brand, a size list,
+    // and "complaint" suppliers (acctbal < 1000 — the schema's stand-in
+    // for Q16's NOT LIKE complaints subquery, applied as an anti-join so
+    // the exclusion list never broadcasts the fact side). count-distinct
+    // shuffles once on the group key.
+    "q16_supplier_breadth" -> ((s, d) => {
+      val bad = supplier(s, d).filter(col("s_acctbal") < 1000)
+        .select(col("s_suppkey"))
+      val p = part(s, d)
+        .filter(col("p_brand") =!= "Brand#45" &&
+          col("p_size").isInCollection(Seq(3, 9, 14, 19, 23, 36, 45, 49)))
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))
+      lineitem(s, d).select(col("l_partkey"), col("l_suppkey"))
+        .join(bad, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    }),
+
+    // TPC-H Q17 shape — SMALL-QUANTITY REVENUE: lineitems below 20% of
+    // their part's average quantity. The correlated avg decorrelates into
+    // ONE per-part pre-aggregate joined back (never a per-row subquery),
+    // and the 0.2·avg predicate multiplies through (5·qty·n < sum) so no
+    // division exists on either engine — decimal·int arithmetic is exact.
+    "q17_small_quantity" -> ((s, d) => {
+      val stats = lineitem(s, d)
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("sq"),
+          count(lit(1)).as("n"))
+      lineitem(s, d)
+        .join(stats, Seq("l_partkey"))
+        .filter(col("l_quantity").cast("decimal(18,2)") * 5 * col("n") <
+          col("sq"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").as("sum_extprice"))
+    }),
+
+    // TPC-H Q22 shape — DORMANT RICH CUSTOMERS: customers above the
+    // positive-balance average with no RECENT orders (none since
+    // 2001-01-01 — the driver corpus gives every customer some order, so
+    // Q22's "no orders ever" leg would be vacuous; the recency cutoff
+    // keeps the identical plan shape against live data). The scalar
+    // average broadcasts as a 1-row frame with the comparison multiplied
+    // through (bal·n > sum — exact decimal·int, no division);
+    // order-presence is a left-anti join keeping the probe side narrow.
+    "q22_dormant_customers" -> ((s, d) => {
+      val pos = customer(s, d).filter(col("c_acctbal") > 0)
+        .agg(sum(col("c_acctbal").cast("decimal(18,2)")).as("sp"),
+          count(lit(1)).as("np"))
+      val recent = orders(s, d)
+        .filter(unix_micros(col("o_orderdate").cast("timestamp")) >=
+          978307200000000L)
+        .select(col("o_custkey"))
+      customer(s, d)
+        .crossJoin(broadcast(pos))
+        .filter(col("c_acctbal").cast("decimal(18,2)") * col("np") > col("sp"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double").as("totacctbal"))
+        .orderBy(col("c_nationkey"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+
+    "q15_top_supplier" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  sum(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |      (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS rev
+        |  FROM lineitem
+        |  WHERE epoch_us(l_shipdate) BETWEEN 820454400000000
+        |    AND 828316799999999
+        |  GROUP BY 1),
+        |mx AS (SELECT max(rev) AS mx FROM rev)
+        |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+        |FROM rev, mx JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE rev = mx ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supplier_breadth" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#45'
+        |  AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+        |GROUP BY 1, 2
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH stats AS (SELECT l_partkey,
+        |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sq, count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT count(*) AS n_small,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_extprice
+        |FROM lineitem JOIN stats USING (l_partkey)
+        |WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * n < sq""".stripMargin,
+
+    "q22_dormant_customers" ->
+      """WITH pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sp,
+        |  count(*) AS np FROM customer WHERE c_acctbal > 0)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM customer, pos
+        |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * np > sp
+        |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |    AND epoch_us(o_orderdate) >= 978307200000000)
+        |GROUP BY 1 ORDER BY c_nationkey""".stripMargin,
+
     "s1_setops" ->
       """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
         |     rich AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)

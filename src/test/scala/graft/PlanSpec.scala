@@ -576,4 +576,37 @@ class PlanSpec extends AnyFunSuite {
       s"the cluster-size window should shuffle once on the bow key:\n$p")
     assert(!p.contains("Join"), s"the split needs no join:\n$p")
   }
+
+  test("q15: shipdate filter reaches the scan; max is a 1-row broadcast, " +
+    "no second lineitem pass") {
+    val p = plan("q15_top_supplier")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate null-guard should reach the parquet scan:\n$p")
+    assert(count(p, "InMemoryTableScan (") >= 2,
+      s"the max must reuse the persisted revenue frame, not re-scan:\n$p")
+    assert(p.contains("partial_sum"), s"revenue must map-side combine:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("q16: complaint exclusion is an ANTI join; part dim broadcasts") {
+    val p = plan("q16_supplier_breadth")
+    assert(p.contains("LeftAnti"), s"exclusion must be a left-anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"part dim should broadcast:\n$p")
+  }
+
+  test("q17: correlated avg decorrelates to ONE pre-aggregate — lineitem " +
+    "scans exactly twice, never per-row") {
+    val p = plan("q17_small_quantity")
+    assert(count(p, "Scan parquet  (") == 2,
+      s"base + stats passes only (tree-form node count):\n$p")
+    assert(p.contains("partial_sum"),
+      s"the per-part stats must map-side combine:\n$p")
+  }
+
+  test("q22: scalar average broadcasts; dormancy is a left-anti join") {
+    val p = plan("q22_dormant_customers")
+    assert(p.contains("LeftAnti"), s"recency leg must be anti-join:\n$p")
+    assert(count(p, "BroadcastNestedLoopJoin Cross") <= 1,
+      s"only the 1-row average may nested-loop:\n$p")
+  }
 }
