@@ -63,4 +63,33 @@ class Ext30Spec extends AnyFunSuite {
     assert(got(0L) == expectedDims(0L, 8, 8))
     assert(got(1L) == expectedDims(1L, 9, 8))
   }
+
+  test("x111: equals the sliding-window replay; a repeat at 2L implies a " +
+    "repeat at L (stride grids nest)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ").toSeq)).toSeq
+    val want = Seq(8, 16, 32, 64).map { l =>
+      val occ = scala.collection.mutable.Map.empty[String, Long]
+      docs.foreach { case (_, w) =>
+        var i = 0
+        while (i + l <= w.size) {
+          val k = w.slice(i, i + l).mkString(" ")
+          occ(k) = occ.getOrElse(k, 0L) + 1
+          i += l / 2
+        }
+      }
+      val dups = occ.values.filter(_ > 1)
+      (l, dups.size.toLong, dups.sum,
+        if (dups.isEmpty) 0L else dups.max)
+    }
+    val got = SparkEntry.queries("x111_repeat_profile")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == want)
+    // nesting property: repeats at 2L imply repeats at L
+    got.sliding(2).foreach { case Seq(a, b) =>
+      if (b._3 > 0) assert(a._3 > 0)
+    }
+  }
 }

@@ -609,4 +609,14 @@ class PlanSpec extends AnyFunSuite {
     assert(count(p, "BroadcastNestedLoopJoin Cross") <= 1,
       s"only the 1-row average may nested-loop:\n$p")
   }
+
+  test("x111 repeat profile: digests shuffle, never window text; all four " +
+    "lengths read the ONE cached token frame") {
+    val p = plan("x111_repeat_profile")
+    assert(count(p, "InMemoryTableScan (") >= 4,
+      s"each length must reuse the cached token frame:\n$p")
+    assert(p.contains("partial_count"),
+      s"the digest counts must map-side combine:\n$p")
+    GraftCaches.releasePrior()
+  }
 }
