@@ -76,17 +76,22 @@ object Ext27 {
       val e = embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         .persistTracked()
-      val seed = e.orderBy(col("vec_id")).limit(1).collect()(0)
+      val seedRows = e.orderBy(col("vec_id")).limit(1).collect()
+      require(seedRows.nonEmpty, "x103: embeddings table is empty")
+      val seed = seedRows(0)
       var sel = Vector((seed.getLong(0), seed.getSeq[Double](1).toArray, 0.0))
-      while (sel.size < 4) {
+      var exhausted = false
+      while (sel.size < 4 && !exhausted) {
         val dm = sel.map { case (_, cv, _) =>
           Similarity.dist2(col("v"), typedLit(cv.toSeq)) }.reduce(least(_, _))
         val ids = sel.map(_._1)
         val nxt = e.filter(!col("vec_id").isInCollection(ids))
           .withColumn("dm", dm)
           .orderBy(col("dm").desc, col("vec_id"))
-          .limit(1).collect()(0)
-        sel = sel :+ ((nxt.getLong(0), nxt.getSeq[Double](1).toArray, nxt.getDouble(2)))
+          .limit(1).collect()
+        if (nxt.isEmpty) exhausted = true   // corpus smaller than k
+        else sel = sel :+
+          ((nxt(0).getLong(0), nxt(0).getSeq[Double](1).toArray, nxt(0).getDouble(2)))
       }
       val rows = sel.zipWithIndex.map { case ((id, _, dsel), i) =>
         (i + 1L, id, math.floor(dsel * 1e6) / 1e6)
