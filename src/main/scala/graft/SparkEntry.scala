@@ -74,7 +74,8 @@ object SparkEntry {
       graft.queries.Ext27.queries ++
       graft.queries.Ext28.queries ++
       graft.queries.Ext29.queries ++
-      graft.queries.Ext30.queries
+      graft.queries.Ext30.queries ++
+      graft.queries.Ext31.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -111,5 +112,6 @@ object SparkEntry {
       graft.queries.Ext27.oracleSql ++
       graft.queries.Ext28.oracleSql ++
       graft.queries.Ext29.oracleSql ++
-      graft.queries.Ext30.oracleSql
+      graft.queries.Ext30.oracleSql ++
+      graft.queries.Ext31.oracleSql
 }

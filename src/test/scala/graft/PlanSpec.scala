@@ -619,4 +619,42 @@ class PlanSpec extends AnyFunSuite {
       s"the digest counts must map-side combine:\n$p")
     GraftCaches.releasePrior()
   }
+
+  test("q4: the EXISTS decorrelates to a semi join, no per-row subquery") {
+    val p = plan("q4_priority_count")
+    assert(p.contains("LeftSemi"), s"lateness must be a left-semi join:\n$p")
+    assert(p.contains("partial_count"), s"the rollup must map-side combine:\n$p")
+  }
+
+  test("q13: outer join preserved; both aggregations partial") {
+    val p = plan("q13_custdist")
+    assert(p.contains("LeftOuter") || p.contains("RightOuter"),
+      s"zero-order customers need an outer join:\n$p")
+    assert(count(p, "partial_count") >= 2,
+      s"both rollups must map-side combine:\n$p")
+  }
+
+  test("x112: stats and totals broadcast back — the corpus never " +
+    "shuffles after the (label, dim) pass") {
+    val p = plan("x112_embedding_outliers")
+    assert(count(p, "BroadcastHashJoin") >= 2,
+      s"centroids and per-label totals must broadcast:\n$p")
+    assert(p.contains("partial_sum"),
+      s"the centroid sums must map-side combine:\n$p")
+  }
+
+  test("x114: joinless and shuffle-free before the output sort") {
+    val p = plan("x114_gini_diversity")
+    assert(!p.contains("Join"), s"the per-row fold needs no join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"only the final sort's range exchange is allowed:\n$p")
+  }
+
+  test("x115: df joins stay equi on the bigram key — no cartesian") {
+    val p = plan("x115_importance_resample")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"all joins must be equi:\n$p")
+    assert(p.contains("partial_count"), s"df counts must map-side combine:\n$p")
+    GraftCaches.releasePrior()
+  }
 }
