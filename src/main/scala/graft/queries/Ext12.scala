@@ -97,7 +97,7 @@ object Ext12 {
   /** The x3 candidate/verify pipeline as oracle CTEs (same text as
     * x57/x58's preamble — the banded MinHash the whole dedup family
     * replays). */
-  private val pairsCte: String =
+  private[queries] val pairsCte: String =
     """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |sh AS (SELECT doc_id,
       |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),

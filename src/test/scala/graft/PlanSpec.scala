@@ -657,4 +657,33 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), s"df counts must map-side combine:\n$p")
     GraftCaches.releasePrior()
   }
+
+  test("x116: bucketing reuses the persisted score frame; thresholds are " +
+    "literals, never a global window") {
+    val p = plan("x116_perplexity_buckets")
+    assert(p.contains("InMemoryTableScan"),
+      s"the bucket pass must reuse the persisted score frame:\n$p")
+    assert(!p.contains("Window"),
+      s"tercile thresholds must come from the selection pass, not a window:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x117: joinless and shuffle-free before the output sort") {
+    val p = plan("x117_hashed_classifier")
+    assert(!p.contains("Join"), s"classifier inference needs no join:\n$p")
+    assert(!p.contains("hashpartitioning"),
+      s"only the final sort's range exchange is allowed:\n$p")
+  }
+
+  test("x118: only the 1-row triangle total nested-loops; wedge side is " +
+    "join-free aggregation") {
+    val p = plan("x118_pair_transitivity")
+    // two 1-row scalar attaches: wedges×triangles here, plus one inside
+    // the shared lshVerifiedPairs builder — never a row-scaling cross
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the 1-row scalar attachments may nested-loop:\n$p")
+    assert(p.contains("partial_count"),
+      s"degree counts must map-side combine:\n$p")
+    GraftCaches.releasePrior()
+  }
 }
