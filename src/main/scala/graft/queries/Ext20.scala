@@ -88,7 +88,10 @@ object Ext20 {
         .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
         .persistTracked()
       val c2 = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("l")).agg(count(lit(1)).as("c1"))
+        .persistTracked()
+      // c1(l) = Σ_r c2(l, r) exactly — rolled up from the already-reduced
+      // bigram table instead of a second corpus-scale shuffle of bg
+      val c1 = c2.groupBy(col("l")).agg(sum(col("c2")).as("c1"))
       val score = c2.join(c1, Seq("l"))
         .select(col("l"), col("r"), expr("c2 * 1000000 div c1").as("ppm"))
       bg.join(score, Seq("l", "r"))

@@ -61,8 +61,9 @@ object Ext25 {
       val uni = train.select(explode(col("w")).as("u"))
         .groupBy(col("u")).agg(count(lit(1)).as("c1"))
         .persistTracked()
-      val nTrain = train.select(explode(col("w")).as("u"))
-        .agg(count(lit(1)).as("n_train"))
+      // Σc1 over the (small) unigram table — same value as re-exploding
+      // the corpus for a global count, without the second corpus pass
+      val nTrain = uni.agg(sum(col("c1")).as("n_train"))
       val held = docs.filter(col("doc_id") % 10 >= 8)
         .select(col("doc_id"), explode(expr(
           "transform(sequence(1, size(w)-2), i -> struct(w[i-1] AS a, w[i] AS b, w[i+1] AS c))"))

@@ -41,7 +41,10 @@ object Ext32 {
         .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
         .persistTracked()
       val c2 = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("l")).agg(count(lit(1)).as("c1"))
+        .persistTracked()
+      // c1(l) = Σ_r c2(l, r) exactly — rolled up from the already-reduced
+      // bigram table instead of a second corpus-scale shuffle of bg
+      val c1 = c2.groupBy(col("l")).agg(sum(col("c2")).as("c1"))
       val score = c2.join(c1, Seq("l"))
         .select(col("l"), col("r"), expr("c2 * 1000000 div c1").as("ppm"))
       val scored = bg.join(score, Seq("l", "r"))
@@ -118,6 +121,32 @@ object Ext32 {
           when(col("n_wedges") === 0, 0L)
             .otherwise(expr("3L * n_triangles * 1000000L div n_wedges"))
             .as("closure_ppm"))
+    }),
+
+    // X7e PASS@K ESTIMATOR: the unbiased pass@k = 1 − C(n−c,k)/C(n,k)
+    // over per-problem trial outcomes (the standard code-eval metric),
+    // in exact integer ppm via the telescoped product
+    // Π (n−c−i)/(n−i) — spelled as a k-step integer fold with a floor at
+    // every step (identical on both engines; each factor clamps at 0 so
+    // c > n−k collapses the product, giving pass = 1 exactly as the
+    // binomial does). One partial-aggregable shuffle (problem rollup);
+    // the estimator is per-row arithmetic on the 50-row aggregate.
+    "x119_pass_at_k" -> ((s, d) => {
+      def foldPpm(k: Int): String = {
+        val prod = (0 until k).foldLeft("1000000L") { (acc, i) =>
+          s"(($acc) * GREATEST(n - c - $i, 0L) div (n - $i))"
+        }
+        s"CASE WHEN n >= $k THEN 1000000L - $prod ELSE NULL END"
+      }
+      events(s, d)
+        .select(expr("user_id % 50").as("problem"),
+          (col("value") >= 0.5).as("ok"))
+        .groupBy(col("problem"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("c"))
+        .select(col("problem"), col("n").as("n_trials"), col("c").as("n_correct"),
+          expr(foldPpm(1)).as("pass1_ppm"), expr(foldPpm(5)).as("pass5_ppm"))
+        .orderBy(col("problem"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -167,6 +196,23 @@ object Ext32 {
         |    AS score_spm,
         |  (sum_w > 0) AS accepted
         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
+    "x119_pass_at_k" -> {
+      def foldPpm(k: Int): String = {
+        val prod = (0 until k).foldLeft("1000000") { (acc, i) =>
+          s"(($acc) * GREATEST(n - c - $i, 0) // (n - $i))"
+        }
+        s"CASE WHEN n >= $k THEN 1000000 - $prod ELSE NULL END"
+      }
+      s"""WITH g AS (SELECT user_id % 50 AS problem,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |  FROM events GROUP BY 1)
+        |SELECT problem, n AS n_trials, c AS n_correct,
+        |  CAST(${foldPpm(1)} AS BIGINT) AS pass1_ppm,
+        |  CAST(${foldPpm(5)} AS BIGINT) AS pass5_ppm
+        |FROM g ORDER BY problem""".stripMargin
     },
 
     "x118_pair_transitivity" -> (Ext12.pairsCte +

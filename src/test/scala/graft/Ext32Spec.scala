@@ -66,6 +66,38 @@ class Ext32Spec extends AnyFunSuite {
     assert(acc > 0 && acc < got.length, "classifier splits the corpus")
   }
 
+  test("x119: equals the integer-fold replay; fold sits within k ppm " +
+    "below the exact binomial estimator") {
+    val trials = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id", "value").collect()
+      .map(r => (r.getLong(0) % 50, r.getDouble(1) >= 0.5))
+    val groups = trials.groupBy(_._1).view.mapValues { vs =>
+      (vs.length.toLong, vs.count(_._2).toLong) }.toMap
+    def fold(k: Int, n: Long, c: Long): Option[Long] =
+      if (n < k) None
+      else Some(1000000L - (0 until k).foldLeft(1000000L) { (acc, i) =>
+        acc * math.max(n - c - i, 0L) / (n - i) })
+    val got = SparkEntry.queries("x119_pass_at_k")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(got.length == groups.size)
+    got.foreach { case (p, n, c, p1, p5) =>
+      assert((n, c) == groups(p))
+      assert(p1 == fold(1, n, c) && p5 == fold(5, n, c))
+      // each fold step floors once, so the product undershoots the exact
+      // rational by < k ppm — pass@k overshoots by the same bound
+      def binom(n: Long, k: Int): BigInt =
+        if (n < k) BigInt(0)
+        else (0 until k).map(i => BigInt(n - i)).product /
+          (1 to k).map(BigInt(_)).product
+      for ((k, pk) <- Seq((1, p1), (5, p5)); v <- pk) {
+        val exact = 1000000L - (BigInt(1000000) * binom(n - c, k) / binom(n, k)).toLong
+        assert(v >= exact && v <= exact + k, s"problem $p k=$k: $v vs $exact")
+      }
+    }
+  }
+
   test("x118: equals the wedge/triangle replay over x3's verified pairs") {
     val pairs = SparkEntry.queries("x3_minhash_lsh")(spark, sf)
       .select("id1", "id2").collect()

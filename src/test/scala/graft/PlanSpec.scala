@@ -356,8 +356,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("x85 bigram LM: one materialized bigram frame feeds counts and score") {
     val p = plan("x85_bigram_lm_score")
-    assert(count(p, "InMemoryTableScan (") == 3,
-      s"bg persist must serve c2, c1 and the score join (3 readers):\n$p")
+    // bg persist serves the c2 build and the doc join; the c2 persist
+    // serves the c1 rollup and the score join (c1 = Σ_r c2 — never a
+    // second corpus-scale shuffle of bg)
+    assert(count(p, "InMemoryTableScan (") >= 4,
+      s"bg and c2 persists must serve all four readers:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"score join must stay equi on (l, r):\n$p")
     GraftCaches.releasePrior()
@@ -673,6 +676,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"classifier inference needs no join:\n$p")
     assert(!p.contains("hashpartitioning"),
       s"only the final sort's range exchange is allowed:\n$p")
+  }
+
+  test("x119: one partial-aggregable shuffle; the estimator is join-free " +
+    "per-row arithmetic") {
+    val p = plan("x119_pass_at_k")
+    assert(!p.contains("Join"), s"pass@k needs no join:\n$p")
+    assert(count(p, "hashpartitioning") == 1,
+      s"exactly the problem rollup may hash-shuffle:\n$p")
+    assert(p.contains("partial_count"),
+      s"trial counts must map-side combine:\n$p")
   }
 
   test("x118: only the 1-row triangle total nested-loops; wedge side is " +
