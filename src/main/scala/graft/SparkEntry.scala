@@ -76,7 +76,8 @@ object SparkEntry {
       graft.queries.Ext29.queries ++
       graft.queries.Ext30.queries ++
       graft.queries.Ext31.queries ++
-      graft.queries.Ext32.queries
+      graft.queries.Ext32.queries ++
+      graft.queries.Ext33.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -115,5 +116,6 @@ object SparkEntry {
       graft.queries.Ext29.oracleSql ++
       graft.queries.Ext30.oracleSql ++
       graft.queries.Ext31.oracleSql ++
-      graft.queries.Ext32.oracleSql
+      graft.queries.Ext32.oracleSql ++
+      graft.queries.Ext33.oracleSql
 }

@@ -688,6 +688,21 @@ class PlanSpec extends AnyFunSuite {
       s"trial counts must map-side combine:\n$p")
   }
 
+  test("x120/x121: the corpus shuffles once into the bucket rollup; the " +
+    "cumulative window runs on the bounded bucket frame") {
+    val p120 = plan("x120_ks_drift")
+    assert(p120.contains("InMemoryTableScan"),
+      s"the totals must reuse the persisted cumulative frame:\n$p120")
+    assert(p120.contains("partial_sum"),
+      s"bucket counts must map-side combine:\n$p120")
+    val p121 = plan("x121_classifier_auc")
+    assert(count(p121, "hashpartitioning") == 1,
+      s"exactly the bucket rollup may hash-shuffle:\n$p121")
+    assert(p121.contains("partial_sum"),
+      s"bucket counts must map-side combine:\n$p121")
+    GraftCaches.releasePrior()
+  }
+
   test("x118: only the 1-row triangle total nested-loops; wedge side is " +
     "join-free aggregation") {
     val p = plan("x118_pair_transitivity")
