@@ -77,7 +77,8 @@ object SparkEntry {
       graft.queries.Ext30.queries ++
       graft.queries.Ext31.queries ++
       graft.queries.Ext32.queries ++
-      graft.queries.Ext33.queries
+      graft.queries.Ext33.queries ++
+      graft.queries.Ext34.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -117,5 +118,6 @@ object SparkEntry {
       graft.queries.Ext30.oracleSql ++
       graft.queries.Ext31.oracleSql ++
       graft.queries.Ext32.oracleSql ++
-      graft.queries.Ext33.oracleSql
+      graft.queries.Ext33.oracleSql ++
+      graft.queries.Ext34.oracleSql
 }
