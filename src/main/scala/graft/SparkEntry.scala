@@ -78,7 +78,8 @@ object SparkEntry {
       graft.queries.Ext31.queries ++
       graft.queries.Ext32.queries ++
       graft.queries.Ext33.queries ++
-      graft.queries.Ext34.queries
+      graft.queries.Ext34.queries ++
+      graft.queries.Ext35.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -119,5 +120,6 @@ object SparkEntry {
       graft.queries.Ext31.oracleSql ++
       graft.queries.Ext32.oracleSql ++
       graft.queries.Ext33.oracleSql ++
-      graft.queries.Ext34.oracleSql
+      graft.queries.Ext34.oracleSql ++
+      graft.queries.Ext35.oracleSql
 }
