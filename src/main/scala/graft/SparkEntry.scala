@@ -79,7 +79,8 @@ object SparkEntry {
       graft.queries.Ext32.queries ++
       graft.queries.Ext33.queries ++
       graft.queries.Ext34.queries ++
-      graft.queries.Ext35.queries
+      graft.queries.Ext35.queries ++
+      graft.queries.Ext36.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -121,5 +122,6 @@ object SparkEntry {
       graft.queries.Ext32.oracleSql ++
       graft.queries.Ext33.oracleSql ++
       graft.queries.Ext34.oracleSql ++
-      graft.queries.Ext35.oracleSql
+      graft.queries.Ext35.oracleSql ++
+      graft.queries.Ext36.oracleSql
 }

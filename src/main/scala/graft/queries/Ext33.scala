@@ -14,6 +14,45 @@ import graft.GraftCaches.TrackedPersist
   */
 object Ext33 {
 
+  /** x117's feature-hashed linear scorer, shared by the AUC (x121) and
+    * calibration (x128) evaluators: per doc, (pos = lang='en',
+    * sb = shifted per-mille score in [0, 1000]). Pure per-row fold —
+    * no shuffle; callers add their own rollup. */
+  private[queries] def hashedScorePm(s: SparkSession, d: String): DataFrame = {
+    val wArr = array((0 until 64).map(i =>
+      lit((i * 2654435761L) % 1000 - 500)): _*)
+    documents(s, d)
+      .select(col("lang"), TextOps.words(col("text")).as("w"))
+      .select((col("lang") === "en").as("pos"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(
+          transform(col("w"), t =>
+            element_at(wArr,
+              (pmod(TextOps.hash32(t), lit(64L)) + 1L).cast("int"))),
+          lit(0L), (acc, x) => acc + x).as("sum_w"))
+      .select(col("pos"),
+        expr("(sum_w + 500L * n_tokens) * 1000L div n_tokens div 1000L")
+          .as("sb"))
+  }
+
+  /** The DuckDB spelling of [[hashedScorePm]]: a CTE chain ending in
+    * `sb(pos, sb)`. */
+  private[queries] val hashedScorePmSql: String = {
+    val ws = (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
+      .mkString("[", ", ", "]")
+    s"""w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+      |s AS (SELECT (lang = 'en') AS pos,
+      |  CAST(len(w) AS BIGINT) AS n_tokens,
+      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(w, t -> $ws[
+      |      CAST((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64)
+      |        + 1 AS INT)])), (a, b) -> a + b) AS BIGINT) AS sum_w
+      |  FROM w),
+      |sb AS (SELECT pos,
+      |    ((sum_w + 500 * n_tokens) * 1000 // n_tokens) // 1000 AS sb
+      |  FROM s)""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X8b TWO-SAMPLE KOLMOGOROV–SMIRNOV DRIFT TEST: the largest CDF gap
@@ -65,20 +104,7 @@ object Ext33 {
     // is the one floor. Corpus-side cost: the x117 per-row fold plus one
     // partial-aggregable shuffle on the bucket.
     "x121_classifier_auc" -> ((s, d) => {
-      val wArr = array((0 until 64).map(i =>
-        lit((i * 2654435761L) % 1000 - 500)): _*)
-      val scored = documents(s, d)
-        .select(col("lang"), TextOps.words(col("text")).as("w"))
-        .select((col("lang") === "en").as("pos"),
-          size(col("w")).cast("long").as("n_tokens"),
-          aggregate(
-            transform(col("w"), t =>
-              element_at(wArr,
-                (pmod(TextOps.hash32(t), lit(64L)) + 1L).cast("int"))),
-            lit(0L), (acc, x) => acc + x).as("sum_w"))
-        .select(col("pos"),
-          expr("(sum_w + 500L * n_tokens) * 1000L div n_tokens div 1000L")
-            .as("sb"))
+      val scored = hashedScorePm(s, d)
       val per = scored.groupBy(col("sb"))
         .agg(sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
           sum(when(col("pos"), 0L).otherwise(1L)).as("nn"))
@@ -120,20 +146,7 @@ object Ext33 {
         |FROM r WHERE rnk = 1""".stripMargin,
 
     "x121_classifier_auc" -> {
-      val ws = (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
-        .mkString("[", ", ", "]")
-      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS w
-        |  FROM documents),
-        |s AS (SELECT (lang = 'en') AS pos,
-        |  CAST(len(w) AS BIGINT) AS n_tokens,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(w, t -> $ws[
-        |      CAST((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64)
-        |        + 1 AS INT)])), (a, b) -> a + b) AS BIGINT) AS sum_w
-        |  FROM w),
-        |sb AS (SELECT pos,
-        |    ((sum_w + 500 * n_tokens) * 1000 // n_tokens) // 1000 AS sb
-        |  FROM s),
+      s"""WITH $hashedScorePmSql,
         |per AS (SELECT sb,
         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS np,
         |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS nn
