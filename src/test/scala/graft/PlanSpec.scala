@@ -714,4 +714,46 @@ class PlanSpec extends AnyFunSuite {
       s"degree counts must map-side combine:\n$p")
     GraftCaches.releasePrior()
   }
+
+  test("x124 silhouette: corpus meets only the broadcast K-row centroid " +
+    "frame — no self-join, partial aggregation everywhere") {
+    val p = plan("x124_silhouette")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // formatted plans name each operator twice (tree + detail):
+    // one physical BNLJ — the K-row centroid attach — is the budget
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the K-row centroid attach may nested-loop:\n$p")
+    assert(p.contains("partial_sum"), s"rollups must map-side combine:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x125 epoch shuffle: position assignment has NO window operator " +
+    "(range-sort + offset exchange instead)") {
+    val p = plan("x125_epoch_shuffle")
+    assert(!p.contains("Window"),
+      s"global sequencing must not use a window (single-partition risk):\n$p")
+    assert(p.contains("rangepartitioning"),
+      s"expected a range sort feeding the offset exchange:\n$p")
+  }
+
+  test("x126 winsorize: bin rollup map-side combines; thresholds return " +
+    "to the corpus via broadcast") {
+    val p = plan("x126_winsorize")
+    assert(p.contains("partial_count"), s"bin counts must map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 5-row threshold frame must broadcast, not shuffle the corpus:\n$p")
+    GraftCaches.releasePrior()
+  }
+
+  test("x131 lift: basket self-join is keyed on user_id; only the 1-row " +
+    "user-count attaches via nested loop") {
+    val p = plan("x131_cooccurrence_lift")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    // one physical BNLJ (the 1-row user-count attach), twice in the text
+    assert(count(p, "BroadcastNestedLoopJoin") <= 2,
+      s"only the 1-row scalar attach may nested-loop:\n$p")
+    assert(p.contains("hashpartitioning(user_id"),
+      s"pair generation must shuffle on user_id:\n$p")
+    GraftCaches.releasePrior()
+  }
 }
