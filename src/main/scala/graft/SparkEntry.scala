@@ -80,7 +80,8 @@ object SparkEntry {
       graft.queries.Ext33.queries ++
       graft.queries.Ext34.queries ++
       graft.queries.Ext35.queries ++
-      graft.queries.Ext36.queries
+      graft.queries.Ext36.queries ++
+      graft.queries.Ext37.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -123,5 +124,6 @@ object SparkEntry {
       graft.queries.Ext33.oracleSql ++
       graft.queries.Ext34.oracleSql ++
       graft.queries.Ext35.oracleSql ++
-      graft.queries.Ext36.oracleSql
+      graft.queries.Ext36.oracleSql ++
+      graft.queries.Ext37.oracleSql
 }

@@ -57,7 +57,9 @@ object Ext {
       array_sort(array_distinct(transform(col("ss"), TextOps.hash32(_)))))
 
   /** MinHash-LSH banded candidate pairs verified by exact Jaccard ≥ minJac
-    * over the shingle sets → (id1, id2, jaccard). Shared by x3 (pair
+    * over the shingle sets → (id1, id2, jaccard, inter, n1, n2) — the set
+    * sizes ride along so integer-exact consumers (x132's threshold sweep)
+    * can re-derive thresholds without float compares. Shared by x3 (pair
     * listing) and x17 (dedup-group clustering, queries/Ext2). The signature
     * frame is persisted because it feeds both sides of the band self-join
     * AND the two verify joins — without it Spark recomputes the whole
@@ -78,8 +80,13 @@ object Ext {
     val jac = TextOps.jaccard(col("x.ss"), col("y.ss"))
     cand.join(sets.as("x"), col("id1") === col("x.doc_id"))
       .join(sets.as("y"), col("id2") === col("y.doc_id"))
-      .select(col("id1"), col("id2"), jac.as("jaccard"))
+      .select(col("id1"), col("id2"), jac.as("jaccard"),
+        size(array_intersect(col("x.ss"), col("y.ss"))).cast("long").as("inter"),
+        size(col("x.ss")).cast("long").as("n1"),
+        size(col("y.ss")).cast("long").as("n2"))
       .filter(col("jaccard") >= minJac)
+      .select(col("id1"), col("id2"), col("jaccard"), col("inter"),
+        col("n1"), col("n2"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -111,7 +118,9 @@ object Ext {
     // X2 MinHash + LSH near-dup: 8 signature values, 4 bands × 2 rows;
     // candidate pairs share a band bucket; verified with exact Jaccard ≥ 0.5.
     "x3_minhash_lsh" -> ((s, d) =>
-      lshVerifiedPairs(s, d, 0.5).orderBy(col("id1"), col("id2"))),
+      lshVerifiedPairs(s, d, 0.5)
+        .select(col("id1"), col("id2"), col("jaccard"))
+        .orderBy(col("id1"), col("id2"))),
 
     // X2b n-gram Jaccard with PREFIX FILTERING (AllPairs/PPJoin): for
     // Jaccard ≥ t, two docs must share a shingle within each one's prefix of
