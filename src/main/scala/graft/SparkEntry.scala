@@ -81,7 +81,9 @@ object SparkEntry {
       graft.queries.Ext34.queries ++
       graft.queries.Ext35.queries ++
       graft.queries.Ext36.queries ++
-      graft.queries.Ext37.queries
+      graft.queries.Ext37.queries ++
+      graft.queries.Ext38.queries ++
+      graft.queries.Ext39.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -125,5 +127,7 @@ object SparkEntry {
       graft.queries.Ext34.oracleSql ++
       graft.queries.Ext35.oracleSql ++
       graft.queries.Ext36.oracleSql ++
-      graft.queries.Ext37.oracleSql
+      graft.queries.Ext37.oracleSql ++
+      graft.queries.Ext38.oracleSql ++
+      graft.queries.Ext39.oracleSql
 }
