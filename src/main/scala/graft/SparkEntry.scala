@@ -83,7 +83,8 @@ object SparkEntry {
       graft.queries.Ext36.queries ++
       graft.queries.Ext37.queries ++
       graft.queries.Ext38.queries ++
-      graft.queries.Ext39.queries
+      graft.queries.Ext39.queries ++
+      graft.queries.Ext40.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -129,5 +130,6 @@ object SparkEntry {
       graft.queries.Ext36.oracleSql ++
       graft.queries.Ext37.oracleSql ++
       graft.queries.Ext38.oracleSql ++
-      graft.queries.Ext39.oracleSql
+      graft.queries.Ext39.oracleSql ++
+      graft.queries.Ext40.oracleSql
 }
