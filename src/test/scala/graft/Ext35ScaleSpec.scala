@@ -109,4 +109,33 @@ class Ext35ScaleSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("x136: 1M docs — every stage's drop count lands exactly on the " +
+    "planted design") {
+    withDir("x136_scale") { dir =>
+      // id%10==0 → wrong lang (covers all %100==0 bench docs);
+      // %10==1 → too short; %10==2 → no stopwords; %10∈{3,5} → exact-dup
+      // pair per decade (min-id 3 survives, 5 drops); %100==4 → bow-key
+      // permutation of bench doc id−4 (decontam victim); rest pass.
+      spark.range(1000000L).select(col("id").as("doc_id"),
+          when(col("id") % 10 === 0, "xx").otherwise("en").as("lang"),
+          when(col("id") % 10 === 1, lit("aa bb"))
+            .when(col("id") % 10 === 2,
+              concat(lit("word aaa bbb ccc ddd q"), col("id")))
+            .when(col("id") % 10 === 3 || col("id") % 10 === 5,
+              concat(lit("the and alpha beta gamma delta p"), expr("id div 10")))
+            .when(col("id") % 100 === 4,
+              concat(lit("u"), col("id") - 4, lit(" delta gamma beta alpha and the")))
+            .otherwise(concat(lit("the and alpha beta gamma delta u"), col("id")))
+            .as("text"),
+          lit("s").as("source"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("x136_filter_waterfall")(spark, dir.toString)
+        .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      val wantDrops = Seq(100000L, 100000L, 100000L, 100000L, 10000L)
+      assert(got.map(_._3).toSeq == wantDrops, s"stage drops: ${got.toSeq}")
+      assert(got.head._2 == 1000000L && got.last._4 == 590000L)
+    }
+  }
 }
