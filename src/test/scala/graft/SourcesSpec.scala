@@ -62,4 +62,47 @@ class SourcesSpec extends AnyFunSuite {
       s"partition filter did not prune:\n$p")
     assert(back.count() === docs.filter(col("lang") === "en").count())
   }
+
+  test("schema evolution: mergeSchema unifies snapshots, old rows null-fill " +
+    "the new column, pushdown survives") {
+    val dir = tmp("evolve")
+    // snapshot 1: original schema; snapshot 2 adds a quality score column
+    docs.select("doc_id", "text", "lang")
+      .write.mode("overwrite").parquet(s"$dir/s=1")
+    docs.select(col("doc_id") + 1000000L as "doc_id", col("text"), col("lang"),
+        (col("n_chars") % 100).as("quality"))
+      .write.mode("overwrite").parquet(s"$dir/s=2")
+    val back = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(back.columns.toSet == Set("doc_id", "text", "lang", "quality", "s"))
+    val n = docs.count()
+    assert(back.count() == 2 * n)
+    assert(back.filter(col("quality").isNull).count() == n,
+      "pre-evolution rows must read the new column as NULL")
+    assert(back.filter(col("quality").isNotNull).count() == n)
+    val p = back.filter(col("doc_id") === 42L)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("EqualTo(doc_id,42)"),
+      s"pushdown must survive the merged schema:\n$p")
+  }
+
+  test("dynamic partition overwrite replaces only the touched partition") {
+    val dir = tmp("dynover")
+    val base = docs.withColumn("part_lang", coalesce(col("lang"), lit("und")))
+    base.write.mode("overwrite").partitionBy("part_lang").parquet(dir)
+    val before = spark.read.parquet(dir)
+    val nOther = before.filter(col("part_lang") =!= "en").count()
+    // rewrite ONLY the en partition with doc_ids shifted — static overwrite
+    // mode would wipe the other partitions
+    base.filter(col("part_lang") === "en")
+      .withColumn("doc_id", col("doc_id") + 5000000L)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("part_lang").parquet(dir)
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("part_lang") =!= "en").count() == nOther,
+      "untouched partitions must survive a dynamic overwrite")
+    assert(after.filter(col("part_lang") === "en")
+      .agg(min(col("doc_id"))).collect()(0).getLong(0) >= 5000000L,
+      "the en partition must hold only the rewritten rows")
+  }
 }
