@@ -118,6 +118,29 @@ object Relational {
 
     // TPC-H Q5-shaped 5-way join: two broadcast dims (region→nation chain),
     // three fact hops, decimal-exact revenue aggregation.
+    // TPC-H Q10 shape: who returned the most revenue in a quarter — big
+    // fact⨝fact equi-joins with the date filter PUSHED to the orders
+    // scan and the R-flag filter to the lineitem scan, nation broadcast,
+    // then a customer-keyed rollup and TakeOrdered top-20 (never a
+    // global sort).
+    "q19_returned_items" -> ((s, d) => {
+      val c = customer(s, d)
+      val o = orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      val l = lineitem(s, d).filter(col("l_returnflag") === "R")
+      val n = nation(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(BigDecimal(1)) - col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     "q5_region_revenue" -> ((s, d) => {
       val r = region(s, d).filter(col("r_name") === "ASIA")
       val n = nation(s, d)
@@ -428,6 +451,21 @@ object Relational {
         |  count(*) FILTER (event_type = 'signup') AS signup,
         |  count(*) FILTER (event_type = 'error') AS error
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q19_returned_items" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+        |    AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q5_region_revenue" ->
       """SELECT n_name,

@@ -715,6 +715,18 @@ class PlanSpec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("q19 returned items: both filters reach the scans, nation " +
+    "broadcasts, top-20 avoids a global sort") {
+    val p = plan("q19_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"R-flag filter not pushed to the lineitem scan:\n$p")
+    assert(p.contains("IsNotNull(o_orderdate)") || p.contains("o_orderdate"),
+      s"date filter must reach the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"LIMIT after ORDER BY must not global-sort:\n$p")
+  }
+
   test("x124 silhouette: corpus meets only the broadcast K-row centroid " +
     "frame — no self-join, partial aggregation everywhere") {
     val p = plan("x124_silhouette")
