@@ -85,8 +85,6 @@ object Ext {
         size(col("x.ss")).cast("long").as("n1"),
         size(col("y.ss")).cast("long").as("n2"))
       .filter(col("jaccard") >= minJac)
-      .select(col("id1"), col("id2"), col("jaccard"), col("inter"),
-        col("n1"), col("n2"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

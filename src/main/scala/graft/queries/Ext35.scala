@@ -130,7 +130,9 @@ object Ext35 {
           .select(col("event_type"), col("value").as(out))
       }
       val thr = kth("k05", "lo").join(kth("k95", "hi"), "event_type")
-      v.join(broadcast(thr), "event_type")
+      // final rollup reads the persisted binned frame — not the raw
+      // events scan a third time
+      binned.join(broadcast(thr), "event_type")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           first(col("lo")).as("lo"), first(col("hi")).as("hi"),
@@ -164,8 +166,14 @@ object Ext35 {
           sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax_2grams"))
         .select(col("source"), col("total_2grams"), col("distinct_2grams"),
           col("hapax_2grams"),
-          expr("distinct_2grams * 1000000L div total_2grams").as("ttr_ppm"),
-          expr("hapax_2grams * 1000000L div distinct_2grams").as("hapax_ppm"))
+          // quotient/remainder split keeps the ×1e6 intermediates
+          // Long-safe at web-crawl gram counts (> 9e12 bigrams/source)
+          expr("(distinct_2grams div total_2grams) * 1000000L + " +
+            "(distinct_2grams % total_2grams) * 1000000L div total_2grams")
+            .as("ttr_ppm"),
+          expr("(hapax_2grams div distinct_2grams) * 1000000L + " +
+            "(hapax_2grams % distinct_2grams) * 1000000L div distinct_2grams")
+            .as("hapax_ppm"))
         .orderBy(col("source"))
     }))
 
@@ -240,8 +248,10 @@ object Ext35 {
         |SELECT source, CAST(sum(cnt) AS BIGINT) AS total_2grams,
         |  count(*) AS distinct_2grams,
         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_2grams,
-        |  CAST(count(*) * 1000000 // sum(cnt) AS BIGINT) AS ttr_ppm,
-        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) * 1000000 // count(*)
-        |    AS BIGINT) AS hapax_ppm
+        |  CAST((count(*) // sum(cnt)) * 1000000
+        |    + (count(*) % sum(cnt)) * 1000000 // sum(cnt) AS BIGINT) AS ttr_ppm,
+        |  CAST((sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) // count(*)) * 1000000
+        |    + (sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) % count(*)) * 1000000
+        |      // count(*) AS BIGINT) AS hapax_ppm
         |FROM c GROUP BY source ORDER BY source""".stripMargin)
 }

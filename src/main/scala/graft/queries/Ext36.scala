@@ -118,7 +118,9 @@ object Ext36 {
     // market-basket / co-engagement audit. Baskets are the DISTINCT
     // (user, type) pairs, so the self-join fan-out is bounded by
     // (types-per-user choose 2) ≤ C(T,2) per user — never corpus².
-    // lift·1e6 = co·U·1e6 div (cₐ·c_b), all exact integers.
+    // lift·1e6 is floored in two steps, (co·1e6 div cₐ)·U div c_b: since
+    // co ≤ cₐ the first factor is ≤ 1e6, so the intermediate stays
+    // Long-safe to ~9e12 users (the naive co·U·1e6 wraps past ~3M users).
     "x131_cooccurrence_lift" -> ((s, d) => {
       val baskets = events(s, d)
         .select(col("user_id"), col("event_type")).distinct()
@@ -138,7 +140,7 @@ object Ext36 {
         .join(singles.select(col("event_type").as("type_b"), col("c").as("cb")), "type_b")
         .crossJoin(broadcast(users))
         .select(col("type_a"), col("type_b"), col("co"), col("ca"), col("cb"),
-          expr("co * u * 1000000L div (ca * cb)").as("lift_ppm"))
+          expr("(co * 1000000L div ca) * u div cb").as("lift_ppm"))
         .orderBy(col("type_a"), col("type_b"))
     }))
 
@@ -222,7 +224,7 @@ object Ext36 {
         |  GROUP BY 1, 2)
         |SELECT type_a, type_b, CAST(co AS BIGINT) AS co,
         |  CAST(sa.c AS BIGINT) AS ca, CAST(sb.c AS BIGINT) AS cb,
-        |  CAST(co * u * 1000000 // (sa.c * sb.c) AS BIGINT) AS lift_ppm
+        |  CAST((co * 1000000 // sa.c) * u // sb.c AS BIGINT) AS lift_ppm
         |FROM p JOIN s sa ON sa.event_type = type_a
         |JOIN s sb ON sb.event_type = type_b, u
         |ORDER BY type_a, type_b""".stripMargin)

@@ -21,6 +21,10 @@ object Ext37 {
     // flip a boundary pair. The sweep explodes the (bounded) candidate
     // pair frame 7×, never the corpus; zero-survivor thresholds are
     // restored by the left join from the literal threshold frame.
+    // Zero-union candidates (two empty shingle sets colliding on the
+    // all-NULL signature's band keys) are excluded on BOTH engines:
+    // Spark's jaccard ≥ 0.0 filter drops the NULL 0/0 ratio, and the
+    // oracle mirrors it with an explicit union > 0 guard.
     "x132_threshold_sweep" -> ((s, d) => {
       import s.implicits._
       val thrs = Seq(30, 40, 50, 60, 70, 80, 90)
@@ -118,7 +122,8 @@ object Ext37 {
       """,
         |thr AS (SELECT unnest([30, 40, 50, 60, 70, 80, 90]) AS thr_pct),
         |surv AS (SELECT thr_pct, id1, id2 FROM ver CROSS JOIN thr
-        |  WHERE inter * 100 >= thr_pct * (n1 + n2 - inter)),
+        |  WHERE n1 + n2 - inter > 0
+        |    AND inter * 100 >= thr_pct * (n1 + n2 - inter)),
         |np AS (SELECT thr_pct, count(*) AS n_pairs FROM surv GROUP BY 1),
         |nd AS (SELECT thr_pct, count(*) AS n_docs FROM (
         |    SELECT DISTINCT thr_pct, doc FROM (

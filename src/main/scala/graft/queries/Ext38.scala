@@ -126,7 +126,7 @@ object Ext38 {
 
     "x136_filter_waterfall" ->
       """WITH b AS (SELECT doc_id, lang, string_split(text, ' ') AS w,
-        |    CAST(strlen(text) AS BIGINT) AS n_chars, md5(text) AS text_md5,
+        |    CAST(len(text) AS BIGINT) AS n_chars, md5(text) AS text_md5,
         |    md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
         |      AS bow_key
         |  FROM documents),

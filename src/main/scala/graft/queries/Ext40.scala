@@ -79,7 +79,12 @@ object Ext40 {
         .agg(sum(col("w")).as("n_eff"),
           sum(col("w") * col("n_chars")).as("wsum"))
         .select(col("rep"), col("n_eff"), col("wsum"),
-          expr("wsum * 1000000L div greatest(n_eff, 1L)").as("mean_ppm"))
+          // quotient/remainder split of wsum·1e6 div n_eff — identical
+          // value, but the intermediates stay Long-safe at corpora where
+          // wsum·1e6 itself would wrap (~9 TB of weighted chars)
+          expr("(wsum div greatest(n_eff, 1L)) * 1000000L + " +
+            "(wsum % greatest(n_eff, 1L)) * 1000000L div greatest(n_eff, 1L)")
+            .as("mean_ppm"))
         .orderBy(col("rep"))
     }))
 
@@ -121,7 +126,8 @@ object Ext40 {
         |  FROM r)
         |SELECT CAST(rep AS INT) AS rep, CAST(sum(w) AS BIGINT) AS n_eff,
         |  CAST(sum(w * n_chars) AS BIGINT) AS wsum,
-        |  CAST(sum(w * n_chars) * 1000000 // greatest(sum(w), 1) AS BIGINT)
-        |    AS mean_ppm
+        |  CAST((sum(w * n_chars) // greatest(sum(w), 1)) * 1000000
+        |    + (sum(w * n_chars) % greatest(sum(w), 1)) * 1000000
+        |      // greatest(sum(w), 1) AS BIGINT) AS mean_ppm
         |FROM w GROUP BY rep ORDER BY rep""".stripMargin)
 }

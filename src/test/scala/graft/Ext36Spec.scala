@@ -114,7 +114,8 @@ class Ext36Spec extends AnyFunSuite {
       for (i <- ts.indices; j <- (i + 1) until ts.length) yield (ts(i), ts(j))
     }.toSeq.groupBy(identity).view.mapValues(_.length.toLong)
     val want = co.toSeq.sortBy(_._1).map { case ((a, b), c) =>
-      (a, b, c, singles(a), singles(b), c * users * 1000000L / (singles(a) * singles(b)))
+      (a, b, c, singles(a), singles(b),
+        (c * 1000000L / singles(a)) * users / singles(b))
     }
     val got = SparkEntry.queries("x131_cooccurrence_lift")(spark, sf)
       .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
