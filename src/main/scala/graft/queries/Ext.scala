@@ -67,7 +67,13 @@ object Ext {
     * native one-pass graft_minhash8 expression (each shingle hashed once). */
   private[queries] def lshVerifiedPairs(s: SparkSession, d: String,
       minJac: Double): DataFrame = {
+    // Docs under 3 tokens have EMPTY shingle sets: their all-NULL
+    // signatures band-collide with each other (concat_ws skips NULLs) and
+    // the 0/0 jaccard then THROWS under ANSI mode (DIVIDE_BY_ZERO) — and
+    // would be NaN-dropped by the oracle. Exclude them before banding:
+    // no signal, no pair, both engines agree.
     val sh = docShingles(documents(s, d))
+      .filter(size(col("ss")) > 0)
       .withColumn("sig", TextOps.minhashSig(col("ss")))
       .persistTracked()
     val banded = sh.select(col("doc_id"),

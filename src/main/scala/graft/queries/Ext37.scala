@@ -23,8 +23,9 @@ object Ext37 {
     // restored by the left join from the literal threshold frame.
     // Zero-union candidates (two empty shingle sets colliding on the
     // all-NULL signature's band keys) are excluded on BOTH engines:
-    // Spark's jaccard ≥ 0.0 filter drops the NULL 0/0 ratio, and the
-    // oracle mirrors it with an explicit union > 0 guard.
+    // lshVerifiedPairs filters empty sets before banding (the 0/0
+    // jaccard would THROW under ANSI), and the oracle mirrors with an
+    // explicit union > 0 guard.
     "x132_threshold_sweep" -> ((s, d) => {
       import s.implicits._
       val thrs = Seq(30, 40, 50, 60, 70, 80, 90)

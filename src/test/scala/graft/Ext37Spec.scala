@@ -26,6 +26,37 @@ class Ext37Spec extends AnyFunSuite {
       "the 50% sweep row must equal x3's verified pair count")
   }
 
+  test("x132: zero-union candidates (empty shingle sets) are excluded at " +
+    "every threshold on a planted corpus") {
+    // two docs under 3 tokens collide on the all-NULL signature's band
+    // keys but have an undefined 0/0 jaccard — the sweep must not count
+    // them at any threshold (the oracle mirrors with union > 0)
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_x132_edge_${System.nanoTime()}")
+    try {
+      import org.apache.spark.sql.functions._
+      spark.range(4).select(col("id").as("doc_id"),
+          when(col("id") < 2, lit("tiny doc"))
+            .otherwise(concat(lit("alpha beta gamma delta epsilon zeta "),
+              lit("eta theta iota kappa tag"), col("id") % 2)).as("text"),
+          lit("en").as("lang"), lit("s").as("source"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val got = SparkEntry.queries("x132_threshold_sweep")(spark, dir.toString)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      // docs 2 and 3 share 10 of 11 shingle positions? they differ only in
+      // the trailing tag token, so their 3-shingle sets overlap heavily →
+      // they may pair at low thresholds; docs 0/1 (empty shingles) never do
+      got.foreach { t =>
+        assert(t._3 <= 2, s"only the two real docs may ever appear: $t")
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("x133: equals the rank-matching replay; identity when one source") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "n_chars").collect()
