@@ -86,7 +86,10 @@ object Ext33 {
           (abs(col("ca") * col("nb") - col("cb") * col("na")) * 1000000L)
             .as("num"),
           col("na"), col("nb"))
-        .withColumn("gap_ppm", expr("num div (na * nb)"))
+        // greatest-guard: a corpus with only one of the two event types
+        // would make na·nb = 0 — ANSI div would throw; the guard is inert
+        // whenever both classes exist
+        .withColumn("gap_ppm", expr("num div greatest(na * nb, 1L)"))
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("gap_ppm").desc, col("vm"))))
         .filter(col("rnk") === 1)
@@ -115,7 +118,7 @@ object Ext33 {
         sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
         sum(col("np") * (col("cneg") * 2 + col("nn"))).as("u2"))
       u.select(col("n_pos"), col("n_neg"), col("u2"),
-        expr("u2 * 1000000L div (2L * n_pos * n_neg)").as("auc_ppm"))
+        expr("u2 * 1000000L div greatest(2L * n_pos * n_neg, 1L)").as("auc_ppm"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -136,7 +139,7 @@ object Ext33 {
         |  FROM per),
         |tot AS (SELECT max(ca) AS na, max(cb) AS nb FROM cum),
         |g AS (SELECT vm, na, nb,
-        |    CAST(abs(ca * nb - cb * na) * 1000000 // (na * nb) AS BIGINT)
+        |    CAST(abs(ca * nb - cb * na) * 1000000 // greatest(na * nb, 1) AS BIGINT)
         |      AS gap_ppm
         |  FROM cum, tot),
         |r AS (SELECT vm, na, nb, gap_ppm, row_number() OVER (
@@ -159,7 +162,7 @@ object Ext33 {
         |  CAST(sum(nn) AS BIGINT) AS n_neg,
         |  CAST(sum(np * (cneg * 2 + nn)) AS BIGINT) AS u2,
         |  CAST(sum(np * (cneg * 2 + nn)) * 1000000
-        |    // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_ppm
+        |    // greatest(2 * sum(np) * sum(nn), 1) AS BIGINT) AS auc_ppm
         |FROM cum""".stripMargin
     })
 }
