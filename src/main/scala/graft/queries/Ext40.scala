@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
 import graft.GraftCaches.TrackedPersist
@@ -52,6 +53,27 @@ object Ext40 {
       l2.filter(col("seed_lab") =!= col("lab2") || col("seed_lab") =!= col("lab1"))
         .withColumn("flipped", col("seed_lab") =!= col("lab2"))
         .orderBy(col("node"))
+    }),
+
+    // W33 FIRST-TOUCH ATTRIBUTION: w30's twin — credit each purchase to
+    // the EARLIEST preceding non-purchase event (acquisition channel)
+    // instead of the latest (conversion channel). Same user-keyed window
+    // frame, first_value instead of last_value; one shuffle on user_id.
+    "w33_first_touch" -> ((s, d) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, d)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("tus"), col("event_type"))
+        .withColumn("touch", first(
+          when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("touch"), lit("(none)")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("channel"))
     }),
 
     // X8g DETERMINISTIC BOOTSTRAP: B=8 Poisson(1) bootstrap replicas of
@@ -113,6 +135,20 @@ object Ext40 {
         |FROM sd JOIN l1 USING (node) LEFT JOIN m2 USING (node)
         |WHERE sd.lab <> coalesce(m2.lab, l1.lab) OR sd.lab <> l1.lab
         |ORDER BY sd.node""".stripMargin),
+
+    "w33_first_touch" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tus,
+        |    event_type FROM events),
+        |t AS (SELECT user_id, event_type,
+        |    first_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY tus, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM e)
+        |SELECT coalesce(touch, '(none)') AS channel,
+        |  count(*) AS n_purchases, count(DISTINCT user_id) AS n_users
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY channel ORDER BY channel""".stripMargin,
 
     "x139_bootstrap_spread" ->
       """WITH reps AS (SELECT unnest(range(0, 8)) AS rep),

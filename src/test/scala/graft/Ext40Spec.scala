@@ -45,6 +45,28 @@ class Ext40Spec extends AnyFunSuite {
     assert(got.nonEmpty, "the near-dup graph must flip at least one label")
   }
 
+  test("w33: equals the first-touch replay; purchase mass matches w30") {
+    val ev = graft.tables.Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type", "ts_ns div 1000")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val want = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._4, e._2))
+      sorted.zipWithIndex.collect { case ((_, _, "purchase", _), i) =>
+        sorted.take(i).collectFirst {
+          case (_, _, t, _) if t != "purchase" => t
+        }.getOrElse("(none)")
+      }
+    }.groupBy(identity).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("w33_first_touch")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
+    val w30 = SparkEntry.queries("w30_last_touch")(spark, sf)
+      .collect().map(_.getLong(1)).sum
+    assert(got.map(_._2).sum == w30,
+      "first- and last-touch must attribute the same purchase mass")
+  }
+
   test("x139: equals the Poisson-weight replay; replica means tight around " +
     "the corpus mean") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
