@@ -69,8 +69,11 @@ object Ext {
       minJac: Double): DataFrame = {
     // Docs under 3 tokens have EMPTY shingle sets: their all-NULL
     // signatures band-collide with each other (concat_ws skips NULLs) and
-    // the 0/0 jaccard then THROWS under ANSI mode (DIVIDE_BY_ZERO) — and
-    // would be NaN-dropped by the oracle. Exclude them before banding:
+    // the 0/0 jaccard then THROWS under ANSI mode (DIVIDE_BY_ZERO). On
+    // DuckDB >= 1.1 the 0/0 is NaN and NaN compares GREATER than every
+    // value, so NaN >= t would PASS — the oracle must exclude empty sets
+    // too. Every banding replay mirrors this filter with
+    // `WHERE len(w) >= 3` in its sh CTE (x3, x17, x57, x58, pairsCte):
     // no signal, no pair, both engines agree.
     val sh = docShingles(documents(s, d))
       .filter(size(col("ss")) > 0)
@@ -410,7 +413,7 @@ object Ext {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w WHERE len(w) >= 3),
         |h AS (SELECT doc_id, ss,
         |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
         |mh AS (SELECT doc_id,

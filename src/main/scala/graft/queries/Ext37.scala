@@ -95,10 +95,16 @@ object Ext37 {
         .mapPartitions { it =>
           val defl = new java.util.zip.Deflater(6)
           val buf = new Array[Byte](64 * 1024)
+          // release native zlib memory even when a downstream operator
+          // stops early (limit/take) or the task fails — iterator
+          // exhaustion alone never fires in those paths
+          val inTask = Option(org.apache.spark.TaskContext.get())
+          inTask.foreach(_.addTaskCompletionListener[Unit](_ => defl.end()))
           new Iterator[(Long, Long, Long)] {
             def hasNext: Boolean = {
               val h = it.hasNext
-              if (!h) defl.end() // release native memory deterministically
+              // exhaustion fallback for driver-local runs with no task
+              if (!h && inTask.isEmpty) defl.end()
               h
             }
             def next(): (Long, Long, Long) = {

@@ -504,7 +504,7 @@ object Ext8 {
       """WITH RECURSIVE w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w WHERE len(w) >= 3),
         |h AS (SELECT doc_id, ss,
         |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
         |mh AS (SELECT doc_id,
@@ -546,7 +546,7 @@ object Ext8 {
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
         |  CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w)-1),
-        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) ELSE [] END AS ss FROM w WHERE len(w) >= 3),
         |h AS (SELECT doc_id, ss,
         |  list_transform(ss, s -> CAST(concat('0x', substr(md5(s),1,8)) AS BIGINT)) AS hs FROM sh),
         |mh AS (SELECT doc_id,

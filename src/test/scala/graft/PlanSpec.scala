@@ -720,8 +720,10 @@ class PlanSpec extends AnyFunSuite {
     val p = plan("q19_returned_items")
     assert(p.contains("EqualTo(l_returnflag,R)"),
       s"R-flag filter not pushed to the lineitem scan:\n$p")
-    assert(p.contains("IsNotNull(o_orderdate)") || p.contains("o_orderdate"),
-      s"date filter must reach the orders scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date-range filter not pushed to the orders scan:\n$p")
+    assert(p.contains("LessThan(o_orderdate"),
+      s"date upper bound not pushed to the orders scan:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"nation must broadcast:\n$p")
     assert(p.contains("TakeOrderedAndProject"),
       s"LIMIT after ORDER BY must not global-sort:\n$p")
