@@ -84,7 +84,8 @@ object SparkEntry {
       graft.queries.Ext37.queries ++
       graft.queries.Ext38.queries ++
       graft.queries.Ext39.queries ++
-      graft.queries.Ext40.queries
+      graft.queries.Ext40.queries ++
+      graft.queries.Ext41.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -131,5 +132,6 @@ object SparkEntry {
       graft.queries.Ext37.oracleSql ++
       graft.queries.Ext38.oracleSql ++
       graft.queries.Ext39.oracleSql ++
-      graft.queries.Ext40.oracleSql
+      graft.queries.Ext40.oracleSql ++
+      graft.queries.Ext41.oracleSql
 }

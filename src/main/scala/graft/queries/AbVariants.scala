@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Alternate query implementations kept callable for same-boot A/B
+  * benchmarking ([[graft.BenchAB]]). Entries here are NOT part of the
+  * Verify/oracle catalog; key convention "<query>__<tag>". A perf
+  * change lands as: old path preserved here under "__pre", new path in
+  * the catalog, and a committed BENCH_AB_*.json proving the delta in
+  * one boot. Variants may be deleted once their claim is recorded.
+  *
+  * The x35 entries below are RETAINED NEGATIVE RESULTS (round 6): three
+  * plausible pagerank replans that all LOSE to the catalog plan in
+  * same-boot interleaved min-of-N runs (BENCH_AB_r06_x35.json) — kept
+  * callable so the comparison stays reproducible. */
+object AbVariants {
+  import graft.GraftCaches.TrackedPersist
+  import graft.tables.Tables._
+
+  def variants: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // x35 candidate: cache the doubled edge set ALREADY PARTITIONED on
+    // src (the degree join's own exchange provides the layout), so the
+    // per-iteration rank joins stream cached edges with ZERO exchange —
+    // only the O(nodes) rank frame moves each round. shuffle_hash hints
+    // skip the per-round sort of the 2·|E| cached side.
+    "x35_pagerank__v2" -> ((s, d) => {
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      val doubled = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val deg = doubled.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val edd = doubled.join(deg.hint("shuffle_hash"), "src").persistTracked()
+      var r = edd
+        .select(col("dst"), expr("1000000 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      for (_ <- 2 to 3) {
+        r = edd.join(r.hint("shuffle_hash"), col("src") === col("id"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      }
+      r.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
+
+    // x35 candidate: v1 shape with STATIC broadcast hints on the degree
+    // and rank frames (all O(nodes)) — no AQE re-plan detour, no edge
+    // exchange anywhere after the distinct.
+    "x35_pagerank__v3" -> ((s, d) => {
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      val degA = e0.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      val degB = e0.groupBy(col("b")).agg(count(lit(1)).as("outdeg"))
+      val edd = e0.join(broadcast(degA), "a")
+          .select(col("a").as("src"), col("b").as("dst"), col("outdeg"))
+        .union(e0.join(broadcast(degB), "b")
+          .select(col("b").as("src"), col("a").as("dst"), col("outdeg")))
+        .persistTracked()
+      var r = edd
+        .select(col("dst"), expr("1000000 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      for (_ <- 2 to 3) {
+        r = edd.join(broadcast(r), col("src") === col("id"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      }
+      r.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
+
+    // x35 candidate: degrees live on the O(nodes) frame, not the edge
+    // frame — the edge cache is a map-only union of the cached pair set
+    // (no degree joins at all), and each round joins edges with a tiny
+    // node-level contribution frame c = r div outdeg (AQE broadcasts it)
+    // before the partial-aggregable dst rollup.
+    "x35_pagerank__v4" -> ((s, d) => {
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      val doubled = e0.select(col("a").as("src"), col("b").as("dst"))
+        .union(e0.select(col("b").as("src"), col("a").as("dst")))
+      val deg = doubled.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+        .select(col("src").as("nid"), col("outdeg"))
+        .persistTracked()
+      // uniform start rank folds into a node-level contribution frame, so
+      // every round has the same shape: edge ⨝ contribution → dst rollup
+      var c = deg.select(col("nid"), expr("1000000 div outdeg").as("c"))
+      var r = c // placeholder; overwritten in round 1
+      for (i <- 1 to 3) {
+        r = doubled.join(c, col("src") === col("nid"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+        if (i < 3)
+          c = r.join(deg, col("id") === col("nid"))
+            .select(col("nid"), expr("r div outdeg").as("c"))
+      }
+      r.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
+
+  )
+}

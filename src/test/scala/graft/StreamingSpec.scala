@@ -353,6 +353,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(landed.map(_._1).toSet === Set(1L, 2L, 4L), s"landed: ${landed.toSeq}")
   }
 
+  test("doc stream: upsert sink fails the micro-batch on a transient " +
+    "read error, then the checkpoint replay lands exactly-once") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    val base = java.nio.file.Files.createTempDirectory("graft-upsert-inj")
+    val out = base.resolve("sink").toString
+    val ckpt = base.resolve("ckpt").toString
+    val input = MemoryStream[Doc](spark)
+    def start() = DocStreams.upsertSink(DocStreams.dedupByContent(input.toDF()), out)
+      .option("checkpointLocation", ckpt).start()
+
+    // batch 0 lands clean
+    val q0 = start()
+    try {
+      input.addData(
+        Doc(1, ts(0, 10), "s0", "alpha beta"),
+        Doc(2, ts(0, 20), "s0", "gamma delta"))
+      q0.processAllAvailable()
+    } finally q0.stop()
+    assert(spark.read.parquet(out).count() === 2)
+
+    // inject a transient sink-read failure: a corrupt footer in the sink
+    // dir makes the landed-side read throw — the batch must FAIL (a
+    // swallowing sink would treat it as "nothing landed" and double-write
+    // the replayed content)
+    val corrupt = java.nio.file.Paths.get(out, "zzz-corrupt.parquet")
+    java.nio.file.Files.write(corrupt, "not a parquet file".getBytes)
+    input.addData(
+      Doc(3, ts(40, 0), "s0", "alpha beta"),   // replay of doc 1's bytes
+      Doc(4, ts(40, 1), "s0", "epsilon zeta")) // genuinely new
+    val q1 = start()
+    val failed = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(failed.getMessage != null)
+    // the failed batch must not have written anything (read precedes write)
+    java.nio.file.Files.delete(corrupt)
+    assert(spark.read.parquet(out).count() === 2,
+      "failed micro-batch leaked a partial write")
+
+    // recovery: same checkpoint replays the failed batch; anti join drops
+    // the replayed content, admits only the new doc — exactly once
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+    val landed = spark.read.parquet(out).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(landed.map(_._2).distinct.length === landed.length,
+      s"duplicate content landed: ${landed.toSeq}")
+    assert(landed.map(_._1).toSet === Set(1L, 2L, 4L), s"landed: ${landed.toSeq}")
+  }
+
   test("doc stream: per-source token throughput equals the batch aggregate") {
     val spark = TestSpark.spark
     import spark.implicits._
