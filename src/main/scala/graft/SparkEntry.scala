@@ -85,7 +85,8 @@ object SparkEntry {
       graft.queries.Ext38.queries ++
       graft.queries.Ext39.queries ++
       graft.queries.Ext40.queries ++
-      graft.queries.Ext41.queries
+      graft.queries.Ext41.queries ++
+      graft.queries.Ext42.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -133,5 +134,6 @@ object SparkEntry {
       graft.queries.Ext38.oracleSql ++
       graft.queries.Ext39.oracleSql ++
       graft.queries.Ext40.oracleSql ++
-      graft.queries.Ext41.oracleSql
+      graft.queries.Ext41.oracleSql ++
+      graft.queries.Ext42.oracleSql
 }

@@ -445,10 +445,306 @@ object Multimodal {
       .mapPartitions(_.map(id => (id, synthWav(id)))).toDF("doc_id", "payload")
   }
 
+  // ------------------------------------------------------------------------
+  // REAL video-frame decode: uncompressed AVI (RIFF container, '00db' DIB
+  // frames) needs no codec — the RIFF walk plus the BMP raster rules
+  // (bottom-up rows, BGR byte order, 4-byte row padding) are pure byte
+  // layout. Round 6: replaces the frame-sampling stub for this format.
+  // ------------------------------------------------------------------------
+
+  final case class VideoFrameStats(doc_id: Long, frame_idx: Long, n_pix: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long, tl_lum: Long)
+
+  /** REAL AVI encode of a deterministic RGB gradient video: full RIFF
+    * structure (hdrl LIST with avih/strh/strf, movi LIST of '00db' DIB
+    * frames — bottom-up rows, BGR, 4-byte-padded). Pixel (x, y) of frame f:
+    * r,g,b are linear forms in x, y, f, id mod 256, so an oracle predicts
+    * every channel sum in closed form. Dimensions 6..10 × 4..7, 3..6
+    * frames, all from the id. */
+  def synthAvi(id: Long): Array[Byte] = {
+    val w = (6 + id % 5).toInt; val h = (4 + id % 4).toInt
+    val nf = (3 + id % 4).toInt
+    val stride = (3 * w + 3) / 4 * 4
+    val frameBytes = stride * h
+    def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer
+        .allocate(8 + body.length + (body.length & 1))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put(fcc.getBytes("US-ASCII")).putInt(body.length).put(body)
+      bb.array() // trailing pad byte (word alignment) stays zero
+    }
+    def list(kind: String, parts: Array[Byte]*): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ parts.flatten)
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(100000).putInt(0).putInt(0).putInt(0) // usec/frame, maxbps, pad, flags
+        .putInt(nf).putInt(0).putInt(1).putInt(frameBytes) // frames, initial, streams, bufsize
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0) // flags, prio, lang, initial
+        .putInt(1).putInt(10).putInt(0).putInt(nf) // scale, rate, start, length
+        .putInt(frameBytes).putInt(0).putInt(0) // bufsize, quality, samplesize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h) // biSize, width, height (+h = bottom-up)
+        .putShort(1).putShort(24).putInt(0).putInt(frameBytes) // planes, bpp, BI_RGB, size
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val frames = (0 until nf).map { f =>
+      val body = new Array[Byte](frameBytes)
+      var fy = 0 // file row index: row 0 in the FILE is image row h-1
+      while (fy < h) {
+        val y = h - 1 - fy
+        var x = 0
+        while (x < w) {
+          val r = ((x * 3 + y * 5 + f * 11 + id) % 256).toInt
+          val g = ((x + y * 2 + f * 3 + id * 7) % 256).toInt
+          val b = ((x * 11 + y + f * 7 + id * 13) % 256).toInt
+          val off = fy * stride + x * 3
+          body(off) = b.toByte; body(off + 1) = g.toByte; body(off + 2) = r.toByte
+          x += 1
+        }
+        fy += 1
+      }
+      chunk("00db", body)
+    }
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      list("hdrl", chunk("avih", avih), list("strl", chunk("strh", strh),
+        chunk("strf", strf))) ++
+      list("movi", frames: _*))
+  }
+
+  def synthAviPayloads(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthAvi(id)))).toDF("doc_id", "payload")
+  }
+
+  /** REAL AVI frame decode + frame sampling: walk the RIFF tree (chunk
+    * lengths untrusted — corrupt/negative lengths end the walk, never
+    * throw), parse strf's BITMAPINFOHEADER, then for every
+    * `sampleEvery`-th '00db'/'00dw' frame reduce the bottom-up BGR raster
+    * to per-channel sums plus the TOP-LEFT pixel's luminance (image row 0
+    * lives at the END of a bottom-up DIB — the one stat that catches a
+    * raster-order bug that channel sums cannot). Only BI_RGB 24-bpp
+    * streams decode; anything else contributes no rows. */
+  def aviFrameStatsOf(id: Long, bytes: Array[Byte],
+      sampleEvery: Int = 2): Seq[VideoFrameStats] = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    def fcc(i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return Nil
+    var w = 0; var h = 0; var haveFmt = false
+    val out = Seq.newBuilder[VideoFrameStats]
+    var frameIdx = 0L
+    // iterative walk over (start, end) ranges of chunk SEQUENCES; LIST
+    // bodies push a sub-range. Long cursors: summed lengths may pass Int.Max.
+    var stack = List((12L, b.length.toLong))
+    while (stack.nonEmpty) {
+      var (i, end) = stack.head; stack = stack.tail
+      var walking = true
+      while (walking && i + 8 <= end) {
+        val f4 = fcc(i.toInt)
+        val len = le32(b, i.toInt + 4)
+        if (len < 0 || i + 8 + len > end) walking = false // corrupt length
+        else {
+          if (f4 == "LIST" && len >= 4) {
+            // depth-first: finish this LIST body before the next sibling
+            stack = ((i + 12, i + 8 + len)) :: ((i + 8 + len + (len & 1), end)) :: stack
+            walking = false
+          } else {
+            if (f4 == "strf" && len >= 40) {
+              // BITMAPINFOHEADER at the chunk body
+              val bo = i.toInt + 8
+              val bw = le32(b, bo + 4); val bh = le32(b, bo + 8)
+              val bpp = le16(b, bo + 14); val comp = le32(b, bo + 16)
+              if (bw > 0 && bh > 0 && bpp == 24 && comp == 0) {
+                w = bw; h = bh; haveFmt = true
+              }
+            } else if ((f4 == "00db" || f4 == "00dw") && haveFmt) {
+              val stride = (3 * w + 3) / 4 * 4
+              if (frameIdx % sampleEvery == 0 && len >= stride.toLong * h) {
+                val bo = i.toInt + 8
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var fy = 0
+                while (fy < h) {
+                  var x = 0
+                  while (x < w) {
+                    val off = bo + fy * stride + x * 3
+                    sb += b(off) & 0xff; sg += b(off + 1) & 0xff
+                    sr += b(off + 2) & 0xff
+                    x += 1
+                  }
+                  fy += 1
+                }
+                // top-left in IMAGE coords = first pixel of the LAST file row
+                val tl = bo + (h - 1) * stride
+                val lum = 299L * (b(tl + 2) & 0xff) + 587L * (b(tl + 1) & 0xff) +
+                  114L * (b(tl) & 0xff)
+                out += VideoFrameStats(id, frameIdx, w.toLong * h, sr, sg, sb, lum)
+              }
+              frameIdx += 1
+            }
+            i += 8L + len + (len & 1)
+          }
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** Operator form: (doc_id, payload) → sampled decoded frame statistics;
+    * partition-local decode, no shuffle — the frame-sampling fan-out
+    * happens before any aggregation sees the rows. */
+  def aviFrameStats(df: DataFrame, sampleEvery: Int = 2): Dataset[VideoFrameStats] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        aviFrameStatsOf(id, bytes, sampleEvery) })
+  }
+
+  // ------------------------------------------------------------------------
+  // REAL compressed-audio decode: IMA ADPCM (WAV format tag 0x11) is a pure
+  // INTEGER predictor — step/index tables, shifts and clamps — so decode
+  // needs no codec library and an oracle can replay it exactly.
+  // ------------------------------------------------------------------------
+
+  private val ImaStep: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484,
+    7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818,
+    18500, 20350, 22385, 24623, 27086, 29794, 32767)
+  private val ImaIndexAdj: Array[Int] =
+    Array(-1, -1, -1, -1, 2, 4, 6, 8, -1, -1, -1, -1, 2, 4, 6, 8)
+
+  /** The IMA step: one nibble in, (sample, next index) out — shared by the
+    * decoder and the spec-side reference replay. */
+  private[graft] def imaStep(pred: Int, idx: Int, nib: Int): (Int, Int) = {
+    val step = ImaStep(idx)
+    var diff = step >> 3
+    if ((nib & 4) != 0) diff += step
+    if ((nib & 2) != 0) diff += step >> 1
+    if ((nib & 1) != 0) diff += step >> 2
+    val p = if ((nib & 8) != 0) pred - diff else pred + diff
+    val pc = math.max(-32768, math.min(32767, p))
+    val ic = math.max(0, math.min(88, idx + ImaIndexAdj(nib)))
+    (pc, ic)
+  }
+
+  final case class AdpcmStats(doc_id: Long, n_samples: Long, sum_s: Long,
+      max_abs: Long, end_pred: Long, end_index: Long)
+
+  /** REAL IMA-ADPCM WAV encode: format tag 0x11, mono, one block — 4-byte
+    * block header (initial predictor int16, step index, reserved) followed
+    * by nibbles (low nibble first). Nibble i = (7·i + id) mod 16, initial
+    * predictor 10·(id mod 100) − 500, initial index id mod 16, nibble
+    * count 64 + 2·(id mod 32) — everything a recursive oracle can replay
+    * from the id alone. */
+  def synthAdpcmWav(id: Long): Array[Byte] = {
+    val nNib = (64 + (id % 32) * 2).toInt
+    val pred0 = ((id % 100) * 10 - 500).toInt
+    val idx0 = (id % 16).toInt
+    val dataLen = 4 + nNib / 2
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 20 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(4 + 28 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(17).putShort(1).putInt(8000) // IMA ADPCM, mono
+      .putInt(4055).putShort(dataLen.toShort).putShort(4) // byteRate, blockAlign, bits
+      .putShort(2).putShort((nNib + 1).toShort) // cbSize, samplesPerBlock
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.putShort(pred0.toShort).put(idx0.toByte).put(0.toByte)
+    var j = 0
+    while (j < nNib / 2) {
+      val lo = ((2 * j * 7 + id) % 16).toInt
+      val hi = (((2 * j + 1) * 7 + id) % 16).toInt
+      bb.put((lo | (hi << 4)).toByte)
+      j += 1
+    }
+    bb.array()
+  }
+
+  def synthAdpcmPayloads(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthAdpcmWav(id)))).toDF("doc_id", "payload")
+  }
+
+  /** REAL IMA-ADPCM decode: chunk-walk to fmt (must be tag 0x11, mono,
+    * 4-bit) and data, then run the integer predictor over the nibble
+    * stream (block-header predictor is sample 0). Reduces to the
+    * training-data audit columns: sample count, sum, peak |amplitude|,
+    * and the final predictor state (the decode-integrity check a resumed
+    * stream would verify). Garbage/foreign payloads contribute no rows. */
+  def adpcmStatsOf(id: Long, bytes: Array[Byte]): Option[AdpcmStats] = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    def fcc(i: Int): String =
+      if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
+    if (b.length < 12 || fcc(0) != "RIFF" || fcc(8) != "WAVE") return None
+    var fmtAt = -1; var dataAt = -1; var dataLen = 0
+    var li = 12L
+    while (li + 8 <= b.length && (fmtAt < 0 || dataAt < 0)) {
+      val i = li.toInt
+      val chunkLen = le32(b, i + 4)
+      if (chunkLen < 0 || chunkLen > b.length) return None // corrupt length
+      if (fcc(i) == "fmt " && chunkLen >= 16) fmtAt = i + 8
+      else if (fcc(i) == "data") { dataAt = i + 8; dataLen = chunkLen }
+      li += 8L + chunkLen + (chunkLen & 1)
+    }
+    if (fmtAt < 0 || dataAt < 0 || dataLen < 4 ||
+        dataAt.toLong + dataLen > b.length) return None
+    if (le16(b, fmtAt) != 17 || le16(b, fmtAt + 2) != 1 ||
+        le16(b, fmtAt + 14) != 4) return None // IMA ADPCM, mono, 4-bit only
+    var pred = ((b(dataAt) & 0xff) | (b(dataAt + 1) << 8)).toShort.toInt
+    var idx = b(dataAt + 2) & 0xff
+    if (idx > 88) return None
+    var sum = pred.toLong; var maxAbs = math.abs(pred).toLong; var n = 1L
+    var j = dataAt + 4
+    val end = dataAt + dataLen
+    while (j < end) {
+      val byte = b(j) & 0xff
+      var k = 0
+      while (k < 2) {
+        val nib = if (k == 0) byte & 0x0f else byte >> 4
+        val (p, ix) = imaStep(pred, idx, nib)
+        pred = p; idx = ix
+        sum += pred; maxAbs = math.max(maxAbs, math.abs(pred).toLong); n += 1
+        k += 1
+      }
+      j += 1
+    }
+    Some(AdpcmStats(id, n, sum, maxAbs, pred.toLong, idx.toLong))
+  }
+
+  /** Operator form: partition-local decode, no shuffle. */
+  def adpcmStats(df: DataFrame): Dataset[AdpcmStats] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) => adpcmStatsOf(id, bytes) })
+  }
+
   /** >>> STUB DECODE <<< deterministic pseudo-decode of a binary payload.
-    * Retained ONLY for container formats the JDK cannot decode (video,
-    * compressed audio) — lossless images decode for real via
-    * [[imageStats]]; WAV audio via [[audioFeatures]]. */
+    * Retained ONLY for container formats the JDK cannot decode (video
+    * codecs, mp3/opus) — lossless images decode for real via
+    * [[imageStats]], WAV PCM via [[audioFeatures]], uncompressed AVI via
+    * [[aviFrameStats]], IMA-ADPCM via [[adpcmStats]]. */
   private[ext] def fakeDecode(id: Long, bytes: Array[Byte]): MediaMeta = {
     val n = if (bytes == null) 0 else bytes.length
     // deterministic pseudo-header fields from payload bytes
