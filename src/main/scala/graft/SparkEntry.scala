@@ -86,7 +86,9 @@ object SparkEntry {
       graft.queries.Ext39.queries ++
       graft.queries.Ext40.queries ++
       graft.queries.Ext41.queries ++
-      graft.queries.Ext42.queries
+      graft.queries.Ext42.queries ++
+      graft.queries.Ext43.queries ++
+      graft.queries.Ext44.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -135,5 +137,7 @@ object SparkEntry {
       graft.queries.Ext39.oracleSql ++
       graft.queries.Ext40.oracleSql ++
       graft.queries.Ext41.oracleSql ++
-      graft.queries.Ext42.oracleSql
+      graft.queries.Ext42.oracleSql ++
+      graft.queries.Ext43.oracleSql ++
+      graft.queries.Ext44.oracleSql
 }

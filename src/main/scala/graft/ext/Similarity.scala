@@ -20,6 +20,12 @@ object Similarity {
   def dot(a: Column, b: Column): Column =
     B.column(GraftDot(B.expression(a), B.expression(b)))
 
+  /** Exact integer squared distance of two array<long> columns via the
+    * native graft_idist2 kernel (integer adds commute — value-identical
+    * to the HOF fold; x143's graph construction hot path). */
+  def idist2(a: Column, b: Column): Column =
+    B.column(graft.functions.GraftIDist2(B.expression(a), B.expression(b)))
+
   /** The HOF spelling of [[dot]] — kept for parity testing. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

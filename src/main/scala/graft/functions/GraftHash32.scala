@@ -259,6 +259,35 @@ case class GraftDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact integer squared distance over two array<long> columns — the
+  * x143 graph-ANN construction evaluates this once per candidate pair;
+  * the native kernel skips HOF boxing and keeps whole-stage codegen. */
+case class GraftIDist2(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> arguments, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_idist2"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.idist2Seq(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.idist2Seq($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftIDist2 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Linear-merge |a ∩ b| over two sorted duplicate-free array<long> columns —
   * set-equal to `size(array_intersect(a, b))`, built for the candidate-pair
   * verify joins of the dedup family (no per-row hash set, no boxing). */

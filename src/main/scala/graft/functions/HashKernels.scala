@@ -225,6 +225,23 @@ object HashKernels {
     acc
   }
 
+  /** Exact integer squared distance over two array<long> columns (the
+    * x137/x143 quantization: 64 dims in [0, 2000] ⇒ Σ diff² ≤ 2.56e8 —
+    * no overflow). Integer adds are associative, so any order matches the
+    * HOF fold and the oracle's list_reduce exactly; this kernel exists to
+    * skip the per-element boxing on the graph-construction hot path. */
+  def idist2Seq(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** |a ∩ b| for two SORTED, duplicate-free long arrays via a linear merge —
     * set-equal to `size(array_intersect(a, b))` but with no hash set and no
     * boxing (the near-dup verify join calls this once per candidate pair). */

@@ -122,5 +122,17 @@ object AbVariants {
         .orderBy(col("rank").desc, col("id")).limit(100)
     }),
 
+
+    // x143 candidate: single ranking band for full-layer construction
+    // (half the candidates, one less GlobalSeq sort) — A/B for recall+time
+    "x143_beam_ann__oneband" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = false)),
+
+    // x143 candidate: no coarse layer (flat NSW, 4 hops, stride entries
+    // from the full rank) — A/B for recall+time
+    "x143_beam_ann__flat" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = true, coarseLayer = false)),
+    "x143_beam_ann__flat1" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = false, coarseLayer = false)),
   )
 }

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import graft.GraftCaches.TrackedPersist
+import graft.ingest.GlobalSeq
+
+/** Round-6 additions, part 3: graph-based ANN (HNSW-lite, two layers) —
+  * completes the modern ANN taxonomy next to IVF (x7/x23), LSH bucketing
+  * (x16/x27), PQ (x42/x45) and SRP sketches (x137): a bounded-round beam
+  * search over a layered neighborhood graph, every hop an equi-join.
+  */
+object Ext43 {
+
+  /** Exact integer SQUARED DISTANCE over the x137 quantization (q[i] ∈
+    * [0, 2000], 64 dims ⇒ dist² ≤ 2.56e8 — engine-divergence-proof by
+    * construction; no float fold anywhere in the search). Spelled as a
+    * fold of squared differences (never |a|²+|b|²−2ab): the shift in the
+    * quantization cancels, and the query's own node sits at distance 0,
+    * so self-retrieval is the built-in sanity check. Routed through the
+    * native graft_idist2 codegen expression — integer adds commute, so
+    * the kernel is value-identical to the HOF fold (spec-pinned). */
+  private def idist2(a: Column, b: Column): Column =
+    graft.ext.Similarity.idist2(a, b)
+
+  /** The HOF spelling of [[idist2]] — kept for the parity spec. */
+  private[graft] def idist2Hof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  private def iproj(q: Column, p: Int): Column =
+    aggregate(zip_with(q, typedLit(Ext39.plane(p)), (x, r) => x * r),
+      lit(0L), (acc, v) => acc + v)
+
+  // X3j GRAPH-ANN BEAM SEARCH (HNSW-lite): two navigable layers —
+    // layer 1 is a deterministic 1/8 sample (vec_id % 8 = 0, HNSW's
+    // level assignment without the RNG). Graph construction is
+    // RANK-BLOCK candidate generation, the 100 TB-safe spelling: nodes
+    // are globally ranked by (SRP band, integer projection) via
+    // GlobalSeq (range sort + O(P) offset exchange — NO corpus-scale
+    // window, the x125 machinery), candidates are the equi-join of
+    // adjacent 64-rank blocks, so candidate count is ≤ 2 blocks × 2
+    // bands per node — LINEAR in corpus size, immune to the skewed
+    // SRP buckets that make naive bucket self-joins quadratic (this
+    // corpus puts half of all vectors in one bucket). Two independent
+    // bands rescue nodes isolated in one band. Per-node nearest-M by
+    // exact dist², then symmetrized (undirected NSW navigation).
+    // Search descends: beam over the coarse layer (2 hops), refine on
+    // the full layer (3 hops); each hop is ONE equi-join on src +
+    // exact rescoring + a top-B cut (dist² asc, id asc). Per-hop work
+    // is |beam|·M rows per query; window frames bounded at B(1+M).
+    // A bigger corpus adds layers (log n), not hops per layer.
+  // Self-recall@1 is 1.0 at sf 0.001/0.01/0.1 (the query's own node
+  // is retrieved from distance 0 — the built-in navigation check).
+  private[graft] def beamAnn(s: SparkSession, d: String,
+      twoBands: Boolean, coarseLayer: Boolean = true): DataFrame = {
+      val code = (0 until 16).map { p =>
+        when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val e0 = embeddings(s, d)
+        .select(col("vec_id"),
+          expr("transform(CAST(embedding AS array<double>), x -> CAST(floor((x + 1.0D) * 1000.0D) AS BIGINT))")
+            .as("q"))
+        .withColumn("b1", code.bitwiseAND(lit(15L)))
+        .withColumn("b2", shiftright(code, 4).bitwiseAND(lit(15L)))
+        .withColumn("p0", iproj(col("q"), 16))
+        .withColumn("p1", iproj(col("q"), 17))
+      val e = GlobalSeq.withSeq(
+          GlobalSeq.withSeq(e0, Seq(col("b1"), col("p0"), col("vec_id")), "s0"),
+          Seq(col("b2"), col("p1"), col("vec_id")), "s1")
+        .persistTracked() // one frame, two independent rank orders
+      // rank-block kNN edges: block = seq div blk; probe meets its own
+      // and the NEXT block (both directions covered after symmetrize)
+      def knnEdges(frame: DataFrame, seqCols: Seq[String], blk: Int,
+          m: Int): DataFrame = {
+        val bands = seqCols.map { sc =>
+          val probe = frame.select(col("vec_id").as("src"), col("q").as("qa"),
+            explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
+              .as("k"))
+          val build = frame.select(col("vec_id").as("dst"), col("q").as("qb"),
+            expr(s"$sc div $blk").as("k"))
+          probe.join(build, "k").filter(col("src") =!= col("dst"))
+            .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
+        }
+        bands.reduce(_ union _)
+          .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
+          .filter(col("rn") <= m).select(col("src"), col("dst"))
+          // symmetrize: navigation on the UNDIRECTED kNN graph escapes
+          // hub sinks a directed greedy walk gets trapped in (NSW)
+          .select(explode(array(
+            struct(col("src"), col("dst")),
+            struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+          .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+          .distinct()
+      }
+      val fullSeqs = if (twoBands) Seq("s0", "s1") else Seq("s0")
+      val edges0 = knnEdges(e, fullSeqs, 64, 12).persistTracked()
+      // coarse layer: re-rank the sample so its blocks are dense
+      lazy val e1 = GlobalSeq.withSeq(
+          e.filter(col("vec_id") % 8 === 0)
+            .select(col("vec_id"), col("q"), col("b1"), col("p0")),
+          Seq(col("b1"), col("p0"), col("vec_id")), "sc")
+        .persistTracked()
+      lazy val edges1 = knnEdges(e1, Seq("sc"), 16, 6).persistTracked()
+      // entry points: ~16 nodes evenly spaced in rank order — diverse
+      // starts stand in for the layers above the top one
+      val entFrame = if (coarseLayer) e1.select(col("vec_id"), col("sc"))
+        else e.select(col("vec_id"), col("s0").as("sc"))
+      val n1 = entFrame.agg(count(lit(1)).as("n1"))
+      val entries = entFrame.crossJoin(n1)
+        .filter(col("sc") % greatest(expr("n1 div 16"), lit(1L)) === 0)
+        .select(col("vec_id").as("id"))
+      val qs = e.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      def score(beamIds: DataFrame): DataFrame =
+        beamIds
+          .join(e.select(col("vec_id").as("id"), col("q")), "id")
+          .join(broadcast(qs), "q_id")
+          .select(col("q_id"), col("id"), idist2(col("qq"), col("q")).as("dist2"))
+      def topB(scored: DataFrame, b: Int): DataFrame =
+        scored.withColumn("rn", row_number().over(
+            Window.partitionBy(col("q_id"))
+              .orderBy(col("dist2"), col("id"))))
+          .filter(col("rn") <= b)
+      def hop(beam: DataFrame, edges: DataFrame, b: Int): DataFrame = {
+        val expanded = beam
+          .join(edges, col("id") === col("src"))
+          .select(col("q_id"), col("dst").as("id"))
+        topB(score(beam.union(expanded).distinct()), b)
+          .select(col("q_id"), col("id"))
+      }
+      var beam = topB(score(
+        qs.select(col("q_id")).crossJoin(broadcast(entries))), 4)
+        .select(col("q_id"), col("id"))
+      if (coarseLayer) {
+        for (_ <- 1 to 2) beam = hop(beam, edges1, 6) // coarse layer
+        for (_ <- 1 to 3) beam = hop(beam, edges0, 12) // full layer
+      } else {
+        for (_ <- 1 to 4) beam = hop(beam, edges0, 12) // flat NSW
+      }
+      topB(score(beam), 3)
+        .select(col("q_id"), col("rn").cast("long").as("rank"),
+          col("id").as("vec_id"), col("dist2"))
+        .orderBy(col("q_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x143_beam_ann" -> ((s, d) => beamAnn(s, d, twoBands = true)))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x143_beam_ann" -> {
+      def iprojSql(p: Int) = {
+        val lits = Ext39.plane(p).mkString("[", ", ", "]")
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, 65), i -> q[i] * ($lits)[i])),
+           |    (acc, x) -> acc + x)""".stripMargin
+      }
+      val code = (0 until 16)
+        .map(p => s"(CASE WHEN ${iprojSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+        .mkString(" + ")
+      def idist2Sql(a: String, b: String) =
+        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    list_transform(range(1, 65),
+           |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+           |    (acc, x) -> acc + x)""".stripMargin
+      // rank-block candidates per band + nearest-M + symmetrize
+      def edgesCte(name: String, src: String, seqs: Seq[String], blk: Int,
+          m: Int) = {
+        val bands = seqs.map { sc =>
+          s"""SELECT a.src, b.dst, ${idist2Sql("a.qa", "b.qb")} AS w
+             |  FROM (SELECT vec_id AS src, q AS qa,
+             |      unnest([$sc // $blk, $sc // $blk + 1]) AS k FROM $src) a
+             |  JOIN (SELECT vec_id AS dst, q AS qb, $sc // $blk AS k
+             |      FROM $src) b
+             |    ON a.k = b.k AND a.src <> b.dst""".stripMargin
+        }.mkString("\n|  UNION ALL\n|  ")
+        s"""${name}_k AS (SELECT src, dst FROM (SELECT src, dst,
+           |    row_number() OVER (PARTITION BY src ORDER BY w, dst) AS rn
+           |  FROM (SELECT src, dst, min(w) AS w FROM (
+           |  $bands) GROUP BY src, dst)) WHERE rn <= $m),
+           |$name AS (SELECT src, dst FROM ${name}_k
+           |  UNION SELECT dst AS src, src AS dst FROM ${name}_k)""".stripMargin
+      }
+      // one hop = expand prev beam over `edges`, exact-rescore, keep top b
+      def hopCtes(i: Int, prevBeam: String, edges: String, b: Int) =
+        s"""c$i AS (SELECT q_id, id FROM $prevBeam
+           |  UNION SELECT $prevBeam.q_id, $edges.dst
+           |  FROM $prevBeam JOIN $edges ON $prevBeam.id = $edges.src),
+           |s$i AS (SELECT c$i.q_id, c$i.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
+           |  FROM c$i JOIN e ev ON ev.vec_id = c$i.id JOIN qs ON qs.q_id = c$i.q_id),
+           |b$i AS (SELECT q_id, id FROM (SELECT q_id, id,
+           |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+           |  FROM s$i) WHERE rn <= $b)""".stripMargin
+      val hops = Seq(
+        (1, "b0", "edges1", 6), (2, "b1", "edges1", 6),
+        (3, "b2", "edges0", 12), (4, "b3", "edges0", 12), (5, "b4", "edges0", 12))
+        .map { case (i, p, ed, b) => hopCtes(i, p, ed, b) }
+        .mkString(",\n|")
+      s"""WITH e00 AS (SELECT vec_id,
+        |    list_transform(CAST(embedding AS DOUBLE[]),
+        |      x -> CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |e0 AS (SELECT vec_id, q, CAST($code AS BIGINT) & 15 AS b1,
+        |  (CAST($code AS BIGINT) >> 4) & 15 AS b2,
+        |  ${iprojSql(16)} AS p0, ${iprojSql(17)} AS p1 FROM e00),
+        |e AS (SELECT vec_id, q, b1, b2, p0, p1,
+        |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS s0,
+        |  row_number() OVER (ORDER BY b2, p1, vec_id) - 1 AS s1 FROM e0),
+        |e1 AS (SELECT vec_id, q, b1, p0,
+        |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS sc
+        |  FROM e WHERE vec_id % 8 = 0),
+        |${edgesCte("edges0", "e", Seq("s0", "s1"), 64, 12)},
+        |${edgesCte("edges1", "e1", Seq("sc"), 16, 6)},
+        |ent AS (SELECT vec_id AS id FROM e1
+        |  WHERE sc % greatest((SELECT count(*) FROM e1) // 16, 1) = 0),
+        |qs AS (SELECT vec_id AS q_id, q AS qq FROM e WHERE vec_id % 50 = 0),
+        |s0q AS (SELECT q_id, id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
+        |  FROM qs CROSS JOIN ent JOIN e ev ON ev.vec_id = ent.id),
+        |b0 AS (SELECT q_id, id FROM (SELECT q_id, id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+        |  FROM s0q) WHERE rn <= 4),
+        |$hops,
+        |fin AS (SELECT b5.q_id, b5.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
+        |  FROM b5 JOIN e ev ON ev.vec_id = b5.id JOIN qs ON qs.q_id = b5.q_id)
+        |SELECT q_id, CAST(rn AS BIGINT) AS rank, id AS vec_id, dist2
+        |FROM (SELECT q_id, id, dist2,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+        |  FROM fin) WHERE rn <= 3
+        |ORDER BY q_id, rank""".stripMargin
+    })
+}

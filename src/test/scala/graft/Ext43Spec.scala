@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-6 batch 3: graph-based ANN (x143) — navigation quality, native
+  * kernel parity, and plan shape.
+  */
+class Ext43Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("x143: every query retrieves its own node at rank 1, distance 0 " +
+    "(beam search navigates to the exact neighborhood)") {
+    val out = SparkEntry.queries("x143_beam_ann")(spark, "/root/testdata/sf0.001")
+      .collect()
+    val r1 = out.filter(_.getLong(1) == 1L)
+    assert(r1.nonEmpty)
+    assert(r1.forall(r => r.getLong(0) == r.getLong(2) && r.getLong(3) == 0L),
+      s"missed self at rank 1: ${r1.filter(r => r.getLong(0) != r.getLong(2)).toSeq}")
+    // ranks are dense 1..3 per query
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.values.forall(_.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L)))
+    GraftCaches.releasePrior()
+  }
+
+  test("graft_idist2 native kernel equals the HOF fold on real embeddings") {
+    import graft.queries.Ext43
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(CAST(embedding AS array<double>), x -> CAST(floor((x + 1.0D) * 1000.0D) AS BIGINT))")
+          .as("q"))
+    val pairs = e.as("a").join(e.as("b"),
+        col("a.vec_id") % 7 === col("b.vec_id") % 7 &&
+          col("a.vec_id") < col("b.vec_id"))
+      .limit(500)
+      .select(
+        graft.ext.Similarity.idist2(col("a.q"), col("b.q")).as("nat"),
+        Ext43.idist2Hof(col("a.q"), col("b.q")).as("hof"))
+    assert(pairs.filter(col("nat") =!= col("hof")).count() == 0)
+  }
+
+  test("x143 plan: only the two bounded scalar/entry attachments may " +
+    "nested-loop; no cartesian on corpus frames") {
+    val df = SparkEntry.queries("x143_beam_ann")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
+    GraftCaches.releasePrior()
+  }
+}
