@@ -466,15 +466,7 @@ object Multimodal {
     val nf = (3 + id % 4).toInt
     val stride = (3 * w + 3) / 4 * 4
     val frameBytes = stride * h
-    def chunk(fcc: String, body: Array[Byte]): Array[Byte] = {
-      val bb = java.nio.ByteBuffer
-        .allocate(8 + body.length + (body.length & 1))
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      bb.put(fcc.getBytes("US-ASCII")).putInt(body.length).put(body)
-      bb.array() // trailing pad byte (word alignment) stays zero
-    }
-    def list(kind: String, parts: Array[Byte]*): Array[Byte] =
-      chunk("LIST", kind.getBytes("US-ASCII") ++ parts.flatten)
+    import Multimodal.{riffChunk => chunk, riffList => list}
     val avih = {
       val bb = java.nio.ByteBuffer.allocate(56)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -525,6 +517,16 @@ object Multimodal {
       list("movi", frames: _*))
   }
 
+  private[ext] def riffChunk(fcc: String, body: Array[Byte]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer
+      .allocate(8 + body.length + (body.length & 1))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(fcc.getBytes("US-ASCII")).putInt(body.length).put(body)
+    bb.array() // trailing pad byte (word alignment) stays zero
+  }
+  private[ext] def riffList(kind: String, parts: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", kind.getBytes("US-ASCII") ++ parts.flatten)
+
   def synthAviPayloads(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
     df.select(col("doc_id").cast("long")).as[Long]
@@ -539,17 +541,21 @@ object Multimodal {
     * lives at the END of a bottom-up DIB — the one stat that catches a
     * raster-order bug that channel sums cannot). Only BI_RGB 24-bpp
     * streams decode; anything else contributes no rows. */
-  def aviFrameStatsOf(id: Long, bytes: Array[Byte],
-      sampleEvery: Int = 2): Seq[VideoFrameStats] = {
-    val b = if (bytes == null) Array.emptyByteArray else bytes
+  /** Shared RIFF walker: iterative over (start, end) chunk-sequence
+    * ranges (LIST bodies push a sub-range — depth-first, so hdrl's strf
+    * is seen before movi's frames). Chunk lengths are untrusted:
+    * corrupt/negative lengths end the walk, never throw. Calls
+    * `onFrame(frameIdx, w, h, stride, bodyOffset)` for each DECODABLE
+    * sampled frame; every '00db'/'00dw' after a valid strf counts
+    * toward frameIdx whether decodable or not. Long cursors — summed
+    * 31-bit lengths may pass Int.Max. */
+  private def aviWalkFrames(b: Array[Byte], sampleEvery: Int)(
+      onFrame: (Long, Int, Int, Int, Int) => Unit): Unit = {
     def fcc(i: Int): String =
       if (i + 4 > b.length) "" else new String(b, i, 4, "US-ASCII")
-    if (b.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return Nil
+    if (b.length < 12 || fcc(0) != "RIFF" || fcc(8) != "AVI ") return
     var w = 0; var h = 0; var haveFmt = false
-    val out = Seq.newBuilder[VideoFrameStats]
     var frameIdx = 0L
-    // iterative walk over (start, end) ranges of chunk SEQUENCES; LIST
-    // bodies push a sub-range. Long cursors: summed lengths may pass Int.Max.
     var stack = List((12L, b.length.toLong))
     while (stack.nonEmpty) {
       var (i, end) = stack.head; stack = stack.tail
@@ -574,26 +580,8 @@ object Multimodal {
               }
             } else if ((f4 == "00db" || f4 == "00dw") && haveFmt) {
               val stride = (3 * w + 3) / 4 * 4
-              if (frameIdx % sampleEvery == 0 && len >= stride.toLong * h) {
-                val bo = i.toInt + 8
-                var sr = 0L; var sg = 0L; var sb = 0L
-                var fy = 0
-                while (fy < h) {
-                  var x = 0
-                  while (x < w) {
-                    val off = bo + fy * stride + x * 3
-                    sb += b(off) & 0xff; sg += b(off + 1) & 0xff
-                    sr += b(off + 2) & 0xff
-                    x += 1
-                  }
-                  fy += 1
-                }
-                // top-left in IMAGE coords = first pixel of the LAST file row
-                val tl = bo + (h - 1) * stride
-                val lum = 299L * (b(tl + 2) & 0xff) + 587L * (b(tl + 1) & 0xff) +
-                  114L * (b(tl) & 0xff)
-                out += VideoFrameStats(id, frameIdx, w.toLong * h, sr, sg, sb, lum)
-              }
+              if (frameIdx % sampleEvery == 0 && len >= stride.toLong * h)
+                onFrame(frameIdx, w, h, stride, i.toInt + 8)
               frameIdx += 1
             }
             i += 8L + len + (len & 1)
@@ -601,7 +589,164 @@ object Multimodal {
         }
       }
     }
+  }
+
+  def aviFrameStatsOf(id: Long, bytes: Array[Byte],
+      sampleEvery: Int = 2): Seq[VideoFrameStats] = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val out = Seq.newBuilder[VideoFrameStats]
+    aviWalkFrames(b, sampleEvery) { (frameIdx, w, h, stride, bo) =>
+      var sr = 0L; var sg = 0L; var sb = 0L
+      var fy = 0
+      while (fy < h) {
+        var x = 0
+        while (x < w) {
+          val off = bo + fy * stride + x * 3
+          sb += b(off) & 0xff; sg += b(off + 1) & 0xff
+          sr += b(off + 2) & 0xff
+          x += 1
+        }
+        fy += 1
+      }
+      // top-left in IMAGE coords = first pixel of the LAST file row
+      val tl = bo + (h - 1) * stride
+      val lum = 299L * (b(tl + 2) & 0xff) + 587L * (b(tl + 1) & 0xff) +
+        114L * (b(tl) & 0xff)
+      out += VideoFrameStats(id, frameIdx, w.toLong * h, sr, sg, sb, lum)
+    }
     out.result()
+  }
+
+  /** Seeded AVI corpus for video near-dup: pixel content and dimensions
+    * derive from seed = doc_id div 2, so every even/odd id pair carries
+    * the same video — EXCEPT frame 1, where odd ids get a red-channel
+    * shift. Frame 1 is never sampled at stride 2, so sampled-frame
+    * signatures of a pair are identical: the synthetic stand-in for the
+    * commonest real video near-dup (same footage, one re-encoded or
+    * watermarked frame) and a direct demonstration that frame-sampled
+    * dedup is invariant to changes confined to unsampled frames.
+    * Dimensions 8..12 × 8..14 (aHash needs ≥ 8×8), 3..5 frames. */
+  def synthAviSeeded(id: Long): Array[Byte] = {
+    val s = id / 2
+    val w = (8 + s % 5).toInt; val h = (8 + s % 7).toInt
+    val nf = (3 + s % 3).toInt
+    val stride = (3 * w + 3) / 4 * 4
+    val frameBytes = stride * h
+    val avih = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(100000).putInt(0).putInt(0).putInt(0)
+        .putInt(nf).putInt(0).putInt(1).putInt(frameBytes)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val strh = {
+      val bb = java.nio.ByteBuffer.allocate(56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putShort(0).putShort(0).putInt(0)
+        .putInt(1).putInt(10).putInt(0).putInt(nf)
+        .putInt(frameBytes).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    val strf = {
+      val bb = java.nio.ByteBuffer.allocate(40)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.putInt(40).putInt(w).putInt(h)
+        .putShort(1).putShort(24).putInt(0).putInt(frameBytes)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      bb.array()
+    }
+    val frames = (0 until nf).map { fr =>
+      val tweak = if (fr == 1 && id % 2 == 1) 16L else 0L
+      val body = new Array[Byte](frameBytes)
+      var fy = 0
+      while (fy < h) {
+        val y = h - 1 - fy
+        var x = 0
+        while (x < w) {
+          // seed MULTIPLIES position factors (x64's mixed form): aHash
+          // is shift-invariant, so a purely additive seed would make
+          // every same-dims video collide — mixing scrambles the block
+          // structure and only genuine twins hash together
+          val r = ((x * 3 + y * 5 + (x * y + 1) * s + fr * 11 + tweak) % 256).toInt
+          val g = ((x + y * 2 + (x + y + 2) * s * 7 + fr * 3) % 256).toInt
+          val b = ((x * 11 + y + (x * 2 + y + 3) * s * 13 + fr * 7) % 256).toInt
+          val off = fy * stride + x * 3
+          body(off) = b.toByte; body(off + 1) = g.toByte; body(off + 2) = r.toByte
+          x += 1
+        }
+        fy += 1
+      }
+      riffChunk("00db", body)
+    }
+    riffChunk("RIFF", "AVI ".getBytes("US-ASCII") ++
+      riffList("hdrl", riffChunk("avih", avih), riffList("strl",
+        riffChunk("strh", strh), riffChunk("strf", strf))) ++
+      riffList("movi", frames: _*))
+  }
+
+  def synthAviPayloadsSeeded(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, synthAviSeeded(id)))).toDF("doc_id", "payload")
+  }
+
+  final case class VideoFrameHash(doc_id: Long, frame_idx: Long,
+      ahash_hi: Long, ahash_lo: Long)
+
+  /** Per-sampled-frame aHash over the decoded DIB raster — the exact
+    * integer pipeline of [[imageAHashOf]] (luminance 299r+587g+114b,
+    * 8×8 block value = sum div count, bit set iff block > mean), with
+    * block indices in IMAGE coordinates (y flipped from the bottom-up
+    * file rows). Frames under 8×8 contribute nothing. */
+  def aviFrameAHashOf(id: Long, bytes: Array[Byte],
+      sampleEvery: Int = 2): Seq[VideoFrameHash] = {
+    val b = if (bytes == null) Array.emptyByteArray else bytes
+    val out = Seq.newBuilder[VideoFrameHash]
+    aviWalkFrames(b, sampleEvery) { (frameIdx, w, h, stride, bo) =>
+      if (w >= 8 && h >= 8) {
+        val sums = new Array[Long](64)
+        val cnts = new Array[Long](64)
+        var y = 0
+        while (y < h) {
+          val fy = h - 1 - y // image row y sits at file row h-1-y
+          val by = y * 8 / h
+          var x = 0
+          while (x < w) {
+            val off = bo + fy * stride + x * 3
+            val lum = 299L * (b(off + 2) & 0xff) + 587L * (b(off + 1) & 0xff) +
+              114L * (b(off) & 0xff)
+            val bi = by * 8 + x * 8 / w
+            sums(bi) += lum; cnts(bi) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val bvals = Array.tabulate(64)(i => sums(i) / cnts(i))
+        val mean = bvals.sum / 64
+        var hi = 0L; var lo = 0L
+        var i = 0
+        while (i < 64) {
+          if (bvals(i) > mean) {
+            if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+          }
+          i += 1
+        }
+        out += VideoFrameHash(id, frameIdx, hi, lo)
+      }
+    }
+    out.result()
+  }
+
+  /** Operator form: partition-local frame decode + hash, no shuffle. */
+  def aviFrameAHashes(df: DataFrame, sampleEvery: Int = 2): Dataset[VideoFrameHash] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        aviFrameAHashOf(id, bytes, sampleEvery) })
   }
 
   /** Operator form: (doc_id, payload) → sampled decoded frame statistics;

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.tables.Tables._
-import graft.ext.TextOps
+import graft.ext.{Multimodal, TextOps}
+import graft.GraftCaches.TrackedPersist
 
 /** Round-6 additions, part 4: inter-rater agreement — Cohen's kappa
   * between two independent document-quality raters, the chance-corrected
@@ -62,6 +63,39 @@ object Ext44 {
                     ((abs(num) div den) * 1000000L
                       + (abs(num) % den) * 1000000L div den) END""")
             .as("kappa_ppm"))
+    }),
+
+    // X5h VIDEO NEAR-DUP (frame-sampled signatures): decode every 2nd
+    // DIB frame of the seeded AVI corpus, aHash each frame (x64's exact
+    // integer pipeline in image coordinates), and match videos whose
+    // sampled-frame hash sequences agree on ≥ 2/3 of frames — the
+    // re-encoded/watermarked-copy detector, and a demonstration that
+    // frame-sampled dedup is invariant to changes confined to unsampled
+    // frames (the seeded corpus tweaks exactly frame 1). Scale shape:
+    // decode + hash are partition-local; the pair join bands on
+    // (frame_idx, hash) so cost tracks colliding frames, never video
+    // pairs; rollups are partial-aggregable.
+    "x145_video_neardup" -> ((s, d) => {
+      val hashes = Multimodal.aviFrameAHashes(
+        Multimodal.synthAviPayloadsSeeded(
+          documents(s, d).select(col("doc_id"))), 2).toDF()
+        .persistTracked()
+      val ns = hashes.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sampled"))
+      val matches = hashes.as("a").join(hashes.as("b"),
+          col("a.frame_idx") === col("b.frame_idx") &&
+            col("a.ahash_hi") === col("b.ahash_hi") &&
+            col("a.ahash_lo") === col("b.ahash_lo") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_match"))
+      matches
+        .join(ns.select(col("doc_id").as("id1"), col("n_sampled").as("nf1")), "id1")
+        .join(ns.select(col("doc_id").as("id2"), col("n_sampled").as("nf2")), "id2")
+        .filter(col("n_match") * 3 >= greatest(col("nf1"), col("nf2")) * 2)
+        .select(col("id1"), col("id2"), col("n_match"),
+          col("nf1").as("n_frames"))
+        .orderBy(col("id1"), col("id2"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -100,5 +134,47 @@ object Ext44 {
         |    ((abs(num) // den) * 1000000 + (abs(num) % den) * 1000000 // den)
         |  END AS kappa_ppm
         |FROM k""".stripMargin
-    })
+    },
+
+    // replays the seeded generative pixel formula through the exact
+    // integer aHash pipeline per sampled frame, then the banded match.
+    // The odd-id tweak touches only frame 1 — never sampled — so the
+    // oracle ignores it (that invariance IS the property under test).
+    "x145_video_neardup" ->
+      """WITH d AS (SELECT doc_id, doc_id // 2 AS s FROM documents),
+        |dim AS (SELECT doc_id, s, 8 + s % 5 AS w, 8 + s % 7 AS h,
+        |  3 + s % 3 AS nf FROM d),
+        |f AS (SELECT doc_id, s, w, h, unnest(range(0, nf)) AS fi FROM dim),
+        |sf AS (SELECT doc_id, s, w, h, fi FROM f WHERE fi % 2 = 0),
+        |xs AS (SELECT doc_id, s, w, h, fi, unnest(range(0, w)) AS x FROM sf),
+        |ys AS (SELECT doc_id, s, w, h, fi, x, unnest(range(0, h)) AS y FROM xs),
+        |p AS (SELECT doc_id, fi,
+        |    299 * ((x * 3 + y * 5 + (x * y + 1) * s + fi * 11) % 256)
+        |      + 587 * ((x + y * 2 + (x + y + 2) * s * 7 + fi * 3) % 256)
+        |      + 114 * ((x * 11 + y + (x * 2 + y + 3) * s * 13 + fi * 7) % 256) AS lum,
+        |    (y * 8) // h * 8 + (x * 8) // w AS bi
+        |  FROM ys),
+        |blk AS (SELECT doc_id, fi, bi, sum(lum) // count(*) AS bval
+        |  FROM p GROUP BY doc_id, fi, bi),
+        |m AS (SELECT doc_id, fi, sum(bval) // 64 AS mean
+        |  FROM blk GROUP BY doc_id, fi),
+        |bits AS (SELECT blk.doc_id, blk.fi, bi,
+        |    CASE WHEN bval > mean THEN 1 ELSE 0 END AS bit
+        |  FROM blk JOIN m ON blk.doc_id = m.doc_id AND blk.fi = m.fi),
+        |hs AS (SELECT doc_id, fi,
+        |    CAST(sum(CASE WHEN bit = 1 AND bi >= 32
+        |      THEN (CAST(1 AS BIGINT) << (bi - 32)) ELSE 0 END) AS BIGINT) AS hi,
+        |    CAST(sum(CASE WHEN bit = 1 AND bi < 32
+        |      THEN (CAST(1 AS BIGINT) << bi) ELSE 0 END) AS BIGINT) AS lo
+        |  FROM bits GROUP BY doc_id, fi),
+        |ns AS (SELECT doc_id, count(*) AS n_sampled FROM hs GROUP BY doc_id),
+        |mt AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    count(*) AS n_match
+        |  FROM hs a JOIN hs b ON a.fi = b.fi AND a.hi = b.hi
+        |    AND a.lo = b.lo AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, n_match, n1.n_sampled AS n_frames
+        |FROM mt JOIN ns n1 ON n1.doc_id = id1 JOIN ns n2 ON n2.doc_id = id2
+        |WHERE n_match * 3 >= greatest(n1.n_sampled, n2.n_sampled) * 2
+        |ORDER BY id1, id2""".stripMargin)
 }

@@ -30,4 +30,26 @@ class Ext44Spec extends AnyFunSuite {
     assert(r.getAs[Long]("kappa_ppm") != 0L)
     GraftCaches.releasePrior()
   }
+
+  test("x145: finds exactly the seeded even/odd video pairs — no false " +
+    "positives, and the frame-1 watermark (unsampled) does not break a match") {
+    val out = SparkEntry.queries("x145_video_neardup")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // seeded corpus: doc ids 0..499 → pairs (2k, 2k+1), 250 of them
+    assert(out == (0L until 500L by 2).map(k => (k, k + 1)))
+    GraftCaches.releasePrior()
+  }
+
+  test("x145 frame hashes: watermarked frame 1 differs between the pair; " +
+    "sampled frames are identical") {
+    import graft.ext.Multimodal
+    val even = Multimodal.aviFrameAHashOf(6L, Multimodal.synthAviSeeded(6L), 1)
+    val odd = Multimodal.aviFrameAHashOf(7L, Multimodal.synthAviSeeded(7L), 1)
+    assert(even.size == odd.size && even.size >= 3)
+    // same content everywhere except the odd id's tweaked frame 1
+    val diff = even.zip(odd).filter { case (a, b) =>
+      a.ahash_hi != b.ahash_hi || a.ahash_lo != b.ahash_lo }
+    assert(diff.map(_._1.frame_idx) == Seq(1L),
+      s"expected only frame 1 to differ, got ${diff.map(_._1.frame_idx)}")
+  }
 }
