@@ -134,5 +134,13 @@ object AbVariants {
       Ext43.beamAnn(s, d, twoBands = true, coarseLayer = false)),
     "x143_beam_ann__flat1" -> ((s, d) =>
       Ext43.beamAnn(s, d, twoBands = false, coarseLayer = false)),
+
+    // x143 narrow-shuffle construction (ids-only block join, q attached
+    // by key): the 100 TB spelling, but MEASURED SLOWER at sf0.1 (21 s
+    // vs 14 s same-boot, BENCH_AB_r06_x143.json) — retained negative
+    // result; the catalog keeps the payload-carrying form at this scale
+    "x143_beam_ann__narrow" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = true, coarseLayer = true,
+        narrowShuffles = true)),
   )
 }

@@ -55,7 +55,8 @@ object Ext43 {
   // Self-recall@1 is 1.0 at sf 0.001/0.01/0.1 (the query's own node
   // is retrieved from distance 0 — the built-in navigation check).
   private[graft] def beamAnn(s: SparkSession, d: String,
-      twoBands: Boolean, coarseLayer: Boolean = true): DataFrame = {
+      twoBands: Boolean, coarseLayer: Boolean = true,
+      narrowShuffles: Boolean = false): DataFrame = {
       val code = (0 until 16).map { p =>
         when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -67,25 +68,70 @@ object Ext43 {
         .withColumn("b2", shiftright(code, 4).bitwiseAND(lit(15L)))
         .withColumn("p0", iproj(col("q"), 16))
         .withColumn("p1", iproj(col("q"), 17))
-      val e = GlobalSeq.withSeq(
+      // rank NARROW (vec_id, band, projection) frames and join the seq
+      // back by key: the range sorts then move 3 longs per row instead
+      // of rows carrying the 64-long q array — at any scale the sort
+      // weight is the rank key, not the payload
+      val e = (if (narrowShuffles) {
+        val r0 = GlobalSeq.withSeq(
+            e0.select(col("vec_id"), col("b1"), col("p0")),
+            Seq(col("b1"), col("p0"), col("vec_id")), "s0")
+          .select(col("vec_id"), col("s0"))
+        val r1 = GlobalSeq.withSeq(
+            e0.select(col("vec_id"), col("b2"), col("p1")),
+            Seq(col("b2"), col("p1"), col("vec_id")), "s1")
+          .select(col("vec_id"), col("s1"))
+        e0.join(r0, "vec_id").join(r1, "vec_id")
+      } else
+        GlobalSeq.withSeq(
           GlobalSeq.withSeq(e0, Seq(col("b1"), col("p0"), col("vec_id")), "s0"),
-          Seq(col("b2"), col("p1"), col("vec_id")), "s1")
+          Seq(col("b2"), col("p1"), col("vec_id")), "s1"))
         .persistTracked() // one frame, two independent rank orders
       // rank-block kNN edges: block = seq div blk; probe meets its own
       // and the NEXT block (both directions covered after symmetrize)
       def knnEdges(frame: DataFrame, seqCols: Seq[String], blk: Int,
           m: Int): DataFrame = {
-        val bands = seqCols.map { sc =>
-          val probe = frame.select(col("vec_id").as("src"), col("q").as("qa"),
+        // narrowShuffles=true carries ONLY ids through the block join
+        // and attaches q afterward by key — the 100 TB spelling (wire
+        // weight = 16 B pairs, not 512 B payloads). MEASURED SLOWER at
+        // sf0.1 (21 s vs 14 s, BENCH_AB_r06_x143.json): at toy scale
+        // the extra joins/stages cost more than the payload width, so
+        // the catalog default stays false; flip at real scale.
+        if (!narrowShuffles) {
+          val bands = seqCols.map { sc =>
+            val probe = frame.select(col("vec_id").as("src"), col("q").as("qa"),
+              explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
+                .as("k"))
+            val build = frame.select(col("vec_id").as("dst"), col("q").as("qb"),
+              expr(s"$sc div $blk").as("k"))
+            probe.join(build, "k").filter(col("src") =!= col("dst"))
+              .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
+          }
+          return bands.reduce(_ union _)
+            .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+            .withColumn("rn", row_number().over(
+              Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
+            .filter(col("rn") <= m).select(col("src"), col("dst"))
+            .select(explode(array(
+              struct(col("src"), col("dst")),
+              struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+            .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+            .distinct()
+        }
+        val pairs = seqCols.map { sc =>
+          val probe = frame.select(col("vec_id").as("src"),
             explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
               .as("k"))
-          val build = frame.select(col("vec_id").as("dst"), col("q").as("qb"),
+          val build = frame.select(col("vec_id").as("dst"),
             expr(s"$sc div $blk").as("k"))
           probe.join(build, "k").filter(col("src") =!= col("dst"))
-            .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
-        }
-        bands.reduce(_ union _)
-          .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+            .select(col("src"), col("dst"))
+        }.reduce(_ union _).distinct()
+        val qv = frame.select(col("vec_id"), col("q"))
+        pairs
+          .join(qv.select(col("vec_id").as("src"), col("q").as("qa")), "src")
+          .join(qv.select(col("vec_id").as("dst"), col("q").as("qb")), "dst")
+          .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
           .filter(col("rn") <= m).select(col("src"), col("dst"))
