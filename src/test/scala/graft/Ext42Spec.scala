@@ -122,6 +122,43 @@ class Ext42Spec extends AnyFunSuite {
     assert(Multimodal.adpcmStatsOf(9L, corrupt).isEmpty)
   }
 
+  test("decoder fuzz: 600 random mutations of valid AVI/ADPCM payloads " +
+    "(byte flips, truncations, splices) never throw — garbage yields " +
+    "fewer or zero rows, never an exception") {
+    val rnd = new scala.util.Random(42) // seeded: deterministic replay
+    def mutate(base: Array[Byte]): Array[Byte] = rnd.nextInt(3) match {
+      case 0 => // flip 1-8 random bytes
+        val b = base.clone()
+        (0 until 1 + rnd.nextInt(8)).foreach { _ =>
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte }
+        b
+      case 1 => base.take(rnd.nextInt(base.length)) // truncate anywhere
+      case _ => // splice a random window of one payload into another
+        val b = base.clone()
+        val at = rnd.nextInt(b.length)
+        val n = math.min(rnd.nextInt(64), b.length - at)
+        (0 until n).foreach(i => b(at + i) = rnd.nextInt(256).toByte)
+        b
+    }
+    for (i <- 0 until 300) {
+      val id = rnd.nextInt(200).toLong
+      val avi = mutate(Multimodal.synthAvi(id))
+      val stats = Multimodal.aviFrameStatsOf(id, avi) // must not throw
+      stats.foreach(s => assert(s.n_pix > 0))
+      val hashes = Multimodal.aviFrameAHashOf(id,
+        mutate(Multimodal.synthAviSeeded(id))) // must not throw
+      assert(hashes.size <= 5)
+    }
+    for (_ <- 0 until 300) {
+      val id = rnd.nextInt(200).toLong
+      val wav = mutate(Multimodal.synthAdpcmWav(id))
+      Multimodal.adpcmStatsOf(id, wav).foreach { s => // must not throw
+        assert(s.n_samples >= 1 && s.max_abs <= 32768)
+        assert(s.end_index >= 0 && s.end_index <= 88)
+      }
+    }
+  }
+
   test("adpcmStats operator: one stats row per payload in a Spark plan") {
     val spark = TestSpark.spark
     import spark.implicits._
