@@ -208,9 +208,13 @@ object Ext9 {
     // per round (count desc, pair lexicographic — deterministic). Pair
     // statistics count overlapping adjacencies (standard BPE); the merge
     // application is a greedy left-to-right non-overlapping fold, spelled
-    // as an aggregate HOF over the symbol array. Rows-only by design (the
-    // oracle cannot iterate data-dependent rounds); Ext9Spec pins the
-    // fold and the learned merges on hand corpora.
+    // as an aggregate HOF over the symbol array. ORACLE-VERIFIED since
+    // round 6: the fixed round count unrolls into 6 CTE blocks, and
+    // DuckDB's replace() is left-to-right non-overlapping — exactly the
+    // merge fold — once symbols live in a space-delimited string with a
+    // LEADING separator (pattern ' l r' → ' lr'; the trailing separator
+    // must NOT be in the pattern or adjacent occurrences eat each
+    // other's boundary). Ext9Spec still pins the fold on hand corpora.
     "x60_bpe_merges" -> ((s, d) => bpeMerges(documents(s, d), 6)),
 
     // X61 NEXT-FIT SEQUENCE PACKING: pack documents into fixed-capacity
@@ -369,7 +373,60 @@ object Ext9 {
     s"coalesce(lag(vm, $k) OVER w, 0) * ${1L << (15 - k)}"
   }.mkString(" + ")
 
+  /** The BPE vocab-state CTE chain: v0 = char-split vocabulary (symbols
+    * as a space-delimited string with a leading separator — symbols are
+    * substrings of space-split words, so ' ' is collision-free), then per
+    * round: adjacency pair counts (weighted by word freq), the argmax
+    * (count desc, pair lexicographic — the engine's exact tie-break), and
+    * the merge via replace(' l r' → ' lr'), whose left-to-right
+    * non-overlapping scan IS the greedy merge fold. */
+  private def bpeVocabCtes(rounds: Int): String = {
+    val base =
+      """v0 AS (
+        |  SELECT word, count(*) AS freq,
+        |    ' ' || array_to_string(list_transform(range(1, len(word)+1),
+        |      i -> word[i]), ' ') AS symstr
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |  GROUP BY word)""".stripMargin
+    val rnds = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT s[CAST(i AS INT)] AS l, s[CAST(i+1 AS INT)] AS r,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, string_split(substr(symstr, 2), ' ') AS s
+         |        FROM v${r - 1}),
+         |       unnest(range(1, len(s))) AS t(i)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |v$r AS (SELECT word, freq,
+         |    replace(symstr, ' ' || b$r.l || ' ' || b$r.r,
+         |      ' ' || b$r.l || b$r.r) AS symstr
+         |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
+    }
+    (base +: rnds).mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "x60_bpe_merges" -> {
+      val rows = (1 to 6).map(r =>
+        if (r == 1) s"SELECT CAST(1 AS INT) AS round, l AS left, r AS right, cnt AS pair_freq FROM b1"
+        else s"SELECT $r, l, r, cnt FROM b$r").mkString("\n|  UNION ALL ")
+      s"""WITH ${bpeVocabCtes(6)}
+        |SELECT * FROM (
+        |  $rows)
+        |ORDER BY round""".stripMargin
+    },
+
+    "x63_bpe_encode" ->
+      s"""WITH ${bpeVocabCtes(6)},
+        |wl AS (SELECT word,
+        |    CAST(len(string_split(substr(symstr, 2), ' ')) AS BIGINT) AS n_sym
+        |  FROM v6),
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents)
+        |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_symbols
+        |FROM dw JOIN wl USING (word)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "j12_bucketed_join" ->
       """SELECT o_orderstatus, count(*) AS n,
