@@ -142,5 +142,13 @@ object AbVariants {
     "x143_beam_ann__narrow" -> ((s, d) =>
       Ext43.beamAnn(s, d, twoBands = true, coarseLayer = true,
         narrowShuffles = true)),
+
+    // x143 hybrid: narrow RANK sorts (cached base, seqs joined back by
+    // key) but the payload-carrying band join kept — ALSO measured
+    // slower at sf0.1 (34 s vs 17 s same boot): joining the rank frames
+    // back costs more than sorting the 512 B rows twice at this scale.
+    // Retained negative result #2 for the x143 construction.
+    "x143_beam_ann__narrowrank" -> ((s, d) =>
+      Ext43.beamAnnNarrowRank(s, d)),
   )
 }

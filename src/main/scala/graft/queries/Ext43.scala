@@ -56,7 +56,8 @@ object Ext43 {
   // is retrieved from distance 0 — the built-in navigation check).
   private[graft] def beamAnn(s: SparkSession, d: String,
       twoBands: Boolean, coarseLayer: Boolean = true,
-      narrowShuffles: Boolean = false): DataFrame = {
+      narrowShuffles: Boolean = false,
+      narrowRank: Boolean = false): DataFrame = {
       val code = (0 until 16).map { p =>
         when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -72,16 +73,19 @@ object Ext43 {
       // back by key: the range sorts then move 3 longs per row instead
       // of rows carrying the 64-long q array — at any scale the sort
       // weight is the rank key, not the payload
-      val e = (if (narrowShuffles) {
+      val e = (if (narrowShuffles || narrowRank) {
+        // cache the projected base FIRST: without it the 16-fold SRP
+        // code recomputes once per narrow selection and the join side
+        val base = e0.persistTracked()
         val r0 = GlobalSeq.withSeq(
-            e0.select(col("vec_id"), col("b1"), col("p0")),
+            base.select(col("vec_id"), col("b1"), col("p0")),
             Seq(col("b1"), col("p0"), col("vec_id")), "s0")
           .select(col("vec_id"), col("s0"))
         val r1 = GlobalSeq.withSeq(
-            e0.select(col("vec_id"), col("b2"), col("p1")),
+            base.select(col("vec_id"), col("b2"), col("p1")),
             Seq(col("b2"), col("p1"), col("vec_id")), "s1")
           .select(col("vec_id"), col("s1"))
-        e0.join(r0, "vec_id").join(r1, "vec_id")
+        base.join(r0, "vec_id").join(r1, "vec_id")
       } else
         GlobalSeq.withSeq(
           GlobalSeq.withSeq(e0, Seq(col("b1"), col("p0"), col("vec_id")), "s0"),
@@ -97,7 +101,7 @@ object Ext43 {
         // sf0.1 (21 s vs 14 s, BENCH_AB_r06_x143.json): at toy scale
         // the extra joins/stages cost more than the payload width, so
         // the catalog default stays false; flip at real scale.
-        if (!narrowShuffles) {
+        if (!narrowShuffles) { // payload-carrying band join
           val bands = seqCols.map { sc =>
             val probe = frame.select(col("vec_id").as("src"), col("q").as("qa"),
               explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
@@ -193,6 +197,10 @@ object Ext43 {
           col("id").as("vec_id"), col("dist2"))
         .orderBy(col("q_id"), col("rank"))
   }
+
+  private[graft] def beamAnnNarrowRank(s: SparkSession, d: String): DataFrame =
+    beamAnn(s, d, twoBands = true, coarseLayer = true,
+      narrowShuffles = false, narrowRank = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x143_beam_ann" -> ((s, d) => beamAnn(s, d, twoBands = true)))
