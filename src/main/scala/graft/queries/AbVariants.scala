@@ -150,5 +150,11 @@ object AbVariants {
     // Retained negative result #2 for the x143 construction.
     "x143_beam_ann__narrowrank" -> ((s, d) =>
       Ext43.beamAnnNarrowRank(s, d)),
+
+    // x143 without per-hop beam persistence: the round-6 pre-fix path
+    // whose logical plan doubles per hop (A/B baseline for the lineage
+    // truncation now in the catalog)
+    "x143_beam_ann__nohoppersist" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = true, hopPersist = false)),
   )
 }

@@ -57,7 +57,9 @@ object Ext43 {
   private[graft] def beamAnn(s: SparkSession, d: String,
       twoBands: Boolean, coarseLayer: Boolean = true,
       narrowShuffles: Boolean = false,
-      narrowRank: Boolean = false): DataFrame = {
+      narrowRank: Boolean = false,
+      nEntries: Int = 16, coarseHops: Int = 2, fullHops: Int = 3,
+      bFull: Int = 12, hopPersist: Boolean = true): DataFrame = {
       val code = (0 until 16).map { p =>
         when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
@@ -162,7 +164,7 @@ object Ext43 {
         else e.select(col("vec_id"), col("s0").as("sc"))
       val n1 = entFrame.agg(count(lit(1)).as("n1"))
       val entries = entFrame.crossJoin(n1)
-        .filter(col("sc") % greatest(expr("n1 div 16"), lit(1L)) === 0)
+        .filter(col("sc") % greatest(expr(s"n1 div $nEntries"), lit(1L)) === 0)
         .select(col("vec_id").as("id"))
       val qs = e.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), col("q").as("qq"))
@@ -176,7 +178,13 @@ object Ext43 {
             Window.partitionBy(col("q_id"))
               .orderBy(col("dist2"), col("id"))))
           .filter(col("rn") <= b)
-      def hop(beam: DataFrame, edges: DataFrame, b: Int): DataFrame = {
+      def hop(beam0: DataFrame, edges: DataFrame, b: Int): DataFrame = {
+        // lineage truncation per hop: `beam0` appears TWICE below (kept ∪
+        // expanded), so an uncached chain DOUBLES the logical plan each
+        // round — Catalyst analysis goes exponential in hop count (the
+        // same plan-growth class as iterative CC, Components.scala).
+        // Persisting the ≤ |Q|·B-row frame keeps the plan linear.
+        val beam = if (hopPersist) beam0.persistTracked() else beam0
         val expanded = beam
           .join(edges, col("id") === col("src"))
           .select(col("q_id"), col("dst").as("id"))
@@ -187,10 +195,10 @@ object Ext43 {
         qs.select(col("q_id")).crossJoin(broadcast(entries))), 4)
         .select(col("q_id"), col("id"))
       if (coarseLayer) {
-        for (_ <- 1 to 2) beam = hop(beam, edges1, 6) // coarse layer
-        for (_ <- 1 to 3) beam = hop(beam, edges0, 12) // full layer
+        for (_ <- 1 to coarseHops) beam = hop(beam, edges1, 6) // coarse layer
+        for (_ <- 1 to fullHops) beam = hop(beam, edges0, bFull) // full layer
       } else {
-        for (_ <- 1 to 4) beam = hop(beam, edges0, 12) // flat NSW
+        for (_ <- 1 to fullHops + 1) beam = hop(beam, edges0, bFull) // flat NSW
       }
       topB(score(beam), 3)
         .select(col("q_id"), col("rn").cast("long").as("rank"),
