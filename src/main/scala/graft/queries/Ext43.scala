@@ -35,23 +35,26 @@ object Ext43 {
       lit(0L), (acc, v) => acc + v)
 
   // X3j GRAPH-ANN BEAM SEARCH (HNSW-lite): two navigable layers —
-    // layer 1 is a deterministic 1/8 sample (vec_id % 8 = 0, HNSW's
-    // level assignment without the RNG). Graph construction is
-    // RANK-BLOCK candidate generation, the 100 TB-safe spelling: nodes
-    // are globally ranked by (SRP band, integer projection) via
-    // GlobalSeq (range sort + O(P) offset exchange — NO corpus-scale
-    // window, the x125 machinery), candidates are the equi-join of
-    // adjacent 64-rank blocks, so candidate count is ≤ 2 blocks × 2
-    // bands per node — LINEAR in corpus size, immune to the skewed
-    // SRP buckets that make naive bucket self-joins quadratic (this
-    // corpus puts half of all vectors in one bucket). Two independent
-    // bands rescue nodes isolated in one band. Per-node nearest-M by
-    // exact dist², then symmetrized (undirected NSW navigation).
-    // Search descends: beam over the coarse layer (2 hops), refine on
-    // the full layer (3 hops); each hop is ONE equi-join on src +
-    // exact rescoring + a top-B cut (dist² asc, id asc). Per-hop work
-    // is |beam|·M rows per query; window frames bounded at B(1+M).
-    // A bigger corpus adds layers (log n), not hops per layer.
+  // layer 1 is a deterministic 1/8 sample (vec_id % 8 = 0, HNSW's
+  // level assignment without the RNG). Graph construction is
+  // RANK-BLOCK candidate generation, the 100 TB-safe spelling: nodes
+  // are globally ranked by (SRP band, integer projection) via
+  // GlobalSeq (range sort + O(P) offset exchange — NO corpus-scale
+  // window, the x125 machinery), candidates are the equi-join of
+  // adjacent 64-rank blocks, so candidate count is ≤ 2 blocks × 2
+  // bands per node — LINEAR in corpus size, immune to the skewed
+  // SRP buckets that make naive bucket self-joins quadratic (this
+  // corpus puts half of all vectors in one bucket). Two independent
+  // bands rescue nodes isolated in one band. Per-node nearest-M by
+  // exact dist², then symmetrized (undirected NSW navigation).
+  // Search descends: beam over the coarse layer (2 hops), refine on
+  // the full layer (3 hops); each hop is ONE equi-join on src +
+  // exact rescoring + a top-B cut (dist² asc, id asc); the tiny beam
+  // persists per hop (lineage truncation — uncached, the plan doubles
+  // per hop and Catalyst analysis goes exponential). Per-hop work is
+  // |beam|·M rows per query; window frames bounded at B(1+M). A bigger
+  // corpus adds layers (log n) via the knob parameters, not the
+  // catalog's fixed hops.
   // Self-recall@1 is 1.0 at sf 0.001/0.01/0.1 (the query's own node
   // is retrieved from distance 0 — the built-in navigation check).
   private[graft] def beamAnn(s: SparkSession, d: String,
