@@ -852,7 +852,11 @@ object Multimodal {
       else if (fcc(i) == "data") { dataAt = i + 8; dataLen = chunkLen }
       li += 8L + chunkLen + (chunkLen & 1)
     }
-    if (fmtAt < 0 || dataAt < 0 || dataLen < 4 ||
+    // fmtAt + 16 bound mirrors the audioFeatures walker: a trailing
+    // 'fmt ' chunk whose 8-byte header is in bounds but whose 16-byte
+    // body is truncated must yield None, never throw (the
+    // garbage-yields-no-rows contract of every decoder here).
+    if (fmtAt < 0 || dataAt < 0 || dataLen < 4 || fmtAt + 16 > b.length ||
         dataAt.toLong + dataLen > b.length) return None
     if (le16(b, fmtAt) != 17 || le16(b, fmtAt + 2) != 1 ||
         le16(b, fmtAt + 14) != 4) return None // IMA ADPCM, mono, 4-bit only

@@ -274,14 +274,27 @@ case class GraftIDist2(left: Expression, right: Expression)
     }
   override def dataType: DataType = LongType
   override def prettyName: String = "graft_idist2"
+  // null on length mismatch or a null element (the HOF-fold semantics;
+  // see HashKernels.idist2Checked), independent of input nullability.
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    HashKernels.idist2Seq(
+    HashKernels.idist2Checked(
       a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.idist2Seq($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("idist2")
+      s"""
+         |java.lang.Long $boxed = graft.functions.HashKernels.idist2Checked($a, $b);
+         |if ($boxed == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $boxed.longValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): GraftIDist2 =

@@ -229,17 +229,29 @@ object HashKernels {
     * x137/x143 quantization: 64 dims in [0, 2000] ⇒ Σ diff² ≤ 2.56e8 —
     * no overflow). Integer adds are associative, so any order matches the
     * HOF fold and the oracle's list_reduce exactly; this kernel exists to
-    * skip the per-element boxing on the graph-construction hot path. */
-  def idist2Seq(a: ArrayData, b: ArrayData): Long = {
-    val n = math.min(a.numElements(), b.numElements())
+    * skip the per-element boxing on the graph-construction hot path.
+    *
+    * Returns null (boxed) when the arrays differ in length or either
+    * contains a null element — the exact semantics of the HOF fold
+    * `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L, _+_)`:
+    * zip_with pads the shorter array with nulls and `acc + null` nulls
+    * the whole fold. graft_idist2 is a registered session SQL function,
+    * so arbitrary user arrays can reach this; an unchecked min-length
+    * loop would silently read nulls as undefined values. On the x143 hot
+    * path (equal-length, non-null quantized vectors) the null probe is
+    * one bitmap-word read per element — negligible next to the multiply. */
+  def idist2Checked(a: ArrayData, b: ArrayData): java.lang.Long = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       val d = a.getLong(i) - b.getLong(i)
       acc += d * d
       i += 1
     }
-    acc
+    java.lang.Long.valueOf(acc)
   }
 
   /** |a ∩ b| for two SORTED, duplicate-free long arrays via a linear merge —

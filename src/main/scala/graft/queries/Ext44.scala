@@ -41,7 +41,11 @@ object Ext44 {
         .select(
           (col("n_tokens") >= 40 && col("n_distinct") * 10 >= col("n_tokens") * 3)
             .as("a"),
-          (expr("(sum_w + 500L * n_tokens) * 1000L div n_tokens div 1000L")
+          // greatest(·, 1) guards the one ANSI-throw edge in the family:
+          // an empty document has n_tokens = 0 (and sum_w = 0, so rater B
+          // scores 0 ≥ 500 = false on both engines — hash-neutral).
+          (expr("(sum_w + 500L * n_tokens) * 1000L" +
+              " div greatest(n_tokens, 1L) div 1000L")
             >= 500L).as("b"))
       val agg = rated.agg(
         count(lit(1)).as("n"),
@@ -113,7 +117,7 @@ object Ext44 {
         |  FROM w),
         |r AS (SELECT
         |  (n_tokens >= 40 AND n_distinct * 10 >= n_tokens * 3) AS a,
-        |  ((sum_w + 500 * n_tokens) * 1000 // n_tokens // 1000) >= 500 AS b
+        |  ((sum_w + 500 * n_tokens) * 1000 // greatest(n_tokens, 1) // 1000) >= 500 AS b
         |  FROM r0),
         |agg AS (SELECT count(*) AS n,
         |  CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,

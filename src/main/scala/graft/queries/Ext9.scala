@@ -374,23 +374,36 @@ object Ext9 {
   }.mkString(" + ")
 
   /** The BPE vocab-state CTE chain: v0 = char-split vocabulary (symbols
-    * as a space-delimited string with a leading separator — symbols are
-    * substrings of space-split words, so ' ' is collision-free), then per
-    * round: adjacency pair counts (weighted by word freq), the argmax
-    * (count desc, pair lexicographic — the engine's exact tie-break), and
-    * the merge via replace(' l r' → ' lr'), whose left-to-right
-    * non-overlapping scan IS the greedy merge fold. */
+    * as a space-delimited string with a leading separator AND a chr(1)
+    * terminator after every symbol — ' a␁ b␁'), then per round:
+    * adjacency pair counts (weighted by word freq), the argmax (count
+    * desc, pair lexicographic — the engine's exact tie-break), and the
+    * merge via replace(' l␁ r␁' → ' lr␁'), whose left-to-right
+    * non-overlapping scan IS the greedy merge fold.
+    *
+    * Why both delimiters: the leading space anchors each symbol's START
+    * (and, crucially, the replacement does NOT consume the next symbol's
+    * separator, so consecutive overlapping merge sites all fire — the
+    * trailing-space spelling ' l r ' → ' lr ' eats the separator and
+    * skips every second site of an ' a b a b' chain). The chr(1)
+    * terminator anchors each symbol's END: without it, pattern ' c a'
+    * also matches ' c ab…', falsely collapsing [c, ab] whenever a merge's
+    * right symbol is a proper prefix of the adjacent symbol (diverging
+    * from the engine's whole-symbol mergeFold on natural text after
+    * round ~2). chr(1) never occurs in the space-split word symbols of
+    * any shipped corpus, so it is collision-free as a terminator. */
   private def bpeVocabCtes(rounds: Int): String = {
     val base =
       """v0 AS (
         |  SELECT word, count(*) AS freq,
-        |    ' ' || array_to_string(list_transform(range(1, len(word)+1),
-        |      i -> word[i]), ' ') AS symstr
+        |    array_to_string(list_transform(range(1, len(word)+1),
+        |      i -> ' ' || word[i] || chr(1)), '') AS symstr
         |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
         |  GROUP BY word)""".stripMargin
     val rnds = (1 to rounds).map { r =>
       s"""p$r AS (
-         |  SELECT s[CAST(i AS INT)] AS l, s[CAST(i+1 AS INT)] AS r,
+         |  SELECT replace(s[CAST(i AS INT)], chr(1), '') AS l,
+         |    replace(s[CAST(i+1 AS INT)], chr(1), '') AS r,
          |    CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, string_split(substr(symstr, 2), ' ') AS s
          |        FROM v${r - 1}),
@@ -398,8 +411,8 @@ object Ext9 {
          |  GROUP BY 1, 2),
          |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l, r LIMIT 1),
          |v$r AS (SELECT word, freq,
-         |    replace(symstr, ' ' || b$r.l || ' ' || b$r.r,
-         |      ' ' || b$r.l || b$r.r) AS symstr
+         |    replace(symstr, ' ' || b$r.l || chr(1) || ' ' || b$r.r || chr(1),
+         |      ' ' || b$r.l || b$r.r || chr(1)) AS symstr
          |  FROM v${r - 1} CROSS JOIN b$r)""".stripMargin
     }
     (base +: rnds).mkString(",\n")

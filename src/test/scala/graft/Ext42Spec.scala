@@ -120,6 +120,16 @@ class Ext42Spec extends AnyFunSuite {
     val dataAt = good.indexOfSlice("data".getBytes) + 8
     corrupt(dataAt + 2) = 120.toByte
     assert(Multimodal.adpcmStatsOf(9L, corrupt).isEmpty)
+    // 'data' chunk first, then a TRAILING 'fmt ' whose 8-byte header is
+    // in bounds but whose declared 16-byte body is truncated — must be
+    // None, not ArrayIndexOutOfBounds at the fmt field reads
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("data".getBytes("US-ASCII")).putInt(8).putLong(0L)
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16).putInt(0) // 4 of 16 bytes
+    assert(Multimodal.adpcmStatsOf(9L, bb.array()).isEmpty)
   }
 
   test("decoder fuzz: 600 random mutations of valid AVI/ADPCM payloads " +

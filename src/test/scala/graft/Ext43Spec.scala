@@ -40,6 +40,32 @@ class Ext43Spec extends AnyFunSuite {
     assert(pairs.filter(col("nat") =!= col("hof")).count() == 0)
   }
 
+  test("graft_idist2 matches the HOF fold's NULL semantics: unequal " +
+    "lengths and null elements yield NULL (SQL-reachable inputs)") {
+    import graft.queries.Ext43
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (array(1L, 2L, 3L), array(1L, 2L, 3L)),
+        |  (array(1L, 2L, 3L), array(1L, 2L)),
+        |  (array(1L, 2L), array(1L, 2L, 3L)),
+        |  (array(1L, CAST(NULL AS BIGINT), 3L), array(1L, 2L, 3L)),
+        |  (array(1L, 2L, 3L), array(1L, NULL, 3L)),
+        |  (array(), array()),
+        |  (CAST(NULL AS array<bigint>), array(1L))
+        |AS t(a, b)""".stripMargin)
+      .select(expr("graft_idist2(a, b)").as("nat"),
+        Ext43.idist2Hof(org.apache.spark.sql.functions.col("a"),
+          org.apache.spark.sql.functions.col("b")).as("hof"))
+    val rows = df.collect()
+    for (r <- rows) {
+      assert(r.isNullAt(0) == r.isNullAt(1),
+        s"null-ness diverges from HOF: $r")
+      if (!r.isNullAt(0)) assert(r.getLong(0) == r.getLong(1), s"value: $r")
+    }
+    // and the defined cases are exactly the equal-length non-null rows
+    assert(rows.count(!_.isNullAt(0)) == 2)
+  }
+
   test("x143 plan: only the two bounded scalar/entry attachments may " +
     "nested-loop; no cartesian on corpus frames") {
     val df = SparkEntry.queries("x143_beam_ann")(spark, "/root/testdata/sf0.001")

@@ -31,6 +31,21 @@ class Ext44Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x144: an empty document cannot throw under ANSI (rater B's " +
+    "denominator is guarded) and rates (a=false, b=false)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x144empty").toString
+    Seq((0L, ""), (1L, "some words here repeated words here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("x144_cohens_kappa")(spark, dir).collect().head
+    assert(r.getAs[Long]("n") == 2L) // empty doc flowed through, no throw
+    // both docs are < 40 tokens, so rater A is false for both; the empty
+    // doc's rater B is 0 >= 500 = false (sum_w = 0, guarded denominator)
+    assert(r.getAs[Long]("n_a1") == 0L)
+    GraftCaches.releasePrior()
+  }
+
   test("x145: finds exactly the seeded even/odd video pairs — no false " +
     "positives, and the frame-1 watermark (unsampled) does not break a match") {
     val out = SparkEntry.queries("x145_video_neardup")(spark, "/root/testdata/sf0.001")
