@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import graft.ext.TextOps
+import graft.GraftCaches.TrackedPersist
+
+/** Round-7 additions: multi-rater agreement (Krippendorff's alpha, x147)
+  * and corpus longest repeated token-span via fixed-round binary search
+  * over span length (x148) — the two extensions VERDICT r6 named for the
+  * eval and dup-span families.
+  */
+object Ext45 {
+
+  /** Fixed binary-search round count for x148: interval [0, 511] halves
+    * exactly per round, so 9 rounds always converge to lo == hi. The
+    * cap (511) bounds the unrolled oracle; corpora with longer documents
+    * raise it by adding rounds (log₂ of max doc length — the knob is a
+    * round count, never a data-scale loop). */
+  private[graft] val SpanRounds = 9
+  private[graft] val SpanCap = 511L
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X9g KRIPPENDORFF'S ALPHA (nominal, 3 raters): extends x144's
+    // two-rater kappa to the coincidence-matrix statistic curation
+    // teams use when more than two cheap classifiers vote. Raters:
+    // A = x144's rule gate (≥ 40 tokens AND ≥ 30% distinct), B = x144's
+    // hashed-lexicon score ≥ 500‰, C = type-token ratio ≥ 50%. For m=3
+    // binary raters a unit with j positive votes contributes
+    // j·(3−j) to the off-diagonal coincidence mass (the /(m−1) of the
+    // coincidence matrix is exact here: 2·j(3−j)/2), so with N = 3n
+    // pooled values, O1 = Σj, O0 = N − O1:
+    //   D_o = Σ j(3−j) / N,   D_e = 2·O0·O1 / (N·(N−1)),
+    //   alpha = 1 − D_o/D_e = (2·O0·O1 − dsum·(N−1)) / (2·O0·O1)
+    // — all exact integers; ppm values via the family's sign-split
+    // two-step floor (x144's spelling). One corpus scan, one
+    // partial-aggregable 3-long rollup — any scale.
+    "x147_krippendorff_alpha" -> ((s, d) => {
+      val wArr = array((0 until 64).map(i =>
+        lit((i * 2654435761L) % 1000 - 500)): _*)
+      val rated = documents(s, d)
+        .select(TextOps.words(col("text")).as("w"))
+        .select(size(col("w")).cast("long").as("n_tokens"),
+          size(array_distinct(col("w"))).cast("long").as("n_distinct"),
+          aggregate(
+            transform(col("w"), t =>
+              element_at(wArr,
+                (pmod(TextOps.hash32(t), lit(64L)) + 1L).cast("int"))),
+            lit(0L), (acc, x) => acc + x).as("sum_w"))
+        .select(
+          (col("n_tokens") >= 40 && col("n_distinct") * 10 >= col("n_tokens") * 3)
+            .cast("long").as("a"),
+          (expr("(sum_w + 500L * n_tokens) * 1000L" +
+              " div greatest(n_tokens, 1L) div 1000L") >= 500L)
+            .cast("long").as("b"),
+          (col("n_distinct") * 2 >= col("n_tokens")).cast("long").as("c"))
+        .select((col("a") + col("b") + col("c")).as("j"))
+      rated.agg(
+          count(lit(1)).as("n"),
+          sum(col("j")).as("o1"),
+          sum(col("j") * (lit(3L) - col("j"))).as("dsum"))
+        .select(col("n"), col("o1"), (lit(3L) * col("n") - col("o1")).as("o0"),
+          col("dsum"))
+        .select(col("n"), col("o1"), col("o0"), col("dsum"),
+          expr("dsum * 1000000L div (3L * n)").as("do_ppm"),
+          expr("2L * o0 * o1 * 1000000L div (3L * n * (3L * n - 1L))")
+            .as("de_ppm"),
+          expr("""CASE WHEN 2L * o0 * o1 = 0L THEN 0L ELSE
+                    (CASE WHEN 2L * o0 * o1 - dsum * (3L * n - 1L) < 0L
+                       THEN -1L ELSE 1L END) *
+                    ((abs(2L * o0 * o1 - dsum * (3L * n - 1L))
+                        div (2L * o0 * o1)) * 1000000L
+                      + (abs(2L * o0 * o1 - dsum * (3L * n - 1L))
+                          % (2L * o0 * o1)) * 1000000L div (2L * o0 * o1))
+                  END""").as("alpha_ppm"))
+    }),
+
+    // X5i LONGEST REPEATED TOKEN-SPAN: the exact corpus-wide longest
+    // span of tokens occurring ≥ 2 times (any position, any document,
+    // overlaps allowed) — x84's fixed-32 repeated-span scan generalized
+    // to the exact maximum via binary search on span length. Each round
+    // is ONE linear scan + groupBy on md5 span keys (candidate count =
+    // token positions, never pairs); the search state is a single
+    // (lo, hi) row collected per round — O(1) driver transfer × 9
+    // rounds, the BPE-argmax pattern. Invariant: a repeat of length lo
+    // exists (length 0 trivially repeats), none of length hi+1. The
+    // 100 TB path replaces the md5-of-joined-slice with rolling
+    // polynomial hashes over per-document prefix arrays (O(1) per
+    // position instead of O(L)); the round structure is unchanged.
+    "x148_longest_repeat" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .persistTracked()
+      // spans of length len (≥ 1): one row per in-bounds position,
+      // single pass over the persisted token frame (the size filter
+      // guards Spark's sequence(a, b), which DESCENDS when a > b)
+      def spans1(len: Long): DataFrame = toks
+        .filter(size(col("w")) >= len)
+        .select(col("doc_id"), col("w"),
+          explode(expr(s"sequence(1, size(w) - $len + 1)")).as("p"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ", slice(col("w"), col("p"), lit(len.toInt))))
+            .as("h"))
+      var lo = 0L
+      var hi = math.min(
+        toks.agg(coalesce(max(size(col("w"))).cast("long"), lit(0L)))
+          .head().getLong(0), SpanCap)
+      for (_ <- 1 to SpanRounds) {
+        val mid = (lo + hi + 1L) / 2L
+        val exists = mid >= 1L && !spans1(mid)
+          .groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2L).isEmpty
+        if (mid >= 1L) { if (exists) lo = mid else hi = mid - 1L }
+      }
+      val L = lo
+      if (L < 1L)
+        toks.sparkSession.range(0).select(
+          lit(0L).as("span_len"), lit("").as("span_hash"),
+          lit(0L).as("n_occ"), lit(0L).as("n_docs"))
+      else
+        spans1(L)
+          .groupBy(col("h").as("span_hash"))
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"))
+          .filter(col("n_occ") >= 2L)
+          .select(lit(L).as("span_len"), col("span_hash"),
+            col("n_occ"), col("n_docs"))
+          .orderBy(col("n_occ").desc, col("span_hash"))
+          .limit(5)
+    }))
+
+  /** The per-round binary-search CTE block for x148's oracle: m_k picks
+    * mid from the previous state, e_k asks "does any span of length mid
+    * repeat" (DuckDB range(1, n−mid+2) is empty when the doc is shorter
+    * than mid, and list slices clamp — no guards needed), st_k folds the
+    * answer back into (lo, hi). */
+  private def spanRoundCtes(rounds: Int): String =
+    (1 to rounds).map { k =>
+      s"""m$k AS (SELECT lo, hi, (lo + hi + 1) // 2 AS mid FROM st${k - 1}),
+         |e$k AS (SELECT coalesce(max(c), 0) >= 2 AS ex FROM (
+         |    SELECT count(*) AS c FROM t CROSS JOIN m$k,
+         |      unnest(range(1, len(w) - CAST(mid AS INT) + 2)) AS u(p)
+         |    WHERE mid >= 1
+         |    GROUP BY md5(array_to_string(
+         |      w[CAST(p AS INT):CAST(p + mid - 1 AS INT)], ' '))) q),
+         |st$k AS (SELECT CASE WHEN e$k.ex THEN m$k.mid ELSE m$k.lo END AS lo,
+         |    CASE WHEN e$k.ex THEN m$k.hi ELSE m$k.mid - 1 END AS hi
+         |  FROM m$k CROSS JOIN e$k)""".stripMargin
+    }.mkString(",\n")
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x147_krippendorff_alpha" -> {
+      val ws = (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
+        .mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |r0 AS (SELECT CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(w, t -> ($ws)[CAST(
+        |      CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) % 64 + 1
+        |      AS INT)])), (acc, x) -> acc + x) AS BIGINT) AS sum_w
+        |  FROM w),
+        |r AS (SELECT
+        |  CASE WHEN n_tokens >= 40 AND n_distinct * 10 >= n_tokens * 3
+        |    THEN 1 ELSE 0 END
+        |  + CASE WHEN ((sum_w + 500 * n_tokens) * 1000
+        |      // greatest(n_tokens, 1) // 1000) >= 500 THEN 1 ELSE 0 END
+        |  + CASE WHEN n_distinct * 2 >= n_tokens THEN 1 ELSE 0 END AS j
+        |  FROM r0),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(j) AS BIGINT) AS o1,
+        |  CAST(sum(j * (3 - j)) AS BIGINT) AS dsum
+        |  FROM r),
+        |k AS (SELECT n, o1, 3 * n - o1 AS o0, dsum,
+        |  2 * (3 * n - o1) * o1 AS den,
+        |  2 * (3 * n - o1) * o1 - dsum * (3 * n - 1) AS num
+        |  FROM agg)
+        |SELECT n, o1, o0, dsum,
+        |  dsum * 1000000 // (3 * n) AS do_ppm,
+        |  2 * o0 * o1 * 1000000 // (3 * n * (3 * n - 1)) AS de_ppm,
+        |  CASE WHEN den = 0 THEN 0 ELSE
+        |    (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(num) // den) * 1000000 + (abs(num) % den) * 1000000 // den)
+        |  END AS alpha_ppm
+        |FROM k""".stripMargin
+    },
+
+    "x148_longest_repeat" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |st0 AS (SELECT CAST(0 AS BIGINT) AS lo,
+        |  CAST(least(coalesce(max(len(w)), 0), $SpanCap) AS BIGINT) AS hi
+        |  FROM t),
+        |${spanRoundCtes(SpanRounds)},
+        |f0 AS (SELECT t.doc_id, md5(array_to_string(
+        |      w[CAST(p AS INT):CAST(p + lo - 1 AS INT)], ' ')) AS h
+        |  FROM t CROSS JOIN st$SpanRounds,
+        |    unnest(range(1, len(w) - CAST(lo AS INT) + 2)) AS u(p)
+        |  WHERE lo >= 1)
+        |SELECT (SELECT lo FROM st$SpanRounds) AS span_len, h AS span_hash,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM f0 GROUP BY h HAVING count(*) >= 2
+        |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin)
+}

@@ -1,0 +1,151 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-7 batch: Krippendorff's alpha (x147) replayed against the
+  * textbook coincidence-matrix definition in exact BigInt rationals, and
+  * longest-repeated-span (x148) against a planted-span corpus and a
+  * brute-force scan of the real corpus.
+  */
+class Ext45Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  // --- independent reimplementation of the three raters (no engine code) ---
+  private def md5hash32(t: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(t.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+  private val weights: Array[Long] =
+    (0 until 64).map(i => (i * 2654435761L) % 1000 - 500).toArray
+
+  private def rate(text: String): (Boolean, Boolean, Boolean) = {
+    val toks = text.split(" ", -1)
+    val n = toks.length.toLong
+    val nd = toks.distinct.length.toLong
+    val sumW = toks.map(t => weights((md5hash32(t) % 64).toInt)).sum
+    val a = n >= 40 && nd * 10 >= n * 3
+    val b = (sumW + 500L * n) * 1000L / math.max(n, 1L) / 1000L >= 500L
+    val c = nd * 2 >= n
+    (a, b, c)
+  }
+
+  test("x147: alpha_ppm equals the textbook coincidence-matrix alpha " +
+    "computed from an independent Scala replay of the raters (BigInt " +
+    "rationals, floor-consistent ppm)") {
+    val out = SparkEntry.queries("x147_krippendorff_alpha")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val texts = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    // textbook: per-unit values pooled into a coincidence matrix o_ck
+    // (each of the m(m-1) ordered rater pairs contributes 1/(m-1))
+    val js = texts.map { t =>
+      val (a, b, c) = rate(t)
+      Seq(a, b, c).count(identity)
+    }
+    val n = BigInt(js.length)
+    // o_01 + o_10 = sum j(3-j) (the /(m-1)=2 cancels the double count)
+    val dsum = BigInt(js.map(j => j * (3 - j)).sum)
+    val o1 = BigInt(js.map(_.toLong).sum)
+    val o0 = 3 * n - o1
+    assert(out.getAs[Long]("n") == n)
+    assert(out.getAs[Long]("o1") == o1)
+    assert(out.getAs[Long]("o0") == o0)
+    assert(out.getAs[Long]("dsum") == dsum)
+    // alpha = 1 - Do/De, Do = dsum/N, De = 2*o0*o1/(N(N-1)), N = 3n
+    val num = 2 * o0 * o1 - dsum * (3 * n - 1)
+    val den = 2 * o0 * o1
+    val expected =
+      if (den == 0) BigInt(0)
+      else (if (num < 0) -1 else 1) *
+        ((num.abs / den) * 1000000 + (num.abs % den) * 1000000 / den)
+    assert(BigInt(out.getAs[Long]("alpha_ppm")) == expected)
+    // the three raters genuinely disagree below chance on this corpus —
+    // the sign-split path is exercised by real data
+    assert(out.getAs[Long]("alpha_ppm") < 0L)
+    GraftCaches.releasePrior()
+  }
+
+  test("x147: degenerate corpus (every rater false on every unit) hits " +
+    "the den = 0 guard and yields alpha_ppm = 0, no throw") {
+    import spark.implicits._
+    // pick a token with a NEGATIVE lexicon weight so rater B is false
+    val tok = ('a' to 'z').map(_.toString)
+      .find(t => weights((md5hash32(t) % 64).toInt) < 0).get
+    // "t t t": 3 tokens, 1 distinct → A false (< 40 tokens), C false
+    // (1*2 < 3), B false (negative average weight)
+    val dir = java.nio.file.Files.createTempDirectory("x147deg").toString
+    Seq((0L, s"$tok $tok $tok")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("x147_krippendorff_alpha")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("o1") == 0L)
+    assert(r.getAs[Long]("alpha_ppm") == 0L)
+    GraftCaches.releasePrior()
+  }
+
+  test("x148: planted 20-token shared span between two otherwise " +
+    "disjoint documents is found exactly (span_len 20, 2 occurrences, " +
+    "2 docs, the right hash)") {
+    import spark.implicits._
+    val s20 = (1 to 20).map(i => s"s$i")
+    val doc1 = ((1 to 50).map(i => s"u$i") ++ s20 ++
+      (51 to 60).map(i => s"u$i")).mkString(" ")
+    val doc2 = ((1 to 40).map(i => s"v$i") ++ s20 ++
+      (41 to 80).map(i => s"v$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x148plant").toString
+    Seq((0L, doc1), (1L, doc2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x148_longest_repeat")(spark, dir).collect()
+    assert(out.length == 1, s"expected exactly the planted span: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("span_len") == 20L)
+    assert(r.getAs[Long]("n_occ") == 2L)
+    assert(r.getAs[Long]("n_docs") == 2L)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s20.mkString(" ").getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(r.getAs[String]("span_hash") == md)
+    GraftCaches.releasePrior()
+  }
+
+  test("x148: span_len matches a brute-force longest-repeat scan of the " +
+    "sf0.001 corpus, and every reported span genuinely repeats") {
+    val out = SparkEntry.queries("x148_longest_repeat")(
+      spark, "/root/testdata/sf0.001").collect()
+    val docs = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0).split(" ", -1).toSeq)
+    val maxLen = docs.map(_.length).max
+    // brute force: descend from maxLen until some span occurs twice
+    def hasRepeat(len: Int): Boolean = {
+      val seen = scala.collection.mutable.HashSet.empty[String]
+      docs.exists { w =>
+        (0 to w.length - len).exists(p => !seen.add(w.slice(p, p + len)
+          .mkString(" ")))
+      }
+    }
+    val expected = (math.min(maxLen, 511) to 1 by -1)
+      .find(hasRepeat).getOrElse(0)
+    assert(out.nonEmpty && out.head.getAs[Long]("span_len") == expected.toLong)
+    // occurrence counts are honest: recount the top span brute-force
+    val top = out.head
+    val L = top.getAs[Long]("span_len").toInt
+    val counts = scala.collection.mutable.HashMap.empty[String, Long]
+    docs.foreach { w =>
+      (0 to w.length - L).foreach { p =>
+        val k = w.slice(p, p + L).mkString(" ")
+        counts(k) = counts.getOrElse(k, 0L) + 1L
+      }
+    }
+    val md5of = (s: String) => java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val byHash = counts.map { case (k, v) => md5of(k) -> v }
+    for (r <- out)
+      assert(byHash(r.getAs[String]("span_hash")) == r.getAs[Long]("n_occ"))
+    GraftCaches.releasePrior()
+  }
+}
