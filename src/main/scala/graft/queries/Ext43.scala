@@ -30,9 +30,83 @@ object Ext43 {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  private def iproj(q: Column, p: Int): Column =
+  private[graft] def iproj(q: Column, p: Int): Column =
     aggregate(zip_with(q, typedLit(Ext39.plane(p)), (x, r) => x * r),
       lit(0L), (acc, v) => acc + v)
+
+  /** x146's deterministic query perturbation: dim i of query vec_id
+    * shifts by (vec_id·37 + i·17) mod 501 − 250. Both operands are
+    * non-negative, so Spark % and DuckDB % agree; i is 0-based here and
+    * (i−1) on the DuckDB side's 1-based range. */
+  private[graft] val PerturbSql =
+    "transform(q, (x, i) -> x + (vec_id * 37 + i * 17) % 501 - 250)"
+
+  /** The shared integer quantization of the embedding table (x137's map
+    * of [−1, 1] doubles to [0, 2000] longs): the beam search and the
+    * x146 brute-force audit arm must score in the same integer space. */
+  private[graft] def quantized(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"),
+      expr("transform(CAST(embedding AS array<double>), x -> CAST(floor((x + 1.0D) * 1000.0D) AS BIGINT))")
+        .as("q"))
+
+  // Rank-block kNN edges: block = seq div blk; probe meets its own
+  // and the NEXT block (both directions covered after symmetrize);
+  // extracted from beamAnn verbatim so the layered scheduled form
+  // (BeamSchedule) shares the exact same graph construction
+  private[graft] def knnEdges(frame: DataFrame, seqCols: Seq[String],
+      blk: Int, m: Int, narrowShuffles: Boolean): DataFrame = {
+    // narrowShuffles=true carries ONLY ids through the block join
+    // and attaches q afterward by key — the 100 TB spelling (wire
+    // weight = 16 B pairs, not 512 B payloads). MEASURED SLOWER at
+    // sf0.1 (21 s vs 14 s, BENCH_AB_r06_x143.json): at toy scale
+    // the extra joins/stages cost more than the payload width, so
+    // the catalog default stays false; flip at real scale.
+    if (!narrowShuffles) { // payload-carrying band join
+      val bands = seqCols.map { sc =>
+        val probe = frame.select(col("vec_id").as("src"), col("q").as("qa"),
+          explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
+            .as("k"))
+        val build = frame.select(col("vec_id").as("dst"), col("q").as("qb"),
+          expr(s"$sc div $blk").as("k"))
+        probe.join(build, "k").filter(col("src") =!= col("dst"))
+          .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
+      }
+      return bands.reduce(_ union _)
+        .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
+        .filter(col("rn") <= m).select(col("src"), col("dst"))
+        .select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+        .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+        .distinct()
+    }
+    val pairs = seqCols.map { sc =>
+      val probe = frame.select(col("vec_id").as("src"),
+        explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
+          .as("k"))
+      val build = frame.select(col("vec_id").as("dst"),
+        expr(s"$sc div $blk").as("k"))
+      probe.join(build, "k").filter(col("src") =!= col("dst"))
+        .select(col("src"), col("dst"))
+    }.reduce(_ union _).distinct()
+    val qv = frame.select(col("vec_id"), col("q"))
+    pairs
+      .join(qv.select(col("vec_id").as("src"), col("q").as("qa")), "src")
+      .join(qv.select(col("vec_id").as("dst"), col("q").as("qb")), "dst")
+      .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
+      .filter(col("rn") <= m).select(col("src"), col("dst"))
+      // symmetrize: navigation on the UNDIRECTED kNN graph escapes
+      // hub sinks a directed greedy walk gets trapped in (NSW)
+      .select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
+      .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
+      .distinct()
+  }
 
   // X3j GRAPH-ANN BEAM SEARCH (HNSW-lite): two navigable layers —
   // layer 1 is a deterministic 1/8 sample (vec_id % 8 = 0, HNSW's
@@ -62,14 +136,12 @@ object Ext43 {
       narrowShuffles: Boolean = false,
       narrowRank: Boolean = false,
       nEntries: Int = 16, coarseHops: Int = 2, fullHops: Int = 3,
-      bFull: Int = 12, hopPersist: Boolean = true): DataFrame = {
+      bFull: Int = 12, hopPersist: Boolean = true,
+      perturbQueries: Boolean = false): DataFrame = {
       val code = (0 until 16).map { p =>
         when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val e0 = embeddings(s, d)
-        .select(col("vec_id"),
-          expr("transform(CAST(embedding AS array<double>), x -> CAST(floor((x + 1.0D) * 1000.0D) AS BIGINT))")
-            .as("q"))
+      val e0 = quantized(s, d)
         .withColumn("b1", code.bitwiseAND(lit(15L)))
         .withColumn("b2", shiftright(code, 4).bitwiseAND(lit(15L)))
         .withColumn("p0", iproj(col("q"), 16))
@@ -96,71 +168,17 @@ object Ext43 {
           GlobalSeq.withSeq(e0, Seq(col("b1"), col("p0"), col("vec_id")), "s0"),
           Seq(col("b2"), col("p1"), col("vec_id")), "s1"))
         .persistTracked() // one frame, two independent rank orders
-      // rank-block kNN edges: block = seq div blk; probe meets its own
-      // and the NEXT block (both directions covered after symmetrize)
-      def knnEdges(frame: DataFrame, seqCols: Seq[String], blk: Int,
-          m: Int): DataFrame = {
-        // narrowShuffles=true carries ONLY ids through the block join
-        // and attaches q afterward by key — the 100 TB spelling (wire
-        // weight = 16 B pairs, not 512 B payloads). MEASURED SLOWER at
-        // sf0.1 (21 s vs 14 s, BENCH_AB_r06_x143.json): at toy scale
-        // the extra joins/stages cost more than the payload width, so
-        // the catalog default stays false; flip at real scale.
-        if (!narrowShuffles) { // payload-carrying band join
-          val bands = seqCols.map { sc =>
-            val probe = frame.select(col("vec_id").as("src"), col("q").as("qa"),
-              explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
-                .as("k"))
-            val build = frame.select(col("vec_id").as("dst"), col("q").as("qb"),
-              expr(s"$sc div $blk").as("k"))
-            probe.join(build, "k").filter(col("src") =!= col("dst"))
-              .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
-          }
-          return bands.reduce(_ union _)
-            .groupBy(col("src"), col("dst")).agg(min(col("w")).as("w"))
-            .withColumn("rn", row_number().over(
-              Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
-            .filter(col("rn") <= m).select(col("src"), col("dst"))
-            .select(explode(array(
-              struct(col("src"), col("dst")),
-              struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
-            .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-            .distinct()
-        }
-        val pairs = seqCols.map { sc =>
-          val probe = frame.select(col("vec_id").as("src"),
-            explode(array(expr(s"$sc div $blk"), expr(s"$sc div $blk + 1")))
-              .as("k"))
-          val build = frame.select(col("vec_id").as("dst"),
-            expr(s"$sc div $blk").as("k"))
-          probe.join(build, "k").filter(col("src") =!= col("dst"))
-            .select(col("src"), col("dst"))
-        }.reduce(_ union _).distinct()
-        val qv = frame.select(col("vec_id"), col("q"))
-        pairs
-          .join(qv.select(col("vec_id").as("src"), col("q").as("qa")), "src")
-          .join(qv.select(col("vec_id").as("dst"), col("q").as("qb")), "dst")
-          .select(col("src"), col("dst"), idist2(col("qa"), col("qb")).as("w"))
-          .withColumn("rn", row_number().over(
-            Window.partitionBy(col("src")).orderBy(col("w"), col("dst"))))
-          .filter(col("rn") <= m).select(col("src"), col("dst"))
-          // symmetrize: navigation on the UNDIRECTED kNN graph escapes
-          // hub sinks a directed greedy walk gets trapped in (NSW)
-          .select(explode(array(
-            struct(col("src"), col("dst")),
-            struct(col("dst").as("src"), col("src").as("dst")))).as("ed"))
-          .select(col("ed.src").as("src"), col("ed.dst").as("dst"))
-          .distinct()
-      }
       val fullSeqs = if (twoBands) Seq("s0", "s1") else Seq("s0")
-      val edges0 = knnEdges(e, fullSeqs, 64, 12).persistTracked()
+      val edges0 = knnEdges(e, fullSeqs, 64, 12, narrowShuffles)
+        .persistTracked()
       // coarse layer: re-rank the sample so its blocks are dense
       lazy val e1 = GlobalSeq.withSeq(
           e.filter(col("vec_id") % 8 === 0)
             .select(col("vec_id"), col("q"), col("b1"), col("p0")),
           Seq(col("b1"), col("p0"), col("vec_id")), "sc")
         .persistTracked()
-      lazy val edges1 = knnEdges(e1, Seq("sc"), 16, 6).persistTracked()
+      lazy val edges1 = knnEdges(e1, Seq("sc"), 16, 6, narrowShuffles)
+        .persistTracked()
       // entry points: ~16 nodes evenly spaced in rank order — diverse
       // starts stand in for the layers above the top one
       val entFrame = if (coarseLayer) e1.select(col("vec_id"), col("sc"))
@@ -169,8 +187,17 @@ object Ext43 {
       val entries = entFrame.crossJoin(n1)
         .filter(col("sc") % greatest(expr(s"n1 div $nEntries"), lit(1L)) === 0)
         .select(col("vec_id").as("id"))
-      val qs = e.filter(col("vec_id") % 50 === 0)
-        .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      // perturbQueries = held-out audit mode (x146): the query vectors
+      // are deterministic NON-members — each dim shifted by a
+      // vec_id/dim-keyed offset in [-250, 250], the scale of real
+      // inter-point distances in this quantization — so retrieving them
+      // exercises approximate search, not distance-0 connectivity.
+      val qs = {
+        val base = e.filter(col("vec_id") % 50 === 0)
+        if (perturbQueries) base.select(col("vec_id").as("q_id"),
+          expr(PerturbSql).as("qq"))
+        else base.select(col("vec_id").as("q_id"), col("q").as("qq"))
+      }
       def score(beamIds: DataFrame): DataFrame =
         beamIds
           .join(e.select(col("vec_id").as("id"), col("q")), "id")
@@ -214,88 +241,159 @@ object Ext43 {
       narrowShuffles = false, narrowRank = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x143_beam_ann" -> ((s, d) => beamAnn(s, d, twoBands = true)))
+    "x143_beam_ann" -> ((s, d) => beamAnn(s, d, twoBands = true)),
+
+    // X3k HELD-OUT RECALL AUDIT for the beam ANN (x90's contract):
+    // score the graph search against brute-force ground truth for
+    // queries that are NOT corpus members (deterministically perturbed
+    // vectors — PerturbSql). Self-recall@1 = 1.0 cannot fail for any
+    // connected graph (it retrieves a node from distance 0); this audit
+    // can. The brute-force arm is |Q|·n with Q the bounded audit
+    // sample — exactly x90's scale contract; the beam arm is the
+    // unmodified catalog search fed the perturbed queries.
+    "x146_beam_recall" -> ((s, d) => {
+      val e0 = quantized(s, d).persistTracked()
+      val qs = e0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), expr(PerturbSql).as("qq"))
+      val gt = e0.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          idist2(col("qq"), col("q")).as("dist2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id"))
+            .orderBy(col("dist2"), col("vec_id"))))
+        .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+      val beam3 = beamAnn(s, d, twoBands = true, perturbQueries = true)
+        .select(col("q_id"), col("vec_id"))
+      val hits = beam3.join(gt, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0L) * 1000 div 3").as("recall_pm"))
+        .orderBy(col("q_id"))
+    }))
+
+  // ---- DuckDB oracle fragments shared by x143 and x146 ----
+
+  private def iprojSql(p: Int): String = {
+    val lits = Ext39.plane(p).mkString("[", ", ", "]")
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 65), i -> q[i] * ($lits)[i])),
+       |    (acc, x) -> acc + x)""".stripMargin
+  }
+
+  private def idist2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |    list_transform(range(1, 65),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
+       |    (acc, x) -> acc + x)""".stripMargin
+
+  // rank-block candidates per band + nearest-M + symmetrize
+  private def edgesCte(name: String, src: String, seqs: Seq[String],
+      blk: Int, m: Int): String = {
+    val bands = seqs.map { sc =>
+      s"""SELECT a.src, b.dst, ${idist2Sql("a.qa", "b.qb")} AS w
+         |  FROM (SELECT vec_id AS src, q AS qa,
+         |      unnest([$sc // $blk, $sc // $blk + 1]) AS k FROM $src) a
+         |  JOIN (SELECT vec_id AS dst, q AS qb, $sc // $blk AS k
+         |      FROM $src) b
+         |    ON a.k = b.k AND a.src <> b.dst""".stripMargin
+    }.mkString("\n|  UNION ALL\n|  ")
+    s"""${name}_k AS (SELECT src, dst FROM (SELECT src, dst,
+       |    row_number() OVER (PARTITION BY src ORDER BY w, dst) AS rn
+       |  FROM (SELECT src, dst, min(w) AS w FROM (
+       |  $bands) GROUP BY src, dst)) WHERE rn <= $m),
+       |$name AS (SELECT src, dst FROM ${name}_k
+       |  UNION SELECT dst AS src, src AS dst FROM ${name}_k)""".stripMargin
+  }
+
+  // one hop = expand prev beam over `edges`, exact-rescore, keep top b
+  private def hopCtes(i: Int, prevBeam: String, edges: String,
+      b: Int): String =
+    s"""c$i AS (SELECT q_id, id FROM $prevBeam
+       |  UNION SELECT $prevBeam.q_id, $edges.dst
+       |  FROM $prevBeam JOIN $edges ON $prevBeam.id = $edges.src),
+       |s$i AS (SELECT c$i.q_id, c$i.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
+       |  FROM c$i JOIN e ev ON ev.vec_id = c$i.id JOIN qs ON qs.q_id = c$i.q_id),
+       |b$i AS (SELECT q_id, id FROM (SELECT q_id, id,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+       |  FROM s$i) WHERE rn <= $b)""".stripMargin
+
+  /** The WITH-body of the whole beam search — quantization, two ranked
+    * bands, both edge layers, entries, the given qs CTE, entry scoring
+    * and all five hops — through `fin` (the exact-rescored final beam).
+    * x143 and x146 differ only in the qs CTE and the final SELECT. */
+  private def beamSearchCtes(qsSql: String): String = {
+    val code = (0 until 16)
+      .map(p => s"(CASE WHEN ${iprojSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString(" + ")
+    val hops = Seq(
+      (1, "b0", "edges1", 6), (2, "b1", "edges1", 6),
+      (3, "b2", "edges0", 12), (4, "b3", "edges0", 12), (5, "b4", "edges0", 12))
+      .map { case (i, p, ed, b) => hopCtes(i, p, ed, b) }
+      .mkString(",\n|")
+    s"""e00 AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      x -> CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |e0 AS (SELECT vec_id, q, CAST($code AS BIGINT) & 15 AS b1,
+      |  (CAST($code AS BIGINT) >> 4) & 15 AS b2,
+      |  ${iprojSql(16)} AS p0, ${iprojSql(17)} AS p1 FROM e00),
+      |e AS (SELECT vec_id, q, b1, b2, p0, p1,
+      |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS s0,
+      |  row_number() OVER (ORDER BY b2, p1, vec_id) - 1 AS s1 FROM e0),
+      |e1 AS (SELECT vec_id, q, b1, p0,
+      |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS sc
+      |  FROM e WHERE vec_id % 8 = 0),
+      |${edgesCte("edges0", "e", Seq("s0", "s1"), 64, 12)},
+      |${edgesCte("edges1", "e1", Seq("sc"), 16, 6)},
+      |ent AS (SELECT vec_id AS id FROM e1
+      |  WHERE sc % greatest((SELECT count(*) FROM e1) // 16, 1) = 0),
+      |$qsSql,
+      |s0q AS (SELECT q_id, id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
+      |  FROM qs CROSS JOIN ent JOIN e ev ON ev.vec_id = ent.id),
+      |b0 AS (SELECT q_id, id FROM (SELECT q_id, id,
+      |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+      |  FROM s0q) WHERE rn <= 4),
+      |$hops,
+      |fin AS (SELECT b5.q_id, b5.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
+      |  FROM b5 JOIN e ev ON ev.vec_id = b5.id JOIN qs ON qs.q_id = b5.q_id)"""
+      .stripMargin
+  }
+
+  private val SelfQsSql =
+    "qs AS (SELECT vec_id AS q_id, q AS qq FROM e WHERE vec_id % 50 = 0)"
+
+  private val PerturbQsSql =
+    """qs AS (SELECT vec_id AS q_id,
+      |  list_transform(range(1, 65),
+      |    i -> q[i] + (vec_id * 37 + (i - 1) * 17) % 501 - 250) AS qq
+      |  FROM e WHERE vec_id % 50 = 0)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
 
-    "x143_beam_ann" -> {
-      def iprojSql(p: Int) = {
-        val lits = Ext39.plane(p).mkString("[", ", ", "]")
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_transform(range(1, 65), i -> q[i] * ($lits)[i])),
-           |    (acc, x) -> acc + x)""".stripMargin
-      }
-      val code = (0 until 16)
-        .map(p => s"(CASE WHEN ${iprojSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
-        .mkString(" + ")
-      def idist2Sql(a: String, b: String) =
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_transform(range(1, 65),
-           |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
-           |    (acc, x) -> acc + x)""".stripMargin
-      // rank-block candidates per band + nearest-M + symmetrize
-      def edgesCte(name: String, src: String, seqs: Seq[String], blk: Int,
-          m: Int) = {
-        val bands = seqs.map { sc =>
-          s"""SELECT a.src, b.dst, ${idist2Sql("a.qa", "b.qb")} AS w
-             |  FROM (SELECT vec_id AS src, q AS qa,
-             |      unnest([$sc // $blk, $sc // $blk + 1]) AS k FROM $src) a
-             |  JOIN (SELECT vec_id AS dst, q AS qb, $sc // $blk AS k
-             |      FROM $src) b
-             |    ON a.k = b.k AND a.src <> b.dst""".stripMargin
-        }.mkString("\n|  UNION ALL\n|  ")
-        s"""${name}_k AS (SELECT src, dst FROM (SELECT src, dst,
-           |    row_number() OVER (PARTITION BY src ORDER BY w, dst) AS rn
-           |  FROM (SELECT src, dst, min(w) AS w FROM (
-           |  $bands) GROUP BY src, dst)) WHERE rn <= $m),
-           |$name AS (SELECT src, dst FROM ${name}_k
-           |  UNION SELECT dst AS src, src AS dst FROM ${name}_k)""".stripMargin
-      }
-      // one hop = expand prev beam over `edges`, exact-rescore, keep top b
-      def hopCtes(i: Int, prevBeam: String, edges: String, b: Int) =
-        s"""c$i AS (SELECT q_id, id FROM $prevBeam
-           |  UNION SELECT $prevBeam.q_id, $edges.dst
-           |  FROM $prevBeam JOIN $edges ON $prevBeam.id = $edges.src),
-           |s$i AS (SELECT c$i.q_id, c$i.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
-           |  FROM c$i JOIN e ev ON ev.vec_id = c$i.id JOIN qs ON qs.q_id = c$i.q_id),
-           |b$i AS (SELECT q_id, id FROM (SELECT q_id, id,
-           |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
-           |  FROM s$i) WHERE rn <= $b)""".stripMargin
-      val hops = Seq(
-        (1, "b0", "edges1", 6), (2, "b1", "edges1", 6),
-        (3, "b2", "edges0", 12), (4, "b3", "edges0", 12), (5, "b4", "edges0", 12))
-        .map { case (i, p, ed, b) => hopCtes(i, p, ed, b) }
-        .mkString(",\n|")
-      s"""WITH e00 AS (SELECT vec_id,
-        |    list_transform(CAST(embedding AS DOUBLE[]),
-        |      x -> CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS q
-        |  FROM embeddings),
-        |e0 AS (SELECT vec_id, q, CAST($code AS BIGINT) & 15 AS b1,
-        |  (CAST($code AS BIGINT) >> 4) & 15 AS b2,
-        |  ${iprojSql(16)} AS p0, ${iprojSql(17)} AS p1 FROM e00),
-        |e AS (SELECT vec_id, q, b1, b2, p0, p1,
-        |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS s0,
-        |  row_number() OVER (ORDER BY b2, p1, vec_id) - 1 AS s1 FROM e0),
-        |e1 AS (SELECT vec_id, q, b1, p0,
-        |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS sc
-        |  FROM e WHERE vec_id % 8 = 0),
-        |${edgesCte("edges0", "e", Seq("s0", "s1"), 64, 12)},
-        |${edgesCte("edges1", "e1", Seq("sc"), 16, 6)},
-        |ent AS (SELECT vec_id AS id FROM e1
-        |  WHERE sc % greatest((SELECT count(*) FROM e1) // 16, 1) = 0),
-        |qs AS (SELECT vec_id AS q_id, q AS qq FROM e WHERE vec_id % 50 = 0),
-        |s0q AS (SELECT q_id, id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
-        |  FROM qs CROSS JOIN ent JOIN e ev ON ev.vec_id = ent.id),
-        |b0 AS (SELECT q_id, id FROM (SELECT q_id, id,
-        |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
-        |  FROM s0q) WHERE rn <= 4),
-        |$hops,
-        |fin AS (SELECT b5.q_id, b5.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
-        |  FROM b5 JOIN e ev ON ev.vec_id = b5.id JOIN qs ON qs.q_id = b5.q_id)
+    "x143_beam_ann" ->
+      s"""WITH ${beamSearchCtes(SelfQsSql)}
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, id AS vec_id, dist2
         |FROM (SELECT q_id, id, dist2,
         |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
         |  FROM fin) WHERE rn <= 3
-        |ORDER BY q_id, rank""".stripMargin
-    })
+        |ORDER BY q_id, rank""".stripMargin,
+
+    "x146_beam_recall" ->
+      s"""WITH ${beamSearchCtes(PerturbQsSql)},
+        |beam3 AS (SELECT q_id, id FROM (SELECT q_id, id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+        |  FROM fin) WHERE rn <= 3),
+        |gp AS (SELECT qs.q_id, ev.vec_id AS id,
+        |    ${idist2Sql("qs.qq", "ev.q")} AS dist2
+        |  FROM qs CROSS JOIN e ev),
+        |gt3 AS (SELECT q_id, id FROM (SELECT q_id, id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
+        |  FROM gp) WHERE rn <= 3),
+        |h AS (SELECT beam3.q_id, CAST(count(*) AS BIGINT) AS n_hits
+        |  FROM beam3 JOIN gt3 ON beam3.q_id = gt3.q_id AND beam3.id = gt3.id
+        |  GROUP BY 1)
+        |SELECT qs.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(n_hits, 0) * 1000 // 3 AS BIGINT) AS recall_pm
+        |FROM qs LEFT JOIN h ON qs.q_id = h.q_id ORDER BY qs.q_id""".stripMargin)
 }

@@ -66,6 +66,30 @@ class Ext43Spec extends AnyFunSuite {
     assert(rows.count(!_.isNullAt(0)) == 2)
   }
 
+  test("x146: the held-out audit is genuinely held out (every perturbed " +
+    "query sits at positive distance from the whole corpus) and beam " +
+    "recall@3 stays above the 0.8 floor at sf0.001") {
+    import graft.queries.Ext43
+    val out = SparkEntry.queries("x146_beam_recall")(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(out.length == 10)
+    // held-out: the nearest corpus vector to every perturbed query is at
+    // dist² > 0 (a self-query would sit at exactly 0)
+    val e0 = Ext43.quantized(spark, "/root/testdata/sf0.001")
+    val qs = e0.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("q_id"), expr(Ext43.PerturbSql).as("qq"))
+    val minD = e0.crossJoin(broadcast(qs))
+      .select(expr("graft_idist2(qq, q)").as("d2"))
+      .agg(min(col("d2"))).head().getLong(0)
+    assert(minD > 0L, s"a perturbed query coincides with a corpus vector")
+    val hits = out.map(_.getAs[Long]("n_hits")).sum
+    // deterministic pipeline: 28/30 as of round 7 — the floor catches a
+    // collapse (the r6 fixed-knob probe measured 0.002 raw recall on a
+    // 30k corpus; THIS assertion is what that probe lacked)
+    assert(hits >= 24L, s"recall@3 fell below 0.8: $hits/30")
+    GraftCaches.releasePrior()
+  }
+
   test("x143 plan: only the two bounded scalar/entry attachments may " +
     "nested-loop; no cartesian on corpus frames") {
     val df = SparkEntry.queries("x143_beam_ann")(spark, "/root/testdata/sf0.001")
