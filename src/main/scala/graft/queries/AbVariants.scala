@@ -20,6 +20,18 @@ object AbVariants {
 
   def variants: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // x143 scheduled form (round 7): the BeamSchedule layered search
+    // with scheduleFor(n) knobs on the real corpus — at sf0.1 (n=2000)
+    // that is 2 layers like the catalog, but Murmur-hashed layer
+    // sampling and the WHOLE top layer as the entry set (exact top-4
+    // over ≤ topCap nodes). Kept callable so the catalog-vs-scheduled
+    // cost comparison stays same-boot reproducible.
+    "x143_beam_ann__scheduled" -> ((s, d) => {
+      val eQ = Ext43.quantized(s, d)
+      val n = eQ.count()
+      BeamSchedule.beamAnnLayered(eQ, 50L, BeamSchedule.scheduleFor(n))
+    }),
+
     // x35 candidate: cache the doubled edge set ALREADY PARTITIONED on
     // src (the degree join's own exchange provides the layout), so the
     // per-iteration rank joins stream cached edges with ZERO exchange —
