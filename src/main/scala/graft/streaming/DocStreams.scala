@@ -51,6 +51,30 @@ object DocStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("fp")
 
+  /** Streaming per-line dedup — x141's analogue: explode each document
+    * into 10-token lines keyed by the same md5 spelling as the batch
+    * catalog, and keep the FIRST ARRIVAL of each line key within the
+    * watermark horizon. Batch x141's keeper rule (global min position)
+    * is order-dependent and not expressible as bounded streaming state;
+    * first-arrival-within-watermark is the honest streaming analogue,
+    * and on a bounded replay whose event-time order matches position
+    * order the two rules provably agree (the StreamingSpec case pins
+    * that equivalence with in-batch AND cross-batch duplicate lines).
+    * State = one 16-byte key per distinct line inside the horizon. */
+  def dedupLines(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("ts"), TextOps.words(col("text")).as("w"))
+      .select(col("doc_id"), col("ts"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("ts"), col("w"),
+        explode(sequence(lit(0), expr("(n - 1) div 10"))).as("line_no"))
+      .select(col("doc_id"), col("ts"),
+        col("line_no").cast("long").as("line_no"),
+        md5(concat_ws(" ",
+          slice(col("w"), (col("line_no") * 10 + 1).cast("int"), lit(10)))
+          .cast("binary")).as("lk"))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("lk")
+
   /** The x84/x88 span digest as a per-row expression: md5 of each
     * 32-token window at stride 16 (1-based starts, matching the batch
     * catalog spelling exactly, so stream and backfill agree on every

@@ -324,6 +324,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(kept == Set(1L, 3L))
   }
 
+  test("doc stream: per-line dedup (x141 twin) drops repeated 10-token " +
+    "lines in-batch and across batches; kept set equals the batch " +
+    "min-position keeper on the bounded, arrival-ordered replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocStreams
+    import graft.streaming.DocStreams.Doc
+    def line(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val a = line("a"); val b = line("b"); val c = line("c")
+    val d = (1 to 5).map(i => s"d$i").mkString(" ") // partial final line
+    val doc1 = Doc(1, ts(0, 10), "s0", s"$a $b")
+    val doc2 = Doc(2, ts(0, 20), "s0", s"$a $c")   // line A repeats in-batch
+    val doc3 = Doc(3, ts(1, 0), "s0", s"$b $d")    // line B repeats cross-batch
+    val input = MemoryStream[Doc](spark)
+    val q = DocStreams.dedupLines(input.toDF())
+      .writeStream.format("memory").queryName("doc_line_dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(doc1, doc2)
+      q.processAllAvailable()
+      input.addData(doc3)
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.table("doc_line_dedup")
+      .select("doc_id", "line_no").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept == Set((1L, 0L), (1L, 1L), (2L, 1L), (3L, 1L)))
+    // bounded equivalence: arrival order == position order here, so the
+    // batch x141 keeper (global min doc_id*1e6+line_no per line key)
+    // selects the same lines
+    val batchKept = Seq(doc1, doc2, doc3).toDF()
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).as("n"))
+      .select(col("doc_id"), col("w"),
+        explode(org.apache.spark.sql.functions.sequence(
+          lit(0), expr("(n - 1) div 10"))).as("line_no"))
+      .select(col("doc_id"), col("line_no").cast("long").as("line_no"),
+        md5(concat_ws(" ",
+          slice(col("w"), (col("line_no") * 10 + 1).cast("int"), lit(10)))
+          .cast("binary")).as("lk"))
+      .withColumn("pos", col("doc_id") * 1000000L + col("line_no"))
+      .groupBy("lk").agg(min(col("pos")).as("keep"))
+      .select((col("keep") / 1000000L).cast("long").as("doc_id"),
+        pmod(col("keep"), lit(1000000L)).as("line_no"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batchKept == kept)
+  }
+
   test("doc stream: foreachBatch upsert sink is idempotent under replay") {
     val spark = TestSpark.spark
     import spark.implicits._
