@@ -77,6 +77,56 @@ object Ext45 {
                   END""").as("alpha_ppm"))
     }),
 
+    // X9h QUADRATIC-WEIGHTED KAPPA (ordinal, 2 raters): the eval-family
+    // statistic for GRADED labels (0..3), where near-misses should cost
+    // less than gross disagreements. Raters: A = token-count grade
+    // (thresholds 20/40/60), B = hashed-lexicon grade (per-mille
+    // thresholds 350/500/650 over x144's score). With quadratic
+    // weights w_ij = (i−j)², the expected-disagreement double sum
+    // collapses to marginal moments:
+    //   Σ_ij (i−j)²·R_i·C_j = n·(Σa² + Σb²) − 2·(Σa)·(Σb)
+    // so the WHOLE statistic is six partial-aggregable sums — no 4×4
+    // contingency pivot, one scan, one 6-long rollup at any scale.
+    //   kappa_w = 1 − n·Σ(a−b)² / (n·(Σa²+Σb²) − 2·Σa·Σb)
+    // ppm via the family's sign-split two-step floor.
+    "x149_weighted_kappa" -> ((s, d) => {
+      val wArr = array((0 until 64).map(i =>
+        lit((i * 2654435761L) % 1000 - 500)): _*)
+      val graded = documents(s, d)
+        .select(TextOps.words(col("text")).as("w"))
+        .select(size(col("w")).cast("long").as("n_tokens"),
+          aggregate(
+            transform(col("w"), t =>
+              element_at(wArr,
+                (pmod(TextOps.hash32(t), lit(64L)) + 1L).cast("int"))),
+            lit(0L), (acc, x) => acc + x).as("sum_w"))
+        .select(
+          ((col("n_tokens") >= 20).cast("long")
+            + (col("n_tokens") >= 40).cast("long")
+            + (col("n_tokens") >= 60).cast("long")).as("a"),
+          expr("(sum_w + 500L * n_tokens) * 1000L" +
+            " div greatest(n_tokens, 1L)").as("sc"))
+        .select(col("a"),
+          ((col("sc") >= 350000L).cast("long")
+            + (col("sc") >= 500000L).cast("long")
+            + (col("sc") >= 650000L).cast("long")).as("b"))
+      graded.agg(
+          count(lit(1)).as("n"),
+          sum(col("a")).as("sum_a"), sum(col("b")).as("sum_b"),
+          sum(col("a") * col("a")).as("sq_a"),
+          sum(col("b") * col("b")).as("sq_b"),
+          sum((col("a") - col("b")) * (col("a") - col("b"))).as("s_diff2"))
+        .withColumn("d_exp",
+          expr("n * (sq_a + sq_b) - 2L * sum_a * sum_b"))
+        .select(col("n"), col("sum_a"), col("sum_b"), col("sq_a"),
+          col("sq_b"), col("s_diff2"), col("d_exp"),
+          expr("""CASE WHEN d_exp = 0 THEN 0L ELSE
+                    (CASE WHEN d_exp - n * s_diff2 < 0L THEN -1L ELSE 1L END) *
+                    ((abs(d_exp - n * s_diff2) div d_exp) * 1000000L
+                      + (abs(d_exp - n * s_diff2) % d_exp) * 1000000L
+                          div d_exp) END""").as("kappa_w_ppm"))
+    }),
+
     // X5i LONGEST REPEATED TOKEN-SPAN: the exact corpus-wide longest
     // span of tokens occurring ≥ 2 times (any position, any document,
     // overlaps allowed) — x84's fixed-32 repeated-span scan generalized
@@ -185,6 +235,44 @@ object Ext45 {
         |    (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
         |    ((abs(num) // den) * 1000000 + (abs(num) % den) * 1000000 // den)
         |  END AS alpha_ppm
+        |FROM k""".stripMargin
+    },
+
+    "x149_weighted_kappa" -> {
+      val ws = (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
+        .mkString("[", ", ", "]")
+      s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |r0 AS (SELECT CAST(len(w) AS BIGINT) AS n_tokens,
+        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(w, t -> ($ws)[CAST(
+        |      CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) % 64 + 1
+        |      AS INT)])), (acc, x) -> acc + x) AS BIGINT) AS sum_w
+        |  FROM w),
+        |g AS (SELECT
+        |  CAST(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 40 THEN 1 ELSE 0 END
+        |    + CASE WHEN n_tokens >= 60 THEN 1 ELSE 0 END AS BIGINT) AS a,
+        |  (sum_w + 500 * n_tokens) * 1000 // greatest(n_tokens, 1) AS sc
+        |  FROM r0),
+        |g2 AS (SELECT a,
+        |  CAST(CASE WHEN sc >= 350000 THEN 1 ELSE 0 END
+        |    + CASE WHEN sc >= 500000 THEN 1 ELSE 0 END
+        |    + CASE WHEN sc >= 650000 THEN 1 ELSE 0 END AS BIGINT) AS b
+        |  FROM g),
+        |agg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(a) AS BIGINT) AS sum_a, CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(sum(a * a) AS BIGINT) AS sq_a,
+        |  CAST(sum(b * b) AS BIGINT) AS sq_b,
+        |  CAST(sum((a - b) * (a - b)) AS BIGINT) AS s_diff2
+        |  FROM g2),
+        |k AS (SELECT *, n * (sq_a + sq_b) - 2 * sum_a * sum_b AS d_exp
+        |  FROM agg)
+        |SELECT n, sum_a, sum_b, sq_a, sq_b, s_diff2, d_exp,
+        |  CASE WHEN d_exp = 0 THEN 0 ELSE
+        |    (CASE WHEN d_exp - n * s_diff2 < 0 THEN -1 ELSE 1 END) *
+        |    ((abs(d_exp - n * s_diff2) // d_exp) * 1000000
+        |      + (abs(d_exp - n * s_diff2) % d_exp) * 1000000 // d_exp)
+        |  END AS kappa_w_ppm
         |FROM k""".stripMargin
     },
 

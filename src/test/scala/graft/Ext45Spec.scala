@@ -86,6 +86,68 @@ class Ext45Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x149: kappa_w_ppm equals the textbook quadratic-weighted kappa " +
+    "computed from the full 4x4 contingency matrix in BigInt rationals " +
+    "(validates the marginal-moment collapse of the double sum)") {
+    val out = SparkEntry.queries("x149_weighted_kappa")(
+      spark, "/root/testdata/sf0.001").collect().head
+    val texts = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    // independent rater replay (no engine code)
+    val pairs = texts.map { t =>
+      val toks = t.split(" ", -1)
+      val n = toks.length.toLong
+      val sumW = toks.map(x => weights((md5hash32(x) % 64).toInt)).sum
+      val a = Seq(20L, 40L, 60L).count(n >= _)
+      val sc = (sumW + 500L * n) * 1000L / math.max(n, 1L)
+      val b = Seq(350000L, 500000L, 650000L).count(sc >= _)
+      (a, b)
+    }
+    // textbook: O_ij and E_ij over the 4x4 grid, w_ij = (i-j)^2
+    val n = BigInt(pairs.length)
+    val obs = Array.fill(4, 4)(BigInt(0))
+    pairs.foreach { case (a, b) => obs(a)(b) += 1 }
+    val rowm = (0 to 3).map(i => obs(i).sum)
+    val colm = (0 to 3).map(j => (0 to 3).map(i => obs(i)(j)).sum)
+    // kappa_w = 1 - n * sum(w*O) / sum(w*R_i*C_j)  (E_ij = R_i C_j / n)
+    val sObs = (for (i <- 0 to 3; j <- 0 to 3)
+      yield BigInt((i - j) * (i - j)) * obs(i)(j)).sum
+    val dExp = (for (i <- 0 to 3; j <- 0 to 3)
+      yield BigInt((i - j) * (i - j)) * rowm(i) * colm(j)).sum
+    assert(out.getAs[Long]("n") == n)
+    assert(BigInt(out.getAs[Long]("s_diff2")) == sObs)
+    assert(BigInt(out.getAs[Long]("d_exp")) == dExp,
+      "marginal-moment collapse must equal the explicit double sum")
+    val num = dExp - n * sObs
+    val expected =
+      if (dExp == 0) BigInt(0)
+      else (if (num < 0) -1 else 1) *
+        ((num.abs / dExp) * 1000000 + (num.abs % dExp) * 1000000 / dExp)
+    assert(BigInt(out.getAs[Long]("kappa_w_ppm")) == expected)
+    // graded raters disagree below chance on this corpus too
+    assert(out.getAs[Long]("kappa_w_ppm") < 0L)
+    GraftCaches.releasePrior()
+  }
+
+  test("x149: single-doc corpus where both raters grade 0 hits the " +
+    "d_exp = 0 guard; kappa_w_ppm = 0, no throw") {
+    import spark.implicits._
+    // grade B 0 needs sc < 350000, i.e. lexicon weight < -150 (the
+    // score is (w + 500)·1000 for a single-token vocabulary)
+    val tok = ('a' to 'z').map(_.toString)
+      .find(t => weights((md5hash32(t) % 64).toInt) < -150).get
+    val dir = java.nio.file.Files.createTempDirectory("x149deg").toString
+    // 3 tokens -> grade A 0; strongly negative lexicon -> grade B 0
+    Seq((0L, s"$tok $tok $tok")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SparkEntry.queries("x149_weighted_kappa")(spark, dir)
+      .collect().head
+    assert(r.getAs[Long]("d_exp") == 0L)
+    assert(r.getAs[Long]("kappa_w_ppm") == 0L)
+    GraftCaches.releasePrior()
+  }
+
   test("x148: planted 20-token shared span between two otherwise " +
     "disjoint documents is found exactly (span_len 20, 2 occurrences, " +
     "2 docs, the right hash)") {
