@@ -89,7 +89,8 @@ object SparkEntry {
       graft.queries.Ext42.queries ++
       graft.queries.Ext43.queries ++
       graft.queries.Ext44.queries ++
-      graft.queries.Ext45.queries
+      graft.queries.Ext45.queries ++
+      graft.queries.Ext46.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -141,5 +142,6 @@ object SparkEntry {
       graft.queries.Ext42.oracleSql ++
       graft.queries.Ext43.oracleSql ++
       graft.queries.Ext44.oracleSql ++
-      graft.queries.Ext45.oracleSql
+      graft.queries.Ext45.oracleSql ++
+      graft.queries.Ext46.oracleSql
 }
