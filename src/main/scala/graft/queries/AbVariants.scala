@@ -32,6 +32,35 @@ object AbVariants {
       BeamSchedule.beamAnnLayered(eQ, 50L, BeamSchedule.scheduleFor(n))
     }),
 
+    // x146 scheduled twin (round 7): held-out recall@3 of the
+    // SCHEDULED beam form (same perturbed non-member queries and
+    // brute-force ground truth as the catalog x146) — closes the loop
+    // on the recall-at-scale contract: BeamScheduleSpec shows the
+    // schedule restores SELF-recall at 30k vectors; this measures what
+    // the schedule does for HELD-OUT queries on the shipped corpus.
+    "x146_beam_recall__scheduled" -> ((s, d) => {
+      val e0 = Ext43.quantized(s, d).persistTracked()
+      val n = e0.count()
+      val qs = e0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"), expr(Ext43.PerturbSql).as("qq"))
+      val gt = e0.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          Ext43.idist2Hof(col("qq"), col("q")).as("dist2"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+            .orderBy(col("dist2"), col("vec_id"))))
+        .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+      val beam3 = BeamSchedule.beamAnnLayered(e0, 50L,
+          BeamSchedule.scheduleFor(n), perturb = true)
+        .select(col("q_id"), col("vec_id"))
+      val hits = beam3.join(gt, Seq("q_id", "vec_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
+      qs.select(col("q_id")).join(hits, Seq("q_id"), "left")
+        .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          expr("coalesce(n_hits, 0L) * 1000 div 3").as("recall_pm"))
+        .orderBy(col("q_id"))
+    }),
+
     // x35 candidate: cache the doubled edge set ALREADY PARTITIONED on
     // src (the degree join's own exchange provides the layout), so the
     // per-iteration rank joins stream cached edges with ZERO exchange —

@@ -51,7 +51,8 @@ object BeamSchedule {
     * `baseHops` on the base — total hops 2(L−1)+3 = O(log n), each one
     * equi-join + exact rescore + bounded top-B window, beam persisted
     * per hop (the Ext43 lineage-truncation rule). */
-  def beamAnnLayered(eQ: DataFrame, queryStep: Long, k: Knobs): DataFrame = {
+  def beamAnnLayered(eQ: DataFrame, queryStep: Long, k: Knobs,
+      perturb: Boolean = false): DataFrame = {
     val code = (0 until 16).map { p =>
       when(Ext43.iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -96,7 +97,8 @@ object BeamSchedule {
       .filter(col("sc") % greatest(expr(s"n1 div ${k.nEntries}"), lit(1L)) === 0)
       .select(col("vec_id").as("id"))
     val qs = e.filter(col("vec_id") % queryStep === 0)
-      .select(col("vec_id").as("q_id"), col("q").as("qq"))
+      .select(col("vec_id").as("q_id"),
+        (if (perturb) expr(Ext43.PerturbSql) else col("q")).as("qq"))
     def score(beamIds: DataFrame): DataFrame =
       beamIds
         .join(e.select(col("vec_id").as("id"), col("q")), "id")
