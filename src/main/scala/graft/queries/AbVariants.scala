@@ -61,6 +61,15 @@ object AbVariants {
         .orderBy(col("q_id"))
     }),
 
+    // x151 controls (round 7): fully DISTRIBUTED MM rounds — broadcast
+    // and SMJ spellings. Both ~3.2 s same-boot at sf0.1 vs ~1 s for
+    // the catalog's driver-rounds form (the iteration is arms²-bounded;
+    // distributing it is pure sequential stage overhead).
+    "x151_bradley_terry__dist" -> ((s, d) =>
+      Ext46.bradleyTerry(s, d, broadcastRounds = true)),
+    "x151_bradley_terry__smj" -> ((s, d) =>
+      Ext46.bradleyTerry(s, d, broadcastRounds = false)),
+
     // x35 candidate: cache the doubled edge set ALREADY PARTITIONED on
     // src (the degree join's own exchange provides the layout), so the
     // per-iteration rank joins stream cached edges with ZERO exchange —

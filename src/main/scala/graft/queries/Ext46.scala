@@ -85,7 +85,136 @@ object Ext46 {
           when(col("idcg_w") === 0L, 0L)
             .otherwise(expr("dcg_w * 1000000L div idcg_w")))
         .orderBy(col("q_id"))
-    }))
+    }),
+
+    // X151 BRADLEY-TERRY PREFERENCE RANKING: aggregate pairwise duels
+    // into a strength score per arm — the statistic RLHF / arena-style
+    // preference data reports (Chatbot-Arena-style leaderboards are
+    // regularized Bradley-Terry fits). Battles are synthesized
+    // deterministically from the event stream: consecutive events of
+    // the same user (ts, event_id order) duel; the earlier event's
+    // type beats the later's iff its value >= the later's. Same-type
+    // duels are discarded (self-play carries no signal).
+    //   MM iteration (Hunter 2004), 3 unrolled rounds, Laplace-
+    //   regularized (+1 win each way per observed pair — keeps every
+    //   rating positive and the MLE well-defined):
+    //     r_i <- (W_i * 1e12) div sum_j (N_ij * 1e12 div (r_i + r_j))
+    //   with r in ppm (start 1e6). The update is degree-1 homogeneous,
+    //   so the ppm scale carries across rounds; all arithmetic is
+    //   BIGINT div (floor on both engines — every numerator is
+    //   non-negative). Final score renormalized to sum 1e6.
+    // Scale shape: the corpus-scale work is ONE lag window (keyed by
+    // user — co-partitioned, no global window) and ONE groupBy into
+    // the ordered-pair frame; the 3 MM rounds then operate on the
+    // |arms|^2-bounded pair frame (arms = models — bounded), joined to
+    // the |arms|-row rating frame. At trillion-battle scale W_i*1e12
+    // nears BIGINT range — shift the fixed point to 1e9 there; the
+    // round structure is unchanged.
+    "x151_bradley_terry" -> ((s, d) => {
+      import s.implicits._
+      // corpus-scale work: ONE user-keyed lag window + ONE groupBy into
+      // the ordered-pair frame — then the pair frame is |arms|²-bounded
+      // (arms = models), so the 3 MM rounds run in driver integer
+      // arithmetic on the collected O(arms²) rows (the BPE-argmax
+      // precedent: bounded driver state, zero distributed stages for
+      // the iteration). Same-boot A/B of the fully distributed rounds
+      // (broadcast and SMJ forms, kept in AbVariants): 3.8 s / 3.0 s at
+      // sf0.1 vs 1.09 s for this form (BENCH_AB_r07_x151.json) — the
+      // rounds are pure sequential stage overhead at any scale where
+      // arms is bounded.
+      val pairRows = btPairs(s, d).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val byI = pairRows.groupBy(_._1)
+      val wTot = byI.map { case (i, ps) => i -> ps.map(_._4).sum }
+      var r: Map[String, Long] = wTot.map { case (i, _) => i -> 1000000L }
+      for (_ <- 1 to 3) {
+        // every operand is non-negative, so Long / is the same floor
+        // div both engines spell
+        val den = byI.map { case (i, ps) =>
+          i -> ps.map { case (_, j, nij, _) =>
+            nij * 1000000000000L / math.max(r(i) + r(j), 1L) }.sum }
+        r = wTot.map { case (i, w) =>
+          i -> w * 1000000000000L / math.max(den(i), 1L) }
+      }
+      val rsum = math.max(r.values.sum, 1L)
+      byI.toSeq.map { case (i, ps) =>
+        (i, ps.map(_._3 - 2).sum, ps.map(_._4 - 1).sum, r(i),
+          r(i) * 1000000L / rsum)
+      }.sortBy(_._1)
+        .toDF("item", "n_battles", "n_wins", "r_ppm", "score_ppm")
+    }),
+  )
+
+  /** x151's corpus-scale aggregation: ordered-pair battle counts with
+    * Laplace smoothing (+2 battles / +1 win per observed ordered pair).
+    * Output (i, j, n_ij, w_ij) is |arms|²-bounded. */
+  private def btPairs(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val battles = ev
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("b_arm"), col("value").as("b_val"))
+      .withColumn("a_arm", lag(col("b_arm"), 1).over(w))
+      .withColumn("a_val", lag(col("b_val"), 1).over(w))
+      .filter(col("a_arm").isNotNull && col("a_arm") =!= col("b_arm"))
+      .select(col("a_arm"), col("b_arm"),
+        (col("a_val") >= col("b_val")).cast("long").as("win_a"))
+    val dir = battles
+      .select(col("a_arm").as("i"), col("b_arm").as("j"), col("win_a").as("wi"))
+      .unionAll(battles.select(col("b_arm").as("i"), col("a_arm").as("j"),
+        (lit(1L) - col("win_a")).as("wi")))
+    dir.groupBy(col("i"), col("j"))
+      .agg((count(lit(1)) + 2L).as("n_ij"), (sum(col("wi")) + 1L).as("w_ij"))
+  }
+
+  /** x151 body; `broadcastRounds = false` is the retained A/B control
+    * (SMJ rounds, no iterate persist) — see AbVariants. */
+  /** The fully DISTRIBUTED MM rounds — retained only as the A/B control
+    * (AbVariants "__dist"/"__smj"): same-boot min-of-3 at sf0.1 shows
+    * the broadcast / SMJ round forms cost 3.8 / 3.0 s vs 1.09 s for the
+    * catalog's driver-rounds form — the iteration is bounded by arms²,
+    * so distributing it buys nothing but sequential stage overhead. */
+  private[graft] def bradleyTerry(s: SparkSession, d: String,
+      broadcastRounds: Boolean = true): DataFrame = {
+      val pairs = btPairs(s, d).persistTracked()
+      // raw (unsmoothed) per-arm counts, for reporting only
+      val raw = pairs.groupBy(col("i"))
+        .agg(sum(col("n_ij") - 2L).as("n_battles"),
+          sum(col("w_ij") - 1L).as("n_wins"))
+      // smoothed win totals, the MM numerator
+      val wins = pairs.groupBy(col("i"))
+        .agg(sum(col("w_ij")).as("w_tot"))
+        .persistTracked()
+      var r = wins.select(col("i").as("item"), lit(1000000L).as("r"))
+      // the rating frame is |arms|-bounded (arms = models) — broadcast
+      // it into every round so no MM iteration ever exchanges the pair
+      // frame again, and persist the O(|arms|) iterate so each round's
+      // plan does not re-evaluate the whole previous-round chain (the
+      // x143 hop-persist lesson)
+      def bc(df: DataFrame): DataFrame =
+        if (broadcastRounds) broadcast(df) else df
+      for (_ <- 1 to 3) {
+        val denom = pairs
+          .join(bc(r.select(col("item").as("i"), col("r").as("ri"))), Seq("i"))
+          .join(bc(r.select(col("item").as("j"), col("r").as("rj"))), Seq("j"))
+          .select(col("i"),
+            expr("n_ij * 1000000000000L div greatest(ri + rj, 1L)").as("t"))
+          .groupBy(col("i")).agg(sum(col("t")).as("den"))
+        r = wins.join(bc(denom), Seq("i"))
+          .select(col("i").as("item"),
+            expr("w_tot * 1000000000000L div greatest(den, 1L)").as("r"))
+        if (broadcastRounds) r = r.persistTracked()
+      }
+      val tot = r.agg(sum(col("r")).as("rsum"))
+      r.crossJoin(broadcast(tot))
+        .join(raw.select(col("i").as("item"), col("n_battles"), col("n_wins")),
+          Seq("item"))
+        .select(col("item"), col("n_battles"), col("n_wins"),
+          col("r").as("r_ppm"),
+          expr("r * 1000000L div greatest(rsum, 1L)").as("score_ppm"))
+        .orderBy(col("item"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 
@@ -137,5 +266,48 @@ object Ext46 {
         |FROM q LEFT JOIN pq ON q.q_id = pq.q_id
         |LEFT JOIN ic ON q.q_id = ic.q_id
         |ORDER BY q.q_id""".stripMargin
+    },
+
+    "x151_bradley_terry" -> {
+      // one MM round: denominator join + rating update
+      def round(k: Int): String = {
+        val prev = s"r${k - 1}"
+        s"""d$k AS (SELECT p.i,
+          |    CAST(sum(n_ij * 1000000000000 //
+          |      greatest(ri.r + rj.r, 1)) AS BIGINT) AS den
+          |  FROM p JOIN $prev ri ON p.i = ri.item
+          |         JOIN $prev rj ON p.j = rj.item GROUP BY 1),
+          |r$k AS (SELECT wn.i AS item,
+          |    CAST(w_tot * 1000000000000 // greatest(den, 1) AS BIGINT) AS r
+          |  FROM wn JOIN d$k ON wn.i = d$k.i)""".stripMargin
+      }
+      s"""WITH b0 AS (SELECT event_type AS b_arm, value AS b_val,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS a_arm,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS a_val
+        |  FROM events),
+        |bt AS (SELECT a_arm, b_arm,
+        |    CAST(a_val >= b_val AS BIGINT) AS win_a
+        |  FROM b0 WHERE a_arm IS NOT NULL AND a_arm <> b_arm),
+        |dir AS (SELECT a_arm AS i, b_arm AS j, wi FROM
+        |    (SELECT a_arm, b_arm, win_a AS wi FROM bt)
+        |  UNION ALL
+        |  SELECT b_arm AS i, a_arm AS j, 1 - win_a AS wi FROM bt),
+        |p AS (SELECT i, j, CAST(count(*) + 2 AS BIGINT) AS n_ij,
+        |    CAST(sum(wi) + 1 AS BIGINT) AS w_ij
+        |  FROM dir GROUP BY 1, 2),
+        |raw AS (SELECT i, CAST(sum(n_ij - 2) AS BIGINT) AS n_battles,
+        |    CAST(sum(w_ij - 1) AS BIGINT) AS n_wins FROM p GROUP BY 1),
+        |wn AS (SELECT i, CAST(sum(w_ij) AS BIGINT) AS w_tot FROM p GROUP BY 1),
+        |r0 AS (SELECT i AS item, CAST(1000000 AS BIGINT) AS r FROM wn),
+        |${round(1)},
+        |${round(2)},
+        |${round(3)},
+        |t AS (SELECT CAST(sum(r) AS BIGINT) AS rsum FROM r3)
+        |SELECT r3.item, n_battles, n_wins, r AS r_ppm,
+        |  CAST(r * 1000000 // greatest(rsum, 1) AS BIGINT) AS score_ppm
+        |FROM r3 JOIN raw ON r3.item = raw.i, t
+        |ORDER BY r3.item""".stripMargin
     })
 }

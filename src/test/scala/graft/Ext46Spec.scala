@@ -107,4 +107,82 @@ class Ext46Spec extends AnyFunSuite {
     assert(got.head._5 < 1000000L && got.head._5 > 0L, s"got: $got")
     GraftCaches.releasePrior()
   }
+
+  // ---- x151 Bradley-Terry ----
+
+  /** Independent BigInt replay of the regularized MM fit over explicit
+    * battles (no engine code, no Spark). */
+  private def btReplay(battles: Seq[(String, String, Long)])
+      : Map[String, (Long, Long, Long, Long)] = {
+    val dir = battles.flatMap { case (a, b, winA) =>
+      Seq(((a, b), winA), ((b, a), 1L - winA)) }
+    val pairs = dir.groupBy(_._1).map { case ((i, j), xs) =>
+      (i, j, BigInt(xs.size + 2), BigInt(xs.map(_._2).sum + 1)) }.toSeq
+    val raw = pairs.groupBy(_._1).map { case (i, ps) =>
+      i -> (ps.map(_._3 - 2).sum, ps.map(_._4 - 1).sum) }
+    val wTot = pairs.groupBy(_._1).map { case (i, ps) =>
+      i -> ps.map(_._4).sum }
+    var r: Map[String, BigInt] = wTot.map { case (i, _) => i -> BigInt(1000000) }
+    for (_ <- 1 to 3) {
+      val den = pairs.groupBy(_._1).map { case (i, ps) =>
+        i -> ps.map { case (_, j, nij, _) =>
+          nij * BigInt("1000000000000") / (r(i) + r(j)).max(1) }.sum }
+      r = wTot.map { case (i, w) =>
+        i -> w * BigInt("1000000000000") / den(i).max(1) }
+    }
+    val rsum = r.values.sum.max(1)
+    r.map { case (i, ri) =>
+      i -> (raw(i)._1.toLong, raw(i)._2.toLong, ri.toLong,
+        (ri * 1000000 / rsum).toLong) }
+  }
+
+  test("x151: equals the BigInt MM replay over battles derived " +
+    "independently from the raw event stream (sf0.001)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getString(3), r.getDouble(4)))
+    val battles = ev.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val s = es.sortBy(e =>
+        (e._2.toEpochSecond(java.time.ZoneOffset.UTC), e._2.getNano, e._3))
+      s.zip(s.drop(1)).collect {
+        case (a, b) if a._4 != b._4 =>
+          (a._4, b._4, if (a._5 >= b._5) 1L else 0L)
+      }
+    }
+    val want = btReplay(battles)
+    val got = SparkEntry.queries("x151_bradley_terry")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    assert(got == want)
+    // scores are a normalized distribution over the arms
+    val scores = got.values.map(_._4).toSeq
+    assert(scores.forall(_ > 0L) && math.abs(scores.sum - 1000000L) <= 5)
+    GraftCaches.releasePrior()
+  }
+
+  test("x151: an arm that wins every duel ranks first; a clean " +
+    "A>B>C duel chain orders the scores transitively") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x151dom").toString
+    // one user; strictly descending values make the EARLIER arm win
+    // every duel. Sequence A B A C B C A B ... gives duels
+    // A>B, B>A?, ... — instead use value to force: A always 9, B 5, C 1.
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val seq = Seq("A", "B", "A", "C", "B", "C", "A", "B", "A", "C", "B", "C")
+    val vals = Map("A" -> 9.0, "B" -> 5.0, "C" -> 1.0)
+    val rows = seq.zipWithIndex.map { case (arm, i) =>
+      (i.toLong, new java.sql.Timestamp(base.getTime + i * 1000L),
+        7L, arm, vals(arm), "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = SparkEntry.queries("x151_bradley_terry")(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(4))).toMap
+    // A beats B and C whenever adjacent; B beats C; C never wins a duel
+    assert(got("A")._2 > got("B")._2 && got("B")._2 > got("C")._2,
+      s"transitive order violated: $got")
+    GraftCaches.releasePrior()
+  }
 }
