@@ -36,4 +36,40 @@ class BeamScheduleSpec2 extends AnyFunSuite {
     assert(r1 >= 550.0, s"sf0.1 regressed: $r1")
     GraftCaches.releasePrior()
   }
+
+  test("held-out recall@3 at 30k vectors: the SCHEDULED 3-layer form " +
+    "recovers what the fixed catalog shape loses — the missing cell of " +
+    "the evidence matrix (self@30k and held-out@2k were both measured; " +
+    "this is held-out AND 30k)") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.expressions.Window
+    val e0 = TestCorpora.clustered30k(spark).persist()
+    val qs = e0.filter(col("vec_id") % 500 === 0)
+      .select(col("vec_id").as("q_id"),
+        expr(graft.queries.Ext43.PerturbSql).as("qq"))
+    // brute-force ground truth: |Q| = 60 broadcast against 30k
+    val gt = e0.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"),
+        graft.queries.Ext43.idist2Hof(col("qq"), col("q")).as("dist2"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("vec_id"))))
+      .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall3(k: graft.queries.BeamSchedule.Knobs): Double = {
+      val got = graft.queries.BeamSchedule
+        .beamAnnLayered(e0, 500L, k, perturb = true)
+        .select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      got.count(gt.contains).toDouble / gt.size
+    }
+    val scheduled = recall3(graft.queries.BeamSchedule.scheduleFor(30000L))
+    val fixed = recall3(graft.queries.BeamSchedule.Knobs(layers = 2))
+    info(f"30k held-out recall@3: scheduled = $scheduled%.3f, " +
+      f"fixed 2-layer = $fixed%.3f")
+    assert(scheduled >= 0.9, s"scheduled held-out recall = $scheduled")
+    assert(fixed < scheduled,
+      s"fixed-knob control should trail: $fixed vs $scheduled")
+    e0.unpersist()
+    GraftCaches.releasePrior()
+  }
 }
