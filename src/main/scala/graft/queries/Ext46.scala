@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.tables.Tables._
-import graft.ext.Similarity
+import graft.ext.{Similarity, TextOps}
 import graft.GraftCaches.TrackedPersist
 
 /** Round-7 batch, part 2: ranked-retrieval quality — NDCG@10 and MRR@10
@@ -142,6 +142,72 @@ object Ext46 {
           r(i) * 1000000L / rsum)
       }.sortBy(_._1)
         .toDF("item", "n_battles", "n_wins", "r_ppm", "score_ppm")
+    }),
+
+    // X152 BLEU CLIPPED N-GRAM PRECISION: the BLEU core (Papineni 2002)
+    // — modified n-gram precision with MULTISET clipping, n = 1..4:
+    //   p_n = sum_g min(count_cand(g), count_ref(g)) / sum_g count_cand(g)
+    // This is NOT x4's set Jaccard or x102's set containment: clipping
+    // is per-occurrence (a candidate that repeats a reference gram 5
+    // times gets credit min(5, ref_count), not 1). Pairing is
+    // deterministic: candidate = odd doc_id, reference = doc_id - 1;
+    // rolled up per candidate source. The geometric mean / brevity
+    // penalty need exp — out of the exact-integer contract — so the
+    // four precisions and the candidate/reference length ratio are
+    // reported in ppm, from which BLEU is one driver-side expression.
+    // Scale shape: one equi-join to form pairs (co-partitioned on the
+    // pair key), one n-gram explode per side (partition-local Generate,
+    // positions x 4), one count-aggregate per side and one equi-join on
+    // (pair, n, gram) — an inverted-index join, cost tracks matching
+    // grams; rollup is partial-aggregable to |sources| x 4 rows.
+    "x152_bleu_precision" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("source"), col("w"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1L).as("pair_id"), col("w").as("rw"))
+      val pairs = cand.join(ref, Seq("pair_id"))
+      // Spark's sequence(1, stop) DESCENDS when stop < 1 (it would emit
+      // position 0 into the 1-based slice) — so generate over a floor of
+      // 1 and slice the result back to the true position count, which is
+      // empty when the doc has fewer than n tokens.
+      def grams(wc: String): Column =
+        explode(expr(
+          s"""flatten(transform(sequence(1, 4), n ->
+             |  slice(
+             |    transform(sequence(1, greatest(size($wc) - n + 1, 1)), i ->
+             |      named_struct('n', n, 'g',
+             |        md5(array_join(slice($wc, i, n), ' ')))),
+             |    1, greatest(size($wc) - n + 1, 0))))""".stripMargin))
+      val cc = pairs
+        .select(col("pair_id"), col("source"), grams("w").as("x"))
+        .groupBy(col("pair_id"), col("source"), col("x.n").cast("long").as("n"),
+          col("x.g").as("g"))
+        .agg(count(lit(1)).as("c_c"))
+      val rc = pairs
+        .select(col("pair_id"), grams("rw").as("x"))
+        .groupBy(col("pair_id"), col("x.n").cast("long").as("n"),
+          col("x.g").as("g"))
+        .agg(count(lit(1)).as("c_r"))
+      val clipped = cc.join(rc, Seq("pair_id", "n", "g"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"))
+      val totals = cc.groupBy(col("source"), col("n"))
+        .agg(sum(col("c_c")).as("total"))
+      val lens = pairs.groupBy(col("source"))
+        .agg(sum(size(col("w")).cast("long")).as("cand_len"),
+          sum(size(col("rw")).cast("long")).as("ref_len"))
+      totals.join(clipped, Seq("source", "n"), "left")
+        .join(lens, Seq("source"))
+        .select(col("source"), col("n"),
+          coalesce(col("clipped"), lit(0L)).as("clipped"), col("total"),
+          expr("coalesce(clipped, 0L) * 1000000L div greatest(total, 1L)")
+            .as("p_ppm"),
+          col("cand_len"), col("ref_len"),
+          expr("cand_len * 1000000L div greatest(ref_len, 1L)")
+            .as("len_ratio_ppm"))
+        .orderBy(col("source"), col("n"))
     }),
   )
 
@@ -309,5 +375,48 @@ object Ext46 {
         |  CAST(r * 1000000 // greatest(rsum, 1) AS BIGINT) AS score_ppm
         |FROM r3 JOIN raw ON r3.item = raw.i, t
         |ORDER BY r3.item""".stripMargin
-    })
+    },
+
+    "x152_bleu_precision" ->
+      """WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |    FROM documents),
+        |pr AS (SELECT c.doc_id AS pair_id, c.source, c.w, r.w AS rw
+        |  FROM (SELECT * FROM d WHERE doc_id % 2 = 1) c
+        |  JOIN (SELECT doc_id + 1 AS pid, w FROM d WHERE doc_id % 2 = 0) r
+        |    ON c.doc_id = r.pid),
+        |nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+        |cg AS (SELECT pair_id, source, n,
+        |    md5(array_to_string(w[i : i + n - 1], ' ')) AS g
+        |  FROM (SELECT pair_id, source, n, w,
+        |      unnest(range(1, greatest(len(w) - n + 2, 1))) AS i
+        |    FROM pr, nn)),
+        |rg AS (SELECT pair_id, n,
+        |    md5(array_to_string(rw[i : i + n - 1], ' ')) AS g
+        |  FROM (SELECT pair_id, n, rw,
+        |      unnest(range(1, greatest(len(rw) - n + 2, 1))) AS i
+        |    FROM pr, nn)),
+        |cc AS (SELECT pair_id, source, n, g, CAST(count(*) AS BIGINT) AS c_c
+        |  FROM cg GROUP BY 1, 2, 3, 4),
+        |rc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c_r
+        |  FROM rg GROUP BY 1, 2, 3),
+        |cl AS (SELECT source, cc.n, CAST(sum(least(c_c, c_r)) AS BIGINT)
+        |    AS clipped
+        |  FROM cc JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n
+        |    AND cc.g = rc.g
+        |  GROUP BY 1, 2),
+        |tt AS (SELECT source, n, CAST(sum(c_c) AS BIGINT) AS total
+        |  FROM cc GROUP BY 1, 2),
+        |ln AS (SELECT source, CAST(sum(len(w)) AS BIGINT) AS cand_len,
+        |    CAST(sum(len(rw)) AS BIGINT) AS ref_len
+        |  FROM pr GROUP BY 1)
+        |SELECT tt.source, CAST(tt.n AS BIGINT) AS n,
+        |  CAST(coalesce(clipped, 0) AS BIGINT) AS clipped, total,
+        |  CAST(coalesce(clipped, 0) * 1000000 // greatest(total, 1)
+        |    AS BIGINT) AS p_ppm,
+        |  cand_len, ref_len,
+        |  CAST(cand_len * 1000000 // greatest(ref_len, 1) AS BIGINT)
+        |    AS len_ratio_ppm
+        |FROM tt LEFT JOIN cl ON tt.source = cl.source AND tt.n = cl.n
+        |JOIN ln ON tt.source = ln.source
+        |ORDER BY tt.source, n""".stripMargin)
 }

@@ -185,4 +185,73 @@ class Ext46Spec extends AnyFunSuite {
       s"transitive order violated: $got")
     GraftCaches.releasePrior()
   }
+
+  // ---- x152 BLEU clipped n-gram precision ----
+
+  test("x152: equals a pure-Scala multiset clipped-precision replay " +
+    "over the sf0.001 pairs (candidate = odd doc_id, reference = " +
+    "doc_id - 1)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = docs.map(d => d._1 -> d).toMap
+    case class Acc(var clipped: Long = 0, var total: Long = 0)
+    val acc = scala.collection.mutable.Map.empty[(String, Int), Acc]
+    val lens = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    for ((id, src, text) <- docs; if id % 2 == 1; refD <- byId.get(id - 1)) {
+      val cw = text.split(" ", -1); val rw = refD._3.split(" ", -1)
+      val (cl, rl) = lens.getOrElse(src, (0L, 0L))
+      lens(src) = (cl + cw.length, rl + rw.length)
+      for (n <- 1 to 4) {
+        def counts(w: Array[String]) = w.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq.groupBy(identity).map { case (k, v) =>
+            k -> v.size.toLong }
+        val cc = counts(cw); val rc = counts(rw)
+        val a = acc.getOrElseUpdate((src, n), Acc())
+        a.total += cc.values.sum
+        a.clipped += cc.map { case (g, c) =>
+          math.min(c, rc.getOrElse(g, 0L)) }.sum
+      }
+    }
+    val want = acc.toSeq.map { case ((src, n), a) =>
+      (src, n.toLong, a.clipped, a.total,
+        a.clipped * 1000000L / math.max(a.total, 1L),
+        lens(src)._1, lens(src)._2,
+        lens(src)._1 * 1000000L / math.max(lens(src)._2, 1L))
+    }.sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("x152_bleu_precision")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == want)
+    // precisions decay with n on unrelated docs (sanity that the four
+    // orders are genuinely distinct signals)
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc.values.forall(rs =>
+      rs.sortBy(_._2).map(_._5).sliding(2).forall(p => p(0) >= p(1))))
+    GraftCaches.releasePrior()
+  }
+
+  test("x152: clipping is MULTISET, not set — a candidate repeating a " +
+    "reference gram gets credit min(cand_count, ref_count), and an " +
+    "identical pair scores p_n = 1e6 at every n") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x152clip").toString
+    Seq(
+      // pair 0/1: cand "a a a" vs ref "a b c" -> unigram clipped =
+      // min(3,1) = 1 of 3 (set containment would say 3 of 3)
+      (0L, "a b c", "s"), (1L, "a a a", "s"),
+      // pair 2/3: identical 5-token texts -> every p_n = 1e6
+      (2L, "x y z x y", "t"), (3L, "x y z x y", "t")
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x152_bleu_precision")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got(("s", 1L)) == ((1L, 3L, 333333L)), s"clipping broken: $got")
+    assert(got(("s", 2L))._1 == 0L) // "a a" never occurs in ref
+    (1 to 4).foreach { n =>
+      assert(got(("t", n.toLong))._3 == 1000000L, s"identical pair, n=$n: $got")
+    }
+    GraftCaches.releasePrior()
+  }
 }
