@@ -209,6 +209,40 @@ object Ext46 {
             .as("len_ratio_ppm"))
         .orderBy(col("source"), col("n"))
     }),
+
+    // X153 STATISTICAL WATERMARK DETECTION (Kirchenbauer 2023, the
+    // LeftHash scheme with γ = 1/2): a green-list text watermark biases
+    // each generated token toward the half of the vocabulary selected
+    // by a hash of the preceding token; the detector scores each
+    // adjacent pair green iff hash(prev ⊕ 0x01 ⊕ token) is even and
+    // tests the green fraction against Binomial(T, 1/2). With γ = 1/2
+    // the z-statistic squares to EXACT integers: z² = (2g − T)² / T,
+    // reported as z2_ppm = (2g−T)²·10⁶ div T — no sqrt, no float.
+    // Flag at z² ≥ 4 (|z| ≥ 2 ⇒ ~4.6% false-positive rate on natural
+    // text — the curation filter for "was this document emitted by a
+    // watermarked LLM"). Per-row HOF over the pair list — one scan,
+    // embarrassingly parallel at any corpus size.
+    "x153_watermark_detect" -> ((s, d) => {
+      val w = col("w")
+      val m = greatest(size(w) - 1, lit(0))
+      val pairGreen = zip_with(
+        slice(w, lit(1), m), slice(w, lit(2), m),
+        (a, b) => when(pmod(TextOps.hash32(
+          concat(a, lit("\u0001"), b)), lit(2L)) === 0L, 1L).otherwise(0L))
+      documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          (size(w) - 1).cast("long").as("t_scored"),
+          aggregate(pairGreen, lit(0L), (acc, x) => acc + x).as("n_green"))
+        .select(col("doc_id"), col("t_scored"), col("n_green"),
+          expr("n_green * 1000000L div greatest(t_scored, 1L)")
+            .as("green_ppm"),
+          expr("""(2L * n_green - t_scored) * (2L * n_green - t_scored)
+                 | * 1000000L div greatest(t_scored, 1L)""".stripMargin)
+            .as("z2_ppm"))
+        .withColumn("flagged", col("z2_ppm") >= 4000000L)
+        .orderBy(col("doc_id"))
+    }),
   )
 
   /** x151's corpus-scale aggregation: ordered-pair battle counts with
@@ -418,5 +452,26 @@ object Ext46 {
         |    AS len_ratio_ppm
         |FROM tt LEFT JOIN cl ON tt.source = cl.source AND tt.n = cl.n
         |JOIN ln ON tt.source = ln.source
-        |ORDER BY tt.source, n""".stripMargin)
+        |ORDER BY tt.source, n""".stripMargin,
+
+    "x153_watermark_detect" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |s AS (SELECT doc_id, CAST(len(w) - 1 AS BIGINT) AS t_scored,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(2, len(w) + 1), i ->
+        |        CASE WHEN CAST(concat('0x',
+        |            substr(md5(concat(w[i-1], chr(1), w[i])), 1, 8))
+        |          AS BIGINT) % 2 = 0 THEN 1 ELSE 0 END)),
+        |      (a, x) -> a + x) AS BIGINT) AS n_green
+        |  FROM w),
+        |z AS (SELECT doc_id, t_scored, n_green,
+        |    CAST(n_green * 1000000 // greatest(t_scored, 1) AS BIGINT)
+        |      AS green_ppm,
+        |    CAST((2 * n_green - t_scored) * (2 * n_green - t_scored)
+        |      * 1000000 // greatest(t_scored, 1) AS BIGINT) AS z2_ppm
+        |  FROM s)
+        |SELECT doc_id, t_scored, n_green, green_ppm, z2_ppm,
+        |  z2_ppm >= 4000000 AS flagged
+        |FROM z ORDER BY doc_id""".stripMargin)
 }

@@ -254,4 +254,59 @@ class Ext46Spec extends AnyFunSuite {
     }
     GraftCaches.releasePrior()
   }
+
+  // ---- x153 watermark detection ----
+
+  private def md5h32(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+  private def pairGreen(a: String, b: String): Boolean =
+    md5h32(a + "\u0001" + b) % 2 == 0
+
+  test("x153: equals the pair-green md5 replay on sf0.001, and the " +
+    "natural corpus flags only a small tail (the ~4.6% two-sided " +
+    "binomial rate, not everything)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val w = text.split(" ", -1)
+      val t = (w.length - 1).toLong
+      val g = w.zip(w.drop(1)).count { case (a, b) => pairGreen(a, b) }.toLong
+      val z2 = (2 * g - t) * (2 * g - t) * 1000000L / math.max(t, 1L)
+      (id, t, g, g * 1000000L / math.max(t, 1L), z2, z2 >= 4000000L)
+    }.sortBy(_._1).toSeq
+    val got = SparkEntry.queries("x153_watermark_detect")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    assert(got == want)
+    val flagRate = got.count(_._6).toDouble / got.size
+    assert(flagRate < 0.2, s"natural-text flag rate implausible: $flagRate")
+    GraftCaches.releasePrior()
+  }
+
+  test("x153: a greedily-constructed green-list document (every pair " +
+    "green) scores z2_ppm = T * 1e6 and is flagged; a 1-token doc " +
+    "scores 0 and is not") {
+    import spark.implicits._
+    val pool = (0 until 200).map(i => s"t$i")
+    val toks = scala.collection.mutable.ArrayBuffer("t0")
+    while (toks.size < 101)
+      toks += pool.find(c => pairGreen(toks.last, c)).get
+    // sanity on the generator itself
+    assert(toks.zip(toks.drop(1)).forall { case (a, b) => pairGreen(a, b) })
+    val dir = java.nio.file.Files.createTempDirectory("x153wm").toString
+    Seq((0L, toks.mkString(" ")), (1L, "lone"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x153_watermark_detect")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(4), r.getBoolean(5))).toMap
+    assert(got(0L) == ((100L, 100L, 100000000L, true)), s"planted: $got")
+    assert(got(1L) == ((0L, 0L, 0L, false)), s"degenerate: $got")
+    GraftCaches.releasePrior()
+  }
 }
