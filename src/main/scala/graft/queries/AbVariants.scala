@@ -70,6 +70,13 @@ object AbVariants {
     "x151_bradley_terry__smj" -> ((s, d) =>
       Ext46.bradleyTerry(s, d, broadcastRounds = false)),
 
+    // x152 retained negative result (round 7): persisting the pair
+    // frame loses same-boot (1.92 vs 1.70 s at sf0.1,
+    // BENCH_AB_r07_x152.json) — the three consumers prune different
+    // columns, so pruned rescans beat one full-width cached frame.
+    "x152_bleu_precision__persist" -> ((s, d) =>
+      Ext46.bleuPrecision(s, d, persistPairs = true)),
+
     // x35 candidate: cache the doubled edge set ALREADY PARTITIONED on
     // src (the degree join's own exchange provides the layout), so the
     // per-iteration rank joins stream cached edges with ZERO exchange —

@@ -160,14 +160,60 @@ object Ext46 {
     // positions x 4), one count-aggregate per side and one equi-join on
     // (pair, n, gram) — an inverted-index join, cost tracks matching
     // grams; rollup is partial-aggregable to |sources| x 4 rows.
-    "x152_bleu_precision" -> ((s, d) => {
+    "x152_bleu_precision" -> ((s, d) => bleuPrecision(s, d)),
+
+    // X153 STATISTICAL WATERMARK DETECTION (Kirchenbauer 2023, the
+    // LeftHash scheme with γ = 1/2): a green-list text watermark biases
+    // each generated token toward the half of the vocabulary selected
+    // by a hash of the preceding token; the detector scores each
+    // adjacent pair green iff hash(prev ⊕ 0x01 ⊕ token) is even and
+    // tests the green fraction against Binomial(T, 1/2). With γ = 1/2
+    // the z-statistic squares to EXACT integers: z² = (2g − T)² / T,
+    // reported as z2_ppm = (2g−T)²·10⁶ div T — no sqrt, no float.
+    // Flag at z² ≥ 4 (|z| ≥ 2 ⇒ ~4.6% false-positive rate on natural
+    // text — the curation filter for "was this document emitted by a
+    // watermarked LLM"). Per-row HOF over the pair list — one scan,
+    // embarrassingly parallel at any corpus size.
+    "x153_watermark_detect" -> ((s, d) => {
+      val w = col("w")
+      val m = greatest(size(w) - 1, lit(0))
+      val pairGreen = zip_with(
+        slice(w, lit(1), m), slice(w, lit(2), m),
+        (a, b) => when(pmod(TextOps.hash32(
+          concat(a, lit("\u0001"), b)), lit(2L)) === 0L, 1L).otherwise(0L))
+      documents(s, d)
+        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
+        .select(col("doc_id"),
+          (size(w) - 1).cast("long").as("t_scored"),
+          aggregate(pairGreen, lit(0L), (acc, x) => acc + x).as("n_green"))
+        .select(col("doc_id"), col("t_scored"), col("n_green"),
+          expr("n_green * 1000000L div greatest(t_scored, 1L)")
+            .as("green_ppm"),
+          expr("""(2L * n_green - t_scored) * (2L * n_green - t_scored)
+                 | * 1000000L div greatest(t_scored, 1L)""".stripMargin)
+            .as("z2_ppm"))
+        .withColumn("flagged", col("z2_ppm") >= 4000000L)
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  /** x152 body. `persistPairs = true` is the retained NEGATIVE result
+    * (AbVariants "__persist"): caching the pair frame LOSES same-boot
+    * at sf0.1 (1.92 vs 1.70 s min-of-3, BENCH_AB_r07_x152.json) — the
+    * three consumers prune DIFFERENT columns (w / rw / sizes), so
+    * column-pruned rescans move less data than one full-width cached
+    * frame, and at corpus scale a 2-sided text frame does not belong
+    * in executor memory anyway. */
+  private[graft] def bleuPrecision(s: SparkSession, d: String,
+      persistPairs: Boolean = false): DataFrame = {
       val docs = documents(s, d)
         .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
       val cand = docs.filter(col("doc_id") % 2 === 1)
         .select(col("doc_id").as("pair_id"), col("source"), col("w"))
       val ref = docs.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 1L).as("pair_id"), col("w").as("rw"))
-      val pairs = cand.join(ref, Seq("pair_id"))
+      val pairs0 = cand.join(ref, Seq("pair_id"))
+      val pairs = if (persistPairs) pairs0.persistTracked() else pairs0
       // Spark's sequence(1, stop) DESCENDS when stop < 1 (it would emit
       // position 0 into the 1-based slice) — so generate over a floor of
       // 1 and slice the result back to the true position count, which is
@@ -208,42 +254,7 @@ object Ext46 {
           expr("cand_len * 1000000L div greatest(ref_len, 1L)")
             .as("len_ratio_ppm"))
         .orderBy(col("source"), col("n"))
-    }),
-
-    // X153 STATISTICAL WATERMARK DETECTION (Kirchenbauer 2023, the
-    // LeftHash scheme with γ = 1/2): a green-list text watermark biases
-    // each generated token toward the half of the vocabulary selected
-    // by a hash of the preceding token; the detector scores each
-    // adjacent pair green iff hash(prev ⊕ 0x01 ⊕ token) is even and
-    // tests the green fraction against Binomial(T, 1/2). With γ = 1/2
-    // the z-statistic squares to EXACT integers: z² = (2g − T)² / T,
-    // reported as z2_ppm = (2g−T)²·10⁶ div T — no sqrt, no float.
-    // Flag at z² ≥ 4 (|z| ≥ 2 ⇒ ~4.6% false-positive rate on natural
-    // text — the curation filter for "was this document emitted by a
-    // watermarked LLM"). Per-row HOF over the pair list — one scan,
-    // embarrassingly parallel at any corpus size.
-    "x153_watermark_detect" -> ((s, d) => {
-      val w = col("w")
-      val m = greatest(size(w) - 1, lit(0))
-      val pairGreen = zip_with(
-        slice(w, lit(1), m), slice(w, lit(2), m),
-        (a, b) => when(pmod(TextOps.hash32(
-          concat(a, lit("\u0001"), b)), lit(2L)) === 0L, 1L).otherwise(0L))
-      documents(s, d)
-        .select(col("doc_id"), TextOps.words(col("text")).as("w"))
-        .select(col("doc_id"),
-          (size(w) - 1).cast("long").as("t_scored"),
-          aggregate(pairGreen, lit(0L), (acc, x) => acc + x).as("n_green"))
-        .select(col("doc_id"), col("t_scored"), col("n_green"),
-          expr("n_green * 1000000L div greatest(t_scored, 1L)")
-            .as("green_ppm"),
-          expr("""(2L * n_green - t_scored) * (2L * n_green - t_scored)
-                 | * 1000000L div greatest(t_scored, 1L)""".stripMargin)
-            .as("z2_ppm"))
-        .withColumn("flagged", col("z2_ppm") >= 4000000L)
-        .orderBy(col("doc_id"))
-    }),
-  )
+  }
 
   /** x151's corpus-scale aggregation: ordered-pair battle counts with
     * Laplace smoothing (+2 battles / +1 win per observed ordered pair).
