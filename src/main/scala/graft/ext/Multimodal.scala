@@ -7,13 +7,20 @@ import org.apache.spark.sql.functions._
   * as opaque BinaryType columns with typed metadata, processed per-partition
   * in batches — the Scala analogue of a `mapInPandas` decode stage.
   *
-  * The DECODE ITSELF IS A STUB: no image/audio codecs ship in this
-  * environment, so [[decodeStub]] derives deterministic pseudo-features from
-  * the payload bytes. Everything around it — the binary schema, the
-  * per-partition batching, the typed output encoders, the frame-sampling
-  * fan-out, the fixed-width embedding contract — is the real Spark-side
-  * structure a production decoder (JNI/FFM codec, ONNX runtime, ...) would
-  * drop into: replace the marked function body, keep the operator.
+  * What is REAL here (no codec library involved, pure byte-layout work
+  * built up over rounds 3–6): container-header decode for PNG/GIF/BMP/
+  * JPEG/WAV/AVI (magic sniffing + dimension/rate parsing), full PIXEL
+  * decode for PNG (inflate + all five filter predictors) and BMP, SAMPLE
+  * decode for PCM and IMA-ADPCM WAV, and uncompressed-AVI frame
+  * extraction — these feed the x40/x64/x65/x110/x140/x142/x145 operators
+  * with decoded pixels/samples/frames, not hashes of compressed bytes.
+  * What REMAINS STUBBED: compressed-codec payloads (mp3/h264/vorbis — no
+  * codec ships in this environment) and the learned-embedding step, where
+  * [[decodeStub]] derives deterministic pseudo-features from payload
+  * bytes. The surrounding structure — binary schema, per-partition
+  * batching, typed output encoders, frame-sampling fan-out, fixed-width
+  * embedding contract — is the production shape either way: a JNI/FFM
+  * codec or ONNX runtime drops into the marked function bodies.
   *
   * Scale notes: decode is per-row CPU work with no shuffle — it scales
   * linearly with executors; frame sampling multiplies rows by nFrames

@@ -26,6 +26,16 @@ object AbVariants {
     // sampling and the WHOLE top layer as the entry set (exact top-4
     // over ≤ topCap nodes). Kept callable so the catalog-vs-scheduled
     // cost comparison stays same-boot reproducible.
+    // x143 round-7 knobs (round 8): the PRE-knob form — sparser graph
+    // (block 64, 12-NN) and narrower search (widths 12/6/4) — whose
+    // held-out recall@3 measured 0.70 at sf0.1 (the r7 recall valley).
+    // Kept callable as the same-boot cost control for the round-8
+    // catalog knobs (block 128, 16-NN, widths 32/12/8, recall 0.95+);
+    // BENCH_AB_r08_x143_knobs.json records the comparison.
+    "x143_beam_ann__pre" -> ((s, d) => Ext43.beamAnn(s, d,
+      twoBands = true, bFull = 12, bCoarse = 6, bEntry = 4,
+      blkFull = 64, mFull = 12)),
+
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)
       val n = eQ.count()

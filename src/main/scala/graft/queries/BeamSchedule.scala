@@ -32,8 +32,8 @@ object BeamSchedule {
     * reachable without relying on sparse cross-cluster graph edges —
     * the first thing that breaks on clustered data with few entries. */
   final case class Knobs(layers: Int, nEntries: Int = 16,
-      upperHops: Int = 2, baseHops: Int = 3, bUpper: Int = 6,
-      bBase: Int = 12)
+      upperHops: Int = 2, baseHops: Int = 3, bUpper: Int = 12,
+      bBase: Int = 32)
 
   def scheduleFor(n: Long, topCap: Long = 500L): Knobs = {
     var layers = 1
@@ -44,13 +44,17 @@ object BeamSchedule {
 
   /** Layered beam ANN over an arbitrary quantized frame (vec_id,
     * q: array<bigint>): base layer gets two independent ranking bands
-    * (block 64, 12-NN), each upper layer ℓ is the deterministic
-    * vec_id % 8^ℓ sample re-ranked densely (block 16, 6-NN). Search
-    * enters at ~nEntries evenly rank-spaced top-layer nodes and
-    * descends, `upperHops` bounded hops per upper layer then
-    * `baseHops` on the base — total hops 2(L−1)+3 = O(log n), each one
-    * equi-join + exact rescore + bounded top-B window, beam persisted
-    * per hop (the Ext43 lineage-truncation rule). */
+    * (block 128, 16-NN — the round-8 catalog constants, shared with
+    * Ext43.beamAnn so the schedule at layers = 2 examines the SAME
+    * candidate mass as the tuned catalog knobs; the r7 constants'
+    * sparser 64/12 graph was the measured cause of the sf0.1 recall
+    * valley), each upper layer ℓ is the Murmur-sampled 1/8^ℓ frame
+    * re-ranked densely (block 16, 6-NN). Search enters at ~nEntries
+    * evenly rank-spaced top-layer nodes and descends, `upperHops`
+    * bounded hops per upper layer then `baseHops` on the base — total
+    * hops 2(L−1)+3 = O(log n), each one equi-join + exact rescore +
+    * bounded top-B window, beam persisted per hop (the Ext43
+    * lineage-truncation rule). */
   def beamAnnLayered(eQ: DataFrame, queryStep: Long, k: Knobs,
       perturb: Boolean = false): DataFrame = {
     val code = (0 until 16).map { p =>
@@ -65,7 +69,7 @@ object BeamSchedule {
         GlobalSeq.withSeq(e0, Seq(col("b1"), col("p0"), col("vec_id")), "s0"),
         Seq(col("b2"), col("p1"), col("vec_id")), "s1")
       .persistTracked()
-    val edges0 = Ext43.knnEdges(e, Seq("s0", "s1"), 64, 12,
+    val edges0 = Ext43.knnEdges(e, Seq("s0", "s1"), 128, 16,
       narrowShuffles = false).persistTracked()
     // upper layers, bottom-up: (sampled frame, its edges). The sample
     // predicate MURMUR-HASHES vec_id instead of the catalog's raw
@@ -79,7 +83,7 @@ object BeamSchedule {
     // construction.) Murmur3 is non-linear in the id bits and nested
     // across layers (h % 8^(ℓ+1) = 0 ⇒ h % 8^ℓ = 0) — HNSW's RNG
     // level assignment, done deterministically.
-    val uppers = (1 until k.layers).map { l =>
+    val uppers0 = (1 until k.layers).map { l =>
       val mod = math.pow(8, l).toLong
       val el = GlobalSeq.withSeq(
           e.filter(pmod(hash(col("vec_id")), lit(mod)) === 0)
@@ -89,6 +93,15 @@ object BeamSchedule {
       (el, Ext43.knnEdges(el, Seq("sc"), 16, 6, narrowShuffles = false)
         .persistTracked())
     }
+    // Hash sampling is binomial, not deterministic-count: near the topCap
+    // boundary an upper layer CAN come back empty, and an empty entry
+    // layer would silently return ZERO rows per query (round-8 ADVICE).
+    // Degrade loudly-but-correctly instead: drop empty layers (nesting
+    // h % 8^(l+1) = 0 ⇒ h % 8^l = 0 means emptiness is monotone in l, so
+    // takeWhile keeps exactly the populated prefix) and fall back to the
+    // flat base search when none survive. The layer frames are persisted
+    // and tiny — the existence probe is one cheap action per layer.
+    val uppers = uppers0.takeWhile(_._1.head(1).nonEmpty)
     val entFrame =
       if (uppers.nonEmpty) uppers.last._1.select(col("vec_id"), col("sc"))
       else e.select(col("vec_id"), col("s0").as("sc"))
@@ -118,7 +131,7 @@ object BeamSchedule {
         .select(col("q_id"), col("id"))
     }
     var beam = topB(score(
-      qs.select(col("q_id")).crossJoin(broadcast(entries))), 4)
+      qs.select(col("q_id")).crossJoin(broadcast(entries))), 8)
       .select(col("q_id"), col("id"))
     for ((_, edgesL) <- uppers.reverse; _ <- 1 to k.upperHops)
       beam = hop(beam, edgesL, k.bUpper)

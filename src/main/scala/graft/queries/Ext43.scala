@@ -115,37 +115,52 @@ object Ext43 {
   // are globally ranked by (SRP band, integer projection) via
   // GlobalSeq (range sort + O(P) offset exchange — NO corpus-scale
   // window, the x125 machinery), candidates are the equi-join of
-  // adjacent 64-rank blocks, so candidate count is ≤ 2 blocks × 2
+  // adjacent 128-rank blocks, so candidate count is ≤ 2 blocks × 2
   // bands per node — LINEAR in corpus size, immune to the skewed
   // SRP buckets that make naive bucket self-joins quadratic (this
   // corpus puts half of all vectors in one bucket). Two independent
-  // bands rescue nodes isolated in one band. Per-node nearest-M by
+  // bands rescue nodes isolated in one band. Per-node nearest-16 by
   // exact dist², then symmetrized (undirected NSW navigation).
-  // Search descends: beam over the coarse layer (2 hops), refine on
-  // the full layer (3 hops); each hop is ONE equi-join on src +
-  // exact rescoring + a top-B cut (dist² asc, id asc); the tiny beam
-  // persists per hop (lineage truncation — uncached, the plan doubles
-  // per hop and Catalyst analysis goes exponential). Per-hop work is
-  // |beam|·M rows per query; window frames bounded at B(1+M). A bigger
-  // corpus adds layers (log n) via the knob parameters, not the
-  // catalog's fixed hops.
-  // Self-recall@1 is 1.0 at sf 0.001/0.01/0.1 (the query's own node
-  // is retrieved from distance 0 — the built-in navigation check).
+  // Search descends: beam over the coarse layer (2 hops, width 12),
+  // refine on the full layer (3 hops, width 32); each hop is ONE
+  // equi-join on src + exact rescoring + a top-B cut (dist² asc, id
+  // asc); the tiny beam persists per hop (lineage truncation —
+  // uncached, the plan doubles per hop and Catalyst analysis goes
+  // exponential). Per-hop work is |beam|·M rows per query; window
+  // frames bounded at B(1+M). A bigger corpus adds layers (log n)
+  // via the knob parameters, not the catalog's fixed hops.
+  // KNOB PROVENANCE (round 8, closes the r7 recall valley): the r7
+  // knobs (blk 64, 12-NN, widths 12/6/4) measured held-out recall@3
+  // (x146) of 0.93 / 1.00 / 0.70 at sf0.001/0.01/0.1 — the sf0.1
+  // dip was graph quality, not beam width: widening search alone
+  // plateaued at 0.825; blk 128 + 16-NN alone hit 0.858; together
+  // with widths 32/12/8 the measured recall is 0.95 / 1.00 / 1.00,
+  // AND the denser graph converges faster (fewer re-expansions), so
+  // the richer construction is not a toy-scale cost regression
+  // (same-boot record BENCH_AB_r08_x143_knobs.json; RecallProbe is
+  // the sweep harness). Self-recall@1 remains 1.0 at all SFs (the
+  // query's own node is retrieved from distance 0).
   private[graft] def beamAnn(s: SparkSession, d: String,
       twoBands: Boolean, coarseLayer: Boolean = true,
       narrowShuffles: Boolean = false,
       narrowRank: Boolean = false,
       nEntries: Int = 16, coarseHops: Int = 2, fullHops: Int = 3,
-      bFull: Int = 12, hopPersist: Boolean = true,
+      bFull: Int = 32, bCoarse: Int = 12, bEntry: Int = 8,
+      blkFull: Int = 128, mFull: Int = 16, bands3: Boolean = false,
+      hopPersist: Boolean = true,
       perturbQueries: Boolean = false): DataFrame = {
       val code = (0 until 16).map { p =>
         when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-      val e0 = quantized(s, d)
+      val e00 = quantized(s, d)
         .withColumn("b1", code.bitwiseAND(lit(15L)))
         .withColumn("b2", shiftright(code, 4).bitwiseAND(lit(15L)))
         .withColumn("p0", iproj(col("q"), 16))
         .withColumn("p1", iproj(col("q"), 17))
+      val e0 = if (bands3) e00
+        .withColumn("b3", shiftright(code, 8).bitwiseAND(lit(15L)))
+        .withColumn("p2", iproj(col("q"), 18))
+      else e00
       // rank NARROW (vec_id, band, projection) frames and join the seq
       // back by key: the range sorts then move 3 longs per row instead
       // of rows carrying the 64-long q array — at any scale the sort
@@ -163,13 +178,17 @@ object Ext43 {
             Seq(col("b2"), col("p1"), col("vec_id")), "s1")
           .select(col("vec_id"), col("s1"))
         base.join(r0, "vec_id").join(r1, "vec_id")
-      } else
-        GlobalSeq.withSeq(
+      } else {
+        val two = GlobalSeq.withSeq(
           GlobalSeq.withSeq(e0, Seq(col("b1"), col("p0"), col("vec_id")), "s0"),
-          Seq(col("b2"), col("p1"), col("vec_id")), "s1"))
-        .persistTracked() // one frame, two independent rank orders
-      val fullSeqs = if (twoBands) Seq("s0", "s1") else Seq("s0")
-      val edges0 = knnEdges(e, fullSeqs, 64, 12, narrowShuffles)
+          Seq(col("b2"), col("p1"), col("vec_id")), "s1")
+        if (bands3) GlobalSeq.withSeq(two,
+          Seq(col("b3"), col("p2"), col("vec_id")), "s2")
+        else two
+      }).persistTracked() // one frame, independent rank orders
+      val fullSeqs = if (bands3) Seq("s0", "s1", "s2")
+        else if (twoBands) Seq("s0", "s1") else Seq("s0")
+      val edges0 = knnEdges(e, fullSeqs, blkFull, mFull, narrowShuffles)
         .persistTracked()
       // coarse layer: re-rank the sample so its blocks are dense
       lazy val e1 = GlobalSeq.withSeq(
@@ -222,10 +241,10 @@ object Ext43 {
           .select(col("q_id"), col("id"))
       }
       var beam = topB(score(
-        qs.select(col("q_id")).crossJoin(broadcast(entries))), 4)
+        qs.select(col("q_id")).crossJoin(broadcast(entries))), bEntry)
         .select(col("q_id"), col("id"))
       if (coarseLayer) {
-        for (_ <- 1 to coarseHops) beam = hop(beam, edges1, 6) // coarse layer
+        for (_ <- 1 to coarseHops) beam = hop(beam, edges1, bCoarse) // coarse layer
         for (_ <- 1 to fullHops) beam = hop(beam, edges0, bFull) // full layer
       } else {
         for (_ <- 1 to fullHops + 1) beam = hop(beam, edges0, bFull) // flat NSW
@@ -327,8 +346,8 @@ object Ext43 {
       .map(p => s"(CASE WHEN ${iprojSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
     val hops = Seq(
-      (1, "b0", "edges1", 6), (2, "b1", "edges1", 6),
-      (3, "b2", "edges0", 12), (4, "b3", "edges0", 12), (5, "b4", "edges0", 12))
+      (1, "b0", "edges1", 12), (2, "b1", "edges1", 12),
+      (3, "b2", "edges0", 32), (4, "b3", "edges0", 32), (5, "b4", "edges0", 32))
       .map { case (i, p, ed, b) => hopCtes(i, p, ed, b) }
       .mkString(",\n|")
     s"""e00 AS (SELECT vec_id,
@@ -344,7 +363,7 @@ object Ext43 {
       |e1 AS (SELECT vec_id, q, b1, p0,
       |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS sc
       |  FROM e WHERE vec_id % 8 = 0),
-      |${edgesCte("edges0", "e", Seq("s0", "s1"), 64, 12)},
+      |${edgesCte("edges0", "e", Seq("s0", "s1"), 128, 16)},
       |${edgesCte("edges1", "e1", Seq("sc"), 16, 6)},
       |ent AS (SELECT vec_id AS id FROM e1
       |  WHERE sc % greatest((SELECT count(*) FROM e1) // 16, 1) = 0),
@@ -353,7 +372,7 @@ object Ext43 {
       |  FROM qs CROSS JOIN ent JOIN e ev ON ev.vec_id = ent.id),
       |b0 AS (SELECT q_id, id FROM (SELECT q_id, id,
       |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
-      |  FROM s0q) WHERE rn <= 4),
+      |  FROM s0q) WHERE rn <= 8),
       |$hops,
       |fin AS (SELECT b5.q_id, b5.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
       |  FROM b5 JOIN e ev ON ev.vec_id = b5.id JOIN qs ON qs.q_id = b5.q_id)"""

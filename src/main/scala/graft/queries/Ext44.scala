@@ -41,9 +41,13 @@ object Ext44 {
         .select(
           (col("n_tokens") >= 40 && col("n_distinct") * 10 >= col("n_tokens") * 3)
             .as("a"),
-          // greatest(·, 1) guards the one ANSI-throw edge in the family:
-          // an empty document has n_tokens = 0 (and sum_w = 0, so rater B
-          // scores 0 ≥ 500 = false on both engines — hash-neutral).
+          // greatest(·, 1) is a DEFENSIVE divisor guard, not a fix for a
+          // reachable throw: split('', ' ') returns [''] on both engines
+          // (the round-7 ANSI-audit note), so n_tokens ≥ 1 for any
+          // non-NULL text — only a NULL text column or a future
+          // tokenizer change could make the divisor non-positive.
+          // Hash-neutral either way (Ext44Spec pins n_tokens = 1 for
+          // the empty document).
           (expr("(sum_w + 500L * n_tokens) * 1000L" +
               " div greatest(n_tokens, 1L) div 1000L")
             >= 500L).as("b"))

@@ -165,10 +165,16 @@ object Ext45 {
         if (mid >= 1L) { if (exists) lo = mid else hi = mid - 1L }
       }
       val L = lo
+      // `capped` surfaces the SpanCap truncation (round-8 ADVICE): when
+      // the search converges AT the cap, span_len is only a LOWER BOUND
+      // on the true longest repeat — engine and oracle agree on the
+      // capped value, so without this column the gate could never
+      // distinguish a truncated answer from an exact one.
       if (L < 1L)
         toks.sparkSession.range(0).select(
           lit(0L).as("span_len"), lit("").as("span_hash"),
-          lit(0L).as("n_occ"), lit(0L).as("n_docs"))
+          lit(0L).as("n_occ"), lit(0L).as("n_docs"),
+          lit(false).as("capped"))
       else
         spans1(L)
           .groupBy(col("h").as("span_hash"))
@@ -176,7 +182,7 @@ object Ext45 {
             countDistinct(col("doc_id")).as("n_docs"))
           .filter(col("n_occ") >= 2L)
           .select(lit(L).as("span_len"), col("span_hash"),
-            col("n_occ"), col("n_docs"))
+            col("n_occ"), col("n_docs"), lit(L == SpanCap).as("capped"))
           .orderBy(col("n_occ").desc, col("span_hash"))
           .limit(5)
     }))
@@ -290,7 +296,8 @@ object Ext45 {
         |  WHERE lo >= 1)
         |SELECT (SELECT lo FROM st$SpanRounds) AS span_len, h AS span_hash,
         |  CAST(count(*) AS BIGINT) AS n_occ,
-        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  (SELECT lo FROM st$SpanRounds) = $SpanCap AS capped
         |FROM f0 GROUP BY h HAVING count(*) >= 2
         |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin)
 }

@@ -170,10 +170,14 @@ object Ext46 {
     // tests the green fraction against Binomial(T, 1/2). With γ = 1/2
     // the z-statistic squares to EXACT integers: z² = (2g − T)² / T,
     // reported as z2_ppm = (2g−T)²·10⁶ div T — no sqrt, no float.
-    // Flag at z² ≥ 4 (|z| ≥ 2 ⇒ ~4.6% false-positive rate on natural
-    // text — the curation filter for "was this document emitted by a
-    // watermarked LLM"). Per-row HOF over the pair list — one scan,
-    // embarrassingly parallel at any corpus size.
+    // Flag at z ≥ 2, spelled exactly as z² ≥ 4 AND 2g − T > 0 (the
+    // integer sign of z): the Kirchenbauer detector is ONE-SIDED — a
+    // green-list watermark can only inflate the green fraction, so
+    // green-poor outliers are natural text, not watermarks. ~2.3%
+    // false-positive rate on natural text — the curation filter for
+    // "was this document emitted by a watermarked LLM". Per-row HOF
+    // over the pair list — one scan, embarrassingly parallel at any
+    // corpus size.
     "x153_watermark_detect" -> ((s, d) => {
       val w = col("w")
       val m = greatest(size(w) - 1, lit(0))
@@ -192,7 +196,14 @@ object Ext46 {
           expr("""(2L * n_green - t_scored) * (2L * n_green - t_scored)
                  | * 1000000L div greatest(t_scored, 1L)""".stripMargin)
             .as("z2_ppm"))
-        .withColumn("flagged", col("z2_ppm") >= 4000000L)
+        // ONE-SIDED gate (round-8 ADVICE): a green-list watermark can only
+        // INFLATE the green fraction, so the Kirchenbauer flag requires
+        // z ≥ 2, not |z| ≥ 2 — z² alone would also flag anomalously
+        // green-POOR natural text, doubling the implied false-positive
+        // semantics. 2g − T > 0 is the exact-integer sign of z.
+        .withColumn("flagged",
+          col("z2_ppm") >= 4000000L &&
+            lit(2L) * col("n_green") - col("t_scored") > 0L)
         .orderBy(col("doc_id"))
     }),
   )
@@ -483,6 +494,6 @@ object Ext46 {
         |      * 1000000 // greatest(t_scored, 1) AS BIGINT) AS z2_ppm
         |  FROM s)
         |SELECT doc_id, t_scored, n_green, green_ppm, z2_ppm,
-        |  z2_ppm >= 4000000 AS flagged
+        |  z2_ppm >= 4000000 AND 2 * n_green - t_scored > 0 AS flagged
         |FROM z ORDER BY doc_id""".stripMargin)
 }

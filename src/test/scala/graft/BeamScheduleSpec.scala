@@ -48,6 +48,27 @@ class BeamScheduleSpec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("an EMPTY upper layer (every node hashed out of the sample) " +
+    "degrades to the flat base search instead of silently returning " +
+    "zero rows — round-8 ADVICE fallback") {
+    // drop every would-be layer-1 member, so the Murmur sample is empty
+    val base = spark.range(200)
+      .select(col("id").as("vec_id"),
+        expr("""transform(sequence(0, 63), i ->
+          CAST((id * 17 + i * 13) % 1999 AS BIGINT))""").as("q"))
+      .filter(pmod(hash(col("vec_id")), lit(8L)) =!= 0)
+    val out = BeamSchedule
+      .beamAnnLayered(base, queryStep = 1L, BeamSchedule.Knobs(layers = 2))
+      .collect()
+    assert(out.nonEmpty, "empty upper layer must not empty the result")
+    val rank1 = out.filter(_.getLong(1) == 1L)
+    assert(rank1.nonEmpty)
+    // flat-search fallback still navigates: self queries retrieve
+    // themselves at distance 0
+    assert(rank1.forall(r => r.getLong(0) == r.getLong(2) && r.getLong(3) == 0L))
+    GraftCaches.releasePrior()
+  }
+
   test("30k-vector corpus: the scheduled form (3 layers) reaches " +
     "self-recall@1 >= 0.9; the fixed catalog shape (2 layers) does not " +
     "— the layer schedule is load-bearing, exactly as the r6 probe " +

@@ -19,12 +19,11 @@ class BeamScheduleSpec2 extends AnyFunSuite {
     rows.sum.toDouble / rows.length
   }
 
-  test("scheduled-form held-out recall@3: 1.000 / 1.000 / 0.625 at " +
-    "sf0.001 / 0.01 / 0.1 — beats the catalog knobs at small n (x146 " +
-    "measured 0.93 at sf0.001) but trails them at 2000 vectors (0.70), " +
-    "honestly recorded: scheduleFor is built to keep recall from " +
-    "COLLAPSING as n grows (the 30k self-recall spec), not to beat " +
-    "hand-tuned knobs at every toy scale") {
+  test("scheduled-form held-out recall@3 >= 0.9 at ALL of sf0.001 / " +
+    "0.01 / 0.1 — the round-7 valley (0.625 at sf0.1 under the old " +
+    "64/12 base graph) is closed by sharing the round-8 catalog " +
+    "constants (block 128, 16-NN, widths 32/12/8): at layers = 2 the " +
+    "schedule now examines the same candidate mass as the tuned knobs") {
     val r001 = meanRecallPm("0.001")
     val r01 = meanRecallPm("0.01")
     val r1 = meanRecallPm("0.1")
@@ -33,7 +32,7 @@ class BeamScheduleSpec2 extends AnyFunSuite {
     // tie-breaks) — bounds carry slack only against corpus regeneration
     assert(r001 >= 900.0, s"sf0.001 regressed: $r001")
     assert(r01 >= 900.0, s"sf0.01 regressed: $r01")
-    assert(r1 >= 550.0, s"sf0.1 regressed: $r1")
+    assert(r1 >= 900.0, s"sf0.1 regressed: $r1")
     GraftCaches.releasePrior()
   }
 

@@ -31,17 +31,25 @@ class Ext44Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
-  test("x144: an empty document cannot throw under ANSI (rater B's " +
-    "denominator is guarded) and rates (a=false, b=false)") {
+  test("x144: an empty document tokenizes to ONE empty token on both " +
+    "engines (split('', ' ') = ['']), so rater B's divisor is never 0 " +
+    "via empty text — the greatest(·,1) guard is defensive (NULL text / " +
+    "future tokenizer), not a reachable-throw fix") {
     import spark.implicits._
+    // pin the divisor fact the guard comment relies on: n_tokens = 1,
+    // NOT 0, for empty text
+    import org.apache.spark.sql.functions.{col, size}
+    val nEmpty = Seq("").toDF("text")
+      .select(size(graft.ext.TextOps.words(col("text"))).as("n"))
+      .collect().head.getInt(0)
+    assert(nEmpty == 1, s"words('') size = $nEmpty — ANSI-audit fact moved")
     val dir = java.nio.file.Files.createTempDirectory("x144empty").toString
     Seq((0L, ""), (1L, "some words here repeated words here"))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = SparkEntry.queries("x144_cohens_kappa")(spark, dir).collect().head
     assert(r.getAs[Long]("n") == 2L) // empty doc flowed through, no throw
-    // both docs are < 40 tokens, so rater A is false for both; the empty
-    // doc's rater B is 0 >= 500 = false (sum_w = 0, guarded denominator)
+    // both docs are < 40 tokens, so rater A is false for both
     assert(r.getAs[Long]("n_a1") == 0L)
     GraftCaches.releasePrior()
   }

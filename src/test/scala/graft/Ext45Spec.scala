@@ -170,6 +170,27 @@ class Ext45Spec extends AnyFunSuite {
       .digest(s20.mkString(" ").getBytes("UTF-8"))
       .map(b => f"${b & 0xff}%02x").mkString
     assert(r.getAs[String]("span_hash") == md)
+    assert(!r.getAs[Boolean]("capped")) // 20 ≪ SpanCap — exact answer
+    GraftCaches.releasePrior()
+  }
+
+  test("x148: a repeated span LONGER than SpanCap reports span_len = " +
+    "SpanCap with capped = true — a truncated answer is distinguishable " +
+    "from an exact one (round-8 ADVICE)") {
+    import spark.implicits._
+    // two docs sharing a 600-token run: true longest repeat (600) exceeds
+    // the 511 cap, so the search must converge AT the cap and say so
+    val s600 = (1 to 600).map(i => s"c$i")
+    val doc1 = ((1 to 10).map(i => s"u$i") ++ s600).mkString(" ")
+    val doc2 = (s600 ++ (1 to 10).map(i => s"v$i")).mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x148cap").toString
+    Seq((0L, doc1), (1L, doc2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x148_longest_repeat")(spark, dir).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("span_len") ==
+      graft.queries.Ext45.SpanCap))
+    assert(out.forall(_.getAs[Boolean]("capped")))
     GraftCaches.releasePrior()
   }
 

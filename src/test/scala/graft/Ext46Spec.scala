@@ -267,8 +267,9 @@ class Ext46Spec extends AnyFunSuite {
     md5h32(a + "\u0001" + b) % 2 == 0
 
   test("x153: equals the pair-green md5 replay on sf0.001, and the " +
-    "natural corpus flags only a small tail (the ~4.6% two-sided " +
-    "binomial rate, not everything)") {
+    "natural corpus flags only a small tail (the ~2.3% ONE-SIDED " +
+    "binomial rate — a green-list watermark can only INFLATE the green " +
+    "fraction, so green-poor outliers are not flagged)") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), col("text")).collect()
       .map(r => (r.getLong(0), r.getString(1)))
@@ -277,7 +278,8 @@ class Ext46Spec extends AnyFunSuite {
       val t = (w.length - 1).toLong
       val g = w.zip(w.drop(1)).count { case (a, b) => pairGreen(a, b) }.toLong
       val z2 = (2 * g - t) * (2 * g - t) * 1000000L / math.max(t, 1L)
-      (id, t, g, g * 1000000L / math.max(t, 1L), z2, z2 >= 4000000L)
+      (id, t, g, g * 1000000L / math.max(t, 1L), z2,
+        z2 >= 4000000L && 2 * g - t > 0)
     }.sortBy(_._1).toSeq
     val got = SparkEntry.queries("x153_watermark_detect")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Dev harness (not a spec): sweep beamAnn knob settings against the
+  * x146 held-out ground truth at each SF in ONE session, printing mean
+  * recall@3 per setting. Drives the round-8 knob choice for closing the
+  * sf0.1 recall valley (VERDICT r7 task #1). Run:
+  *   sbt -batch "Test/runMain graft.RecallProbe"
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = TestSpark.spark
+    val sfs = if (args.nonEmpty) args.toSeq else Seq("0.1", "0.01", "0.001")
+    for (sf <- sfs) {
+      val d = s"/root/testdata/sf$sf"
+      val e0 = graft.queries.Ext43.quantized(spark, d).persist()
+      val qs = e0.filter(col("vec_id") % 50 === 0)
+        .select(col("vec_id").as("q_id"),
+          expr(graft.queries.Ext43.PerturbSql).as("qq"))
+      val gt = e0.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("vec_id"),
+          graft.queries.Ext43.idist2Hof(col("qq"), col("q")).as("dist2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("vec_id"))))
+        .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(tag: String)(run: => org.apache.spark.sql.DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val got = run.select(col("q_id"), col("vec_id"))
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+        val r = got.count(gt.contains).toDouble / gt.size
+        val secs = (System.nanoTime() - t0) / 1e9
+        println(f"PROBE sf=$sf $tag%-40s recall@3=$r%.3f  ($secs%.1f s)")
+        GraftCaches.releasePrior()
+      }
+      def ba(nE: Int, ch: Int, fh: Int, bF: Int, bC: Int, bE: Int,
+          blk: Int = 64, m: Int = 12, b3: Boolean = false) =
+        graft.queries.Ext43.beamAnn(spark, d, twoBands = true,
+          nEntries = nE, coarseHops = ch, fullHops = fh, bFull = bF,
+          bCoarse = bC, bEntry = bE, blkFull = blk, mFull = m,
+          bands3 = b3, perturbQueries = true)
+      recall("blk128m16(16,2,3,24,10,8)")(
+        ba(16, 2, 3, 24, 10, 8, blk = 128, m = 16))
+      recall("blk128m16w32(16,2,3,32,12,8)")(
+        ba(16, 2, 3, 32, 12, 8, blk = 128, m = 16))
+      recall("blk128m20(16,2,3,24,10,8)")(
+        ba(16, 2, 3, 24, 10, 8, blk = 128, m = 20))
+      recall("blk128m16b3(16,2,3,24,10,8)")(
+        ba(16, 2, 3, 24, 10, 8, blk = 128, m = 16, b3 = true))
+      recall("blk192m16(16,2,3,24,10,8)")(
+        ba(16, 2, 3, 24, 10, 8, blk = 192, m = 16))
+      e0.unpersist()
+    }
+    spark.stop()
+  }
+}
