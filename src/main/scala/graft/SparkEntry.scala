@@ -90,7 +90,8 @@ object SparkEntry {
       graft.queries.Ext43.queries ++
       graft.queries.Ext44.queries ++
       graft.queries.Ext45.queries ++
-      graft.queries.Ext46.queries
+      graft.queries.Ext46.queries ++
+      graft.queries.Ext47.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -143,5 +144,6 @@ object SparkEntry {
       graft.queries.Ext43.oracleSql ++
       graft.queries.Ext44.oracleSql ++
       graft.queries.Ext45.oracleSql ++
-      graft.queries.Ext46.oracleSql
+      graft.queries.Ext46.oracleSql ++
+      graft.queries.Ext47.oracleSql
 }

@@ -1,0 +1,293 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import graft.ext.TextOps
+
+/** Round-8 batch: generation-eval metrics #2 and #3 (VERDICT r7 tasks
+  * 6–7), completing the MT/summarization family around x152's BLEU:
+  *
+  *   - x154 ROUGE-L: LCS-based precision/recall/F over candidate vs
+  *     reference token sequences (Lin 2004) — the summarization metric.
+  *   - x155 chrF: character n-gram F2 score, n = 1..6 with multiset
+  *     clipping (Popović 2015) — the tokenization-free MT metric.
+  *
+  * Float discipline (the family rule): every statistic is exact BIGINT —
+  * ratios in ppm via `div`, F-scores composed from ppm operands with a
+  * documented floor at each step, identical spelling in the DuckDB
+  * oracle.
+  *
+  * The LCS is the interesting operator: a sequential DP that plain SQL
+  * can't express cell by cell. Spelled here as the BIT-PARALLEL
+  * Allison–Dix / Hyyrö row recurrence — per candidate token c,
+  *   V' = (V + (V & M(c))) | (V & ~M(c)),   LCS = m − popcount(V)
+  * (M(c) = bitmask of c's positions in the reference; V starts all-ones
+  * over m bits). The CARRY of the addition performs the DP row's prefix
+  * propagation, so each row update is O(1) bitvector ops instead of an
+  * O(m) sequential scan. State is TWO 62-bit BIGINT limbs (62 keeps
+  * `V + (V&M)` off the sign bit; the cross-limb carry is one shift),
+  * giving a 124-token window per side — above this corpus's longest
+  * document — with truncation SURFACED as `n_capped` (the x148 `capped`
+  * lesson: a lower-bound answer must be distinguishable from an exact
+  * one). The whole fold is one `aggregate` HOF over the candidate
+  * tokens — partition-local, no shuffle — and the SAME fold is spelled
+  * in DuckDB via list_reduce, so the oracle is an independent engine
+  * executing the identical integer recurrence (validated 40/40 against
+  * a classic-DP brute force across both limbs at build time; Ext47Spec
+  * re-pins the equivalence in pure Scala).
+  *
+  * Pairing contract (shared with x152): candidate = odd doc_id,
+  * reference = doc_id − 1, one equi-join on the pair key; rollups are
+  * per candidate `source`. Scale shape: x154's only shuffles are the
+  * pair equi-join and a |sources|-bounded groupBy; x155 adds the
+  * (pair, n, gram) inverted-index join (x152's shape — cost tracks
+  * matching grams, never the cross product). No all-pairs anywhere.
+  */
+object Ext47 {
+
+  /** Token cap per side for the bit-parallel LCS: 2 limbs × 62 bits.
+    * Documents here max ~110 whitespace tokens, so the cap never binds
+    * on the driver corpus; when it does bind (longer corpora), the
+    * truncation is surfaced per source as `n_capped`. */
+  val LcsCap = 124
+
+  /** The two-limb Allison–Dix fold as one Spark SQL expression over
+    * pair columns `cw` (candidate tokens, ≤ LcsCap) and `rw`
+    * (reference tokens, ≤ LcsCap). Yields the final bitvector struct;
+    * LCS = size(rw) − popcount(hi) − popcount(lo). */
+  private[graft] val lcsFoldSql: String = {
+    // Match masks, one per candidate token: the set bits of its
+    // occurrences in the reference, split lo = positions 1..62,
+    // hi = 63..124. Nested IFs (not AND) guarantee element_at is only
+    // evaluated in-bounds under ANSI.
+    val masks =
+      """transform(cw, c -> named_struct(
+        |    'hi', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
+        |      a + IF(j > 62 AND j <= size(rw),
+        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 63), 0L), 0L)),
+        |    'lo', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
+        |      a + IF(j <= least(size(rw), 62),
+        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 1), 0L), 0L))))"""
+        .stripMargin
+    // V starts all-ones over m bits. Each step: U = V & M; S = V + U
+    // with the lo→hi carry ((lo + ulo) >> 62 — both operands < 2^62, so
+    // the sum stays positive and the shift is the exact carry bit);
+    // OR with V & ~M; re-mask each limb to its live bits.
+    s"""aggregate($masks,
+       |  named_struct(
+       |    'hi', shiftleft(1L, greatest(size(rw) - 62, 0)) - 1L,
+       |    'lo', shiftleft(1L, least(size(rw), 62)) - 1L),
+       |  (v, mk) -> named_struct(
+       |    'hi', ((v.hi + (v.hi & mk.hi)
+       |            + shiftright(v.lo + (v.lo & mk.lo), 62))
+       |           | (v.hi & ~mk.hi))
+       |          & (shiftleft(1L, greatest(size(rw) - 62, 0)) - 1L),
+       |    'lo', (((v.lo + (v.lo & mk.lo)) & (shiftleft(1L, 62) - 1L))
+       |           | (v.lo & ~mk.lo))
+       |          & (shiftleft(1L, least(size(rw), 62)) - 1L)))""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X154 ROUGE-L (Lin 2004) aggregated per source:
+    //   per pair: lcs = LCS(cand tokens, ref tokens)
+    //   micro: P = Σlcs/Σ|c|, R = Σlcs/Σ|r|, F1 = 2Σlcs/(Σ|c|+Σ|r|)
+    //   macro: mean over pairs of 2·lcs/(|c|+|r|)
+    // all floored ppm BIGINT. The F1 spelling 2Σlcs/(Σ|c|+Σ|r|) IS the
+    // harmonic mean of micro P and R computed exactly — composing the
+    // two already-floored ppm values would double-floor.
+    "x154_rouge_l" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.words(col("text")).as("w"))
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("source"),
+          expr(s"slice(w, 1, $LcsCap)").as("cw"),
+          (size(col("w")) > LcsCap).as("ccap"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1L).as("pair_id"),
+          expr(s"slice(w, 1, $LcsCap)").as("rw"),
+          (size(col("w")) > LcsCap).as("rcap"))
+      val per = cand.join(ref, Seq("pair_id"))
+        .withColumn("st", expr(lcsFoldSql))
+        .select(col("source"),
+          size(col("cw")).cast("long").as("nc"),
+          size(col("rw")).cast("long").as("m"),
+          (col("ccap") || col("rcap")).as("cap"),
+          (size(col("rw")) - expr("bit_count(st.hi)")
+            - expr("bit_count(st.lo)")).cast("long").as("lcs"))
+      per.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("lcs")).as("lcs_sum"),
+          sum(col("nc")).as("cand_len"),
+          sum(col("m")).as("ref_len"),
+          sum(when(col("cap"), 1L).otherwise(0L)).as("n_capped"),
+          sum(expr("2L * lcs * 1000000L div greatest(nc + m, 1L)"))
+            .as("f_sum"))
+        .select(col("source"), col("n_pairs"), col("lcs_sum"),
+          col("cand_len"), col("ref_len"), col("n_capped"),
+          expr("lcs_sum * 1000000L div greatest(cand_len, 1L)").as("p_ppm"),
+          expr("lcs_sum * 1000000L div greatest(ref_len, 1L)").as("r_ppm"),
+          expr("2L * lcs_sum * 1000000L div greatest(cand_len + ref_len, 1L)")
+            .as("f_ppm"),
+          expr("f_sum div greatest(n_pairs, 1L)").as("macro_f_ppm"))
+        .orderBy(col("source"))
+    }),
+
+    // X155 chrF (Popović 2015): character n-gram F-score, n = 1..6,
+    // over whitespace-stripped text (chrF's published convention),
+    // MULTISET-clipped like x152's BLEU, micro-averaged per (source, n).
+    // β = 2 weights recall: F2 = 5PR/(4P+R), composed from the floored
+    // ppm P and R (documented double-floor — both engines identical).
+    // 5·P·R ≤ 5e12 — no BIGINT overflow.
+    "x155_chrf" -> ((s, d) => {
+      val docs = documents(s, d).select(col("doc_id"), col("source"),
+        expr("replace(text, ' ', '')").as("t"))
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("source"), col("t").as("ct"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1L).as("pair_id"), col("t").as("rt"))
+      val pairs = cand.join(ref, Seq("pair_id"))
+      // x152's sequence gotcha: sequence(1, stop) DESCENDS when stop < 1,
+      // so generate over a floor of 1 and slice back to the true count.
+      def grams(tc: String): Column = explode(expr(
+        s"""flatten(transform(sequence(1, 6), n ->
+           |  slice(
+           |    transform(sequence(1, greatest(length($tc) - n + 1, 1)), i ->
+           |      named_struct('n', n, 'g', substring($tc, i, n))),
+           |    1, greatest(length($tc) - n + 1, 0))))""".stripMargin))
+      val cc = pairs.select(col("pair_id"), col("source"), grams("ct").as("x"))
+        .groupBy(col("pair_id"), col("source"),
+          col("x.n").cast("long").as("n"), col("x.g").as("g"))
+        .agg(count(lit(1)).as("c_c"))
+      val rc = pairs.select(col("pair_id"), col("source"), grams("rt").as("x"))
+        .groupBy(col("pair_id"), col("source"),
+          col("x.n").cast("long").as("n"), col("x.g").as("g"))
+        .agg(count(lit(1)).as("c_r"))
+      val cl = cc.join(rc.drop("source"), Seq("pair_id", "n", "g"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"))
+      val tc = cc.groupBy(col("source"), col("n"))
+        .agg(sum(col("c_c")).as("total_cand"))
+      val tr = rc.groupBy(col("source"), col("n"))
+        .agg(sum(col("c_r")).as("total_ref"))
+      tc.join(cl, Seq("source", "n"), "left")
+        .join(tr, Seq("source", "n"), "left")
+        .select(col("source"), col("n"),
+          coalesce(col("clipped"), lit(0L)).as("clipped"),
+          col("total_cand"),
+          coalesce(col("total_ref"), lit(0L)).as("total_ref"),
+          expr("coalesce(clipped, 0L) * 1000000L div greatest(total_cand, 1L)")
+            .as("p_ppm"),
+          expr("coalesce(clipped, 0L) * 1000000L" +
+            " div greatest(coalesce(total_ref, 0L), 1L)").as("r_ppm"))
+        .withColumn("f2_ppm",
+          expr("5L * p_ppm * r_ppm div greatest(4L * p_ppm + r_ppm, 1L)"))
+        .orderBy(col("source"), col("n"))
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x154_rouge_l" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |    FROM documents),
+        |pr AS (SELECT c.doc_id AS pair_id, c.source,
+        |    c.w[1 : $LcsCap] AS cw, r.w[1 : $LcsCap] AS rw,
+        |    (len(c.w) > $LcsCap OR len(r.w) > $LcsCap) AS cap
+        |  FROM (SELECT * FROM d WHERE doc_id % 2 = 1) c
+        |  JOIN (SELECT doc_id + 1 AS pid, w FROM d WHERE doc_id % 2 = 0) r
+        |    ON c.doc_id = r.pid),
+        |st AS (SELECT pair_id, source, cap,
+        |    CAST(len(cw) AS BIGINT) AS nc, CAST(len(rw) AS BIGINT) AS m,
+        |    list_reduce(list_prepend(
+        |      {hi: (CAST(1 AS BIGINT) << greatest(len(rw) - 62, 0)) - 1,
+        |       lo: (CAST(1 AS BIGINT) << least(len(rw), 62)) - 1},
+        |      list_transform(cw, c -> {
+        |        hi: coalesce(list_aggregate(
+        |          list_transform(range(1, len(rw) + 1), j ->
+        |            CASE WHEN j > 62 AND rw[CAST(j AS INT)] = c
+        |                 THEN CAST(1 AS BIGINT) << CAST(j - 63 AS INT)
+        |                 ELSE CAST(0 AS BIGINT) END), 'sum'), 0),
+        |        lo: coalesce(list_aggregate(
+        |          list_transform(range(1, len(rw) + 1), j ->
+        |            CASE WHEN j <= 62 AND rw[CAST(j AS INT)] = c
+        |                 THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+        |                 ELSE CAST(0 AS BIGINT) END), 'sum'), 0)})),
+        |      (v, mk) -> {
+        |        hi: (((v.hi + (v.hi & mk.hi) +
+        |               ((v.lo + (v.lo & mk.lo)) >> 62)) |
+        |              (v.hi & ~mk.hi))
+        |             & ((CAST(1 AS BIGINT) << greatest(len(rw) - 62, 0)) - 1)),
+        |        lo: ((((v.lo + (v.lo & mk.lo)) &
+        |               ((CAST(1 AS BIGINT) << 62) - 1)) |
+        |              (v.lo & ~mk.lo))
+        |             & ((CAST(1 AS BIGINT) << least(len(rw), 62)) - 1))})
+        |      AS v
+        |  FROM pr),
+        |pp AS (SELECT source, cap, nc, m,
+        |    m - CAST(bit_count(v.hi) AS BIGINT)
+        |      - CAST(bit_count(v.lo) AS BIGINT) AS lcs
+        |  FROM st),
+        |ag AS (SELECT source,
+        |    CAST(count(*) AS BIGINT) AS n_pairs,
+        |    CAST(sum(lcs) AS BIGINT) AS lcs_sum,
+        |    CAST(sum(nc) AS BIGINT) AS cand_len,
+        |    CAST(sum(m) AS BIGINT) AS ref_len,
+        |    CAST(sum(CASE WHEN cap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |    CAST(sum(2 * lcs * 1000000 // greatest(nc + m, 1)) AS BIGINT)
+        |      AS f_sum
+        |  FROM pp GROUP BY source)
+        |SELECT source, n_pairs, lcs_sum, cand_len, ref_len, n_capped,
+        |  CAST(lcs_sum * 1000000 // greatest(cand_len, 1) AS BIGINT) AS p_ppm,
+        |  CAST(lcs_sum * 1000000 // greatest(ref_len, 1) AS BIGINT) AS r_ppm,
+        |  CAST(2 * lcs_sum * 1000000 // greatest(cand_len + ref_len, 1)
+        |    AS BIGINT) AS f_ppm,
+        |  CAST(f_sum // greatest(n_pairs, 1) AS BIGINT) AS macro_f_ppm
+        |FROM ag ORDER BY source""".stripMargin,
+
+    "x155_chrf" ->
+      """WITH d AS (SELECT doc_id, source, replace(text, ' ', '') AS t
+        |    FROM documents),
+        |pr AS (SELECT c.doc_id AS pair_id, c.source, c.t AS ct, r.t AS rt
+        |  FROM (SELECT * FROM d WHERE doc_id % 2 = 1) c
+        |  JOIN (SELECT doc_id + 1 AS pid, t FROM d WHERE doc_id % 2 = 0) r
+        |    ON c.doc_id = r.pid),
+        |nn AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        |cg AS (SELECT pair_id, source, n, substr(ct, CAST(i AS INT), n) AS g
+        |  FROM (SELECT pair_id, source, n, ct,
+        |      unnest(range(1, greatest(length(ct) - n + 2, 1))) AS i
+        |    FROM pr, nn)),
+        |rg AS (SELECT pair_id, source, n, substr(rt, CAST(i AS INT), n) AS g
+        |  FROM (SELECT pair_id, source, n, rt,
+        |      unnest(range(1, greatest(length(rt) - n + 2, 1))) AS i
+        |    FROM pr, nn)),
+        |cc AS (SELECT pair_id, source, n, g, CAST(count(*) AS BIGINT) AS c_c
+        |  FROM cg GROUP BY 1, 2, 3, 4),
+        |rc AS (SELECT pair_id, source, n, g, CAST(count(*) AS BIGINT) AS c_r
+        |  FROM rg GROUP BY 1, 2, 3, 4),
+        |cl AS (SELECT cc.source, cc.n,
+        |    CAST(sum(least(c_c, c_r)) AS BIGINT) AS clipped
+        |  FROM cc JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n
+        |    AND cc.g = rc.g
+        |  GROUP BY 1, 2),
+        |tc AS (SELECT source, n, CAST(sum(c_c) AS BIGINT) AS total_cand
+        |  FROM cc GROUP BY 1, 2),
+        |tr AS (SELECT source, n, CAST(sum(c_r) AS BIGINT) AS total_ref
+        |  FROM rc GROUP BY 1, 2),
+        |fin AS (SELECT tc.source, CAST(tc.n AS BIGINT) AS n,
+        |    CAST(coalesce(clipped, 0) AS BIGINT) AS clipped, total_cand,
+        |    CAST(coalesce(total_ref, 0) AS BIGINT) AS total_ref,
+        |    CAST(coalesce(clipped, 0) * 1000000 // greatest(total_cand, 1)
+        |      AS BIGINT) AS p_ppm,
+        |    CAST(coalesce(clipped, 0) * 1000000
+        |      // greatest(coalesce(total_ref, 0), 1) AS BIGINT) AS r_ppm
+        |  FROM tc LEFT JOIN cl ON tc.source = cl.source AND tc.n = cl.n
+        |  LEFT JOIN tr ON tc.source = tr.source AND tc.n = tr.n)
+        |SELECT source, n, clipped, total_cand, total_ref, p_ppm, r_ppm,
+        |  CAST(5 * p_ppm * r_ppm // greatest(4 * p_ppm + r_ppm, 1)
+        |    AS BIGINT) AS f2_ppm
+        |FROM fin ORDER BY source, n""".stripMargin,
+  )
+}

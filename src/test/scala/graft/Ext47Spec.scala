@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** x154 ROUGE-L / x155 chrF: full independent replays at sf0.001 (the
+  * LCS replay is the CLASSIC O(n·m) dynamic program — deliberately a
+  * third spelling, so the engine's bit-parallel Allison–Dix fold and
+  * the oracle's list_reduce twin are both checked against textbook
+  * code), plus planted corpora for the hand-checkable boundary cases
+  * (known LCS, the 124-token cap surfacing, clipping, the absent-row
+  * semantics for n-gram orders longer than every candidate).
+  */
+class Ext47Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Classic DP LCS over token sequences — the textbook recurrence. */
+  private def lcsDP(a: Seq[String], b: Seq[String]): Long = {
+    val m = Array.ofDim[Int](a.length + 1, b.length + 1)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      m(i)(j) =
+        if (a(i - 1) == b(j - 1)) m(i - 1)(j - 1) + 1
+        else math.max(m(i - 1)(j), m(i)(j - 1))
+    m(a.length)(b.length).toLong
+  }
+
+  /** Engine tokenizer twin: Spark split(text, " ") = Java split limit -1
+    * (keeps empties; "" tokenizes to [""]). */
+  private def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
+
+  test("x154: equals the classic-DP LCS replay per source on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = docs.map(d => d._1 -> d).toMap
+    case class P(source: String, nc: Long, m: Long, cap: Boolean, lcs: Long)
+    val pairs = docs.filter(_._1 % 2 == 1).flatMap {
+      case (id, src, ctext) =>
+        byId.get(id - 1).map { case (_, _, rtext) =>
+          val cAll = toks(ctext); val rAll = toks(rtext)
+          val cw = cAll.take(124); val rw = rAll.take(124)
+          P(src, cw.length.toLong, rw.length.toLong,
+            cAll.length > 124 || rAll.length > 124, lcsDP(cw, rw))
+        }
+    }
+    val expected = pairs.groupBy(_.source).map { case (src, ps) =>
+      val lcs = ps.map(_.lcs).sum
+      val cl = ps.map(_.nc).sum; val rl = ps.map(_.m).sum
+      val fSum = ps.map(p => 2L * p.lcs * 1000000L / math.max(p.nc + p.m, 1L)).sum
+      (src, ps.length.toLong, lcs, cl, rl, ps.count(_.cap).toLong,
+        lcs * 1000000L / math.max(cl, 1L),
+        lcs * 1000000L / math.max(rl, 1L),
+        2L * lcs * 1000000L / math.max(cl + rl, 1L),
+        fSum / math.max(ps.length.toLong, 1L))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("x154_rouge_l")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7),
+        r.getLong(8), r.getLong(9))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._3).sum > 0L) // non-degenerate corpus
+    GraftCaches.releasePrior()
+  }
+
+  test("x154 planted: known LCS on a hand-checkable pair; a 150-token " +
+    "identical pair exceeds the 124-token window and reports " +
+    "n_capped = 1 with lcs = 124 (the truncation is SURFACED, " +
+    "x148's capped lesson)") {
+    import spark.implicits._
+    val run150 = (1 to 150).map(i => s"t$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x154").toString
+    Seq(
+      (0L, "the cat sat on the mat", "s1"),
+      (1L, "the dog sat on a mat", "s1"),
+      (2L, run150, "s2"),
+      (3L, run150, "s2"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x154_rouge_l")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8),
+          r.getLong(9))).toMap
+    // s1: LCS(the dog sat on a mat | the cat sat on the mat) =
+    // [the, sat, on, mat] = 4 over 6+6 tokens
+    assert(rows("s1") == (1L, 4L, 6L, 6L, 0L,
+      4000000L / 6L, 4000000L / 6L, 8000000L / 12L, 8000000L / 12L))
+    // s2: both sides truncate 150 → 124 identical tokens
+    assert(rows("s2") == (1L, 124L, 124L, 124L, 1L,
+      1000000L, 1000000L, 1000000L, 1000000L))
+    GraftCaches.releasePrior()
+  }
+
+  /** chrF replay twin: char n-gram multiset of the space-stripped text. */
+  private def charGrams(t: String, n: Int): Map[String, Long] = {
+    val s = t.replace(" ", "")
+    (0 to s.length - n).map(i => s.substring(i, i + n))
+      .groupBy(identity).map { case (g, o) => g -> o.length.toLong }
+  }
+
+  test("x155: equals the char-n-gram multiset-clipping replay per " +
+    "(source, n) on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = docs.map(d => d._1 -> d).toMap
+    val perPair = docs.filter(_._1 % 2 == 1).flatMap {
+      case (id, src, ctext) =>
+        byId.get(id - 1).toSeq.flatMap { case (_, _, rtext) =>
+          (1 to 6).map { n =>
+            val cg = charGrams(ctext, n); val rg = charGrams(rtext, n)
+            val clip = cg.map { case (g, c) =>
+              math.min(c, rg.getOrElse(g, 0L)) }.sum
+            (src, n.toLong, clip, cg.values.sum, rg.values.sum)
+          }
+        }
+    }
+    val expected = perPair.groupBy(p => (p._1, p._2)).toSeq
+      .map { case ((src, n), ps) =>
+        val clip = ps.map(_._3).sum
+        val tc = ps.map(_._4).sum; val tr = ps.map(_._5).sum
+        val p = clip * 1000000L / math.max(tc, 1L)
+        val r = clip * 1000000L / math.max(tr, 1L)
+        (src, n, clip, tc, tr, p, r,
+          5L * p * r / math.max(4L * p + r, 1L))
+      }
+      // engine rows exist only where the CANDIDATE side has grams
+      .filter(_._4 > 0L)
+      .sortBy(t => (t._1, t._2))
+    val got = SparkEntry.queries("x155_chrf")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._3).sum > 0L)
+    GraftCaches.releasePrior()
+  }
+
+  test("x155 planted: multiset clipping credits repeats per occurrence, " +
+    "and n-gram orders longer than every candidate produce NO row " +
+    "(cand 'abab' = 4 chars → rows for n = 1..4 only)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("x155").toString
+    Seq((0L, "abc", "m"), (1L, "ab ab", "m"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x155_chrf")(spark, dir).collect()
+      .map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7))).toMap
+    assert(rows.keySet == Set(1L, 2L, 3L, 4L))
+    // n=1: cand a,b,a,b vs ref a,b,c — clipped = min(2,1)+min(2,1) = 2,
+    // NOT the set overlap 2-of-2: the clip caps the cand's repeats at
+    // the ref count (500000 ppm precision, not 1000000)
+    val p1 = 2L * 1000000L / 4L; val r1 = 2L * 1000000L / 3L
+    assert(rows(1L) == (2L, 4L, 3L, p1, r1,
+      5L * p1 * r1 / (4L * p1 + r1)))
+    // n=2: cand ab,ba,ab vs ref ab,bc — clipped min(2,1) = 1
+    val p2 = 1L * 1000000L / 3L; val r2 = 1L * 1000000L / 2L
+    assert(rows(2L) == (1L, 3L, 2L, p2, r2,
+      5L * p2 * r2 / (4L * p2 + r2)))
+    // n=3: no shared gram (aba,bab vs abc); n=4: ref has NO 4-gram —
+    // total_ref = 0, everything 0 (the guarded divisors)
+    assert(rows(3L) == (0L, 2L, 1L, 0L, 0L, 0L))
+    assert(rows(4L) == (0L, 1L, 0L, 0L, 0L, 0L))
+    GraftCaches.releasePrior()
+  }
+}
