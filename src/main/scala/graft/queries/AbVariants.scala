@@ -36,6 +36,21 @@ object AbVariants {
       twoBands = true, bFull = 12, bCoarse = 6, bEntry = 4,
       blkFull = 64, mFull = 12)),
 
+    // x143 construction-persist probes (round 8, VERDICT r7 #3): the
+    // rank chain re-executes its input for range sampling + zipWithIndex
+    // counts, so these cache (a) the quantized SRP projection, (b) also
+    // the inner ranked frame. MEASURED NEUTRAL same-boot
+    // (BENCH_AB_r08_x143_persist.json: persistqr 11.93 s vs catalog
+    // 12.03 s min-of-5; the 3-arm probe run read 12.98/13.65/13.57) —
+    // at toy scale the construction is stage-latency-bound, not
+    // recompute-bound, so the catalog keeps the persist-free form (two
+    // fewer cached corpus-scale frames in executor memory at 100 TB).
+    // Hash-neutral either way — persists change execution, not results.
+    "x143_beam_ann__persistq" -> ((s, d) => Ext43.beamAnn(s, d,
+      twoBands = true, persistQuant = true)),
+    "x143_beam_ann__persistqr" -> ((s, d) => Ext43.beamAnn(s, d,
+      twoBands = true, persistQuant = true, persistRank = true)),
+
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)
       val n = eQ.count()

@@ -148,6 +148,7 @@ object Ext43 {
       bFull: Int = 32, bCoarse: Int = 12, bEntry: Int = 8,
       blkFull: Int = 128, mFull: Int = 16, bands3: Boolean = false,
       hopPersist: Boolean = true,
+      persistQuant: Boolean = false, persistRank: Boolean = false,
       perturbQueries: Boolean = false): DataFrame = {
       val code = (0 until 16).map { p =>
         when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
@@ -179,9 +180,19 @@ object Ext43 {
           .select(col("vec_id"), col("s1"))
         base.join(r0, "vec_id").join(r1, "vec_id")
       } else {
+        // VERDICT r7 #3 probe knobs: the nested rank chain EXECUTES its
+        // input several times (each GlobalSeq.withSeq runs its child for
+        // range-partitioner sampling plus zipWithIndex's O(P) count job,
+        // and the outer sort re-runs the inner), so without a persist the
+        // SRP quantize projection recomputes from parquet per pass.
+        // persistQuant caches the quantized projection before the chain;
+        // persistRank additionally caches the inner ranked frame.
+        val eq = if (persistQuant) e0.persistTracked() else e0
+        val one =
+          GlobalSeq.withSeq(eq, Seq(col("b1"), col("p0"), col("vec_id")), "s0")
+        val oneR = if (persistRank) one.persistTracked() else one
         val two = GlobalSeq.withSeq(
-          GlobalSeq.withSeq(e0, Seq(col("b1"), col("p0"), col("vec_id")), "s0"),
-          Seq(col("b2"), col("p1"), col("vec_id")), "s1")
+          oneR, Seq(col("b2"), col("p1"), col("vec_id")), "s1")
         if (bands3) GlobalSeq.withSeq(two,
           Seq(col("b3"), col("p2"), col("vec_id")), "s2")
         else two
