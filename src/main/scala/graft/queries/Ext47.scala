@@ -12,6 +12,8 @@ import graft.ext.TextOps
   *     reference token sequences (Lin 2004) — the summarization metric.
   *   - x155 chrF: character n-gram F2 score, n = 1..6 with multiset
   *     clipping (Popović 2015) — the tokenization-free MT metric.
+  *   - x156 WER: word error rate via Myers' (1999) bit-parallel
+  *     Levenshtein over token sequences — the ASR eval metric.
   *
   * Float discipline (the family rule): every statistic is exact BIGINT —
   * ratios in ppm via `div`, F-scores composed from ppm operands with a
@@ -86,6 +88,109 @@ object Ext47 {
        |    'lo', (((v.lo + (v.lo & mk.lo)) & (shiftleft(1L, 62) - 1L))
        |           | (v.lo & ~mk.lo))
        |          & (shiftleft(1L, least(size(rw), 62)) - 1L)))""".stripMargin
+  }
+
+  // ---- x156 WER: bit-parallel Myers edit distance, shared generator --
+
+  /** Dialect hooks — Spark SQL and DuckDB spell shifts, xor and BIGINT
+    * literals differently; the Myers step itself is generated ONCE by
+    * [[myersStep]], so the two engines cannot drift. */
+  private final case class Dia(
+      shl: (String, String) => String, shr: (String, String) => String,
+      xor: (String, String) => String, lng: Long => String)
+  private val SparkDia = Dia(
+    (x, n) => s"shiftleft($x, $n)", (x, n) => s"shiftright($x, $n)",
+    (a, b) => s"($a ^ $b)", v => s"${v}L")
+  private val DuckDia = Dia(
+    (x, n) => s"($x << $n)", (x, n) => s"($x >> $n)",
+    (a, b) => s"xor($a, $b)", v => s"CAST($v AS BIGINT)")
+
+  private final case class BV(hi: String, lo: String)
+
+  /** One Myers (1999) edit-distance step over two 62-bit limbs: state v
+    * carries (Pv, Mv, score); `mk` is the candidate token's match mask.
+    * Limb discipline identical to the x154 fold: live-bit masks `bmh` /
+    * `bml` and the reference length `m` are PAIR COLUMNS referenced from
+    * inside the lambda (keeps the generated text bounded); the add's
+    * lo→hi carry is `(lo + lo') >> 62`, the shift's carry is bit 61.
+    * Validated 400/400 against the classic DP at build time (both
+    * limbs); Ext47Spec re-pins with a third pure-Scala spelling. */
+  private def myersStep(d: Dia, eqHi: String, eqLo: String,
+      st: String => String,
+      pack: (String, String, String, String, String) => String): String = {
+    def and(x: BV, y: BV) = BV(s"(${x.hi} & ${y.hi})", s"(${x.lo} & ${y.lo})")
+    def or(x: BV, y: BV) = BV(s"(${x.hi} | ${y.hi})", s"(${x.lo} | ${y.lo})")
+    def xr(x: BV, y: BV) = BV(d.xor(x.hi, y.hi), d.xor(x.lo, y.lo))
+    def not(x: BV) = BV(s"((~${x.hi}) & bmh)", s"((~${x.lo}) & bml)")
+    def add(x: BV, y: BV) = BV(
+      s"(((${x.hi} + ${y.hi}) + ${d.shr(s"(${x.lo} + ${y.lo})", "62")}) & bmh)",
+      s"((${x.lo} + ${y.lo}) & bml)")
+    def shl1(x: BV, b0: String) = BV(
+      s"((${d.shl(x.hi, "1")} | (${d.shr(x.lo, "61")} & ${d.lng(1)})) & bmh)",
+      s"((${d.shl(x.lo, "1")} | $b0) & bml)")
+    def top(x: BV) =
+      s"(CASE WHEN m <= 62 THEN (${d.shr(x.lo, "CAST(greatest(m - 1, 0) AS INT)")} & ${d.lng(1)})" +
+        s" ELSE (${d.shr(x.hi, "CAST(m - 63 AS INT)")} & ${d.lng(1)}) END)"
+    val eq = BV(eqHi, eqLo)
+    val pv = BV(st("pvh"), st("pvl")); val mv = BV(st("mvh"), st("mvl"))
+    val xv = or(eq, mv)
+    val xh = or(xr(add(and(eq, pv), pv), pv), eq)
+    val ph = or(mv, not(or(xh, pv)))
+    val mh = and(pv, xh)
+    val phs = shl1(ph, d.lng(1)); val mhs = shl1(mh, d.lng(0))
+    val pv2 = or(mhs, not(or(xv, phs)))
+    val mv2 = and(phs, xv)
+    val sc2 = s"((${st("sc")} + ${top(ph)}) - ${top(mh)})"
+    pack(pv2.hi, pv2.lo, mv2.hi, mv2.lo, sc2)
+  }
+
+  /** The full Spark-side Myers fold over pair columns cw/rw/m/bmh/bml. */
+  private val werFoldSparkSql: String = {
+    val masks =
+      """transform(cw, c -> named_struct(
+        |    'hi', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
+        |      a + IF(j > 62 AND j <= size(rw),
+        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 63), 0L), 0L)),
+        |    'lo', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
+        |      a + IF(j <= least(size(rw), 62),
+        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 1), 0L), 0L))))"""
+        .stripMargin
+    val step = myersStep(SparkDia, "mk.hi", "mk.lo", f => s"v.$f",
+      (a, b, c, dd, e) =>
+        s"named_struct('pvh', $a, 'pvl', $b, 'mvh', $c, 'mvl', $dd, 'sc', $e)")
+    s"""aggregate($masks,
+       |  named_struct('pvh', bmh, 'pvl', bml, 'mvh', 0L, 'mvl', 0L, 'sc', m),
+       |  (v, mk) -> $step)""".stripMargin
+  }
+
+  /** The DuckDB twin. TWO DuckDB-1.0.0 quirks drive the spelling:
+    * (a) list_reduce has no separate init type, so the true init state
+    * is list_prepend'ed; (b) STRUCT accumulators are miscomputed by
+    * list_reduce when a later field reads state fields (minimal repro in
+    * ROUND_NOTES — x154's 2-field fold is unaffected, re-validated 200/
+    * 200 vs brute force), so the state is a BIGINT LIST
+    * [pvh, pvl, mvh, mvl, sc] and the match masks are 2-element lists
+    * [hi, lo] of the same LIST(BIGINT) type. */
+  private val werFoldDuckSql: String = {
+    val z = "CAST(0 AS BIGINT)"
+    val masks =
+      s"""list_transform(cw, c -> [coalesce(list_aggregate(
+         |        list_transform(range(1, len(rw) + 1), j ->
+         |          CASE WHEN j > 62 AND rw[CAST(j AS INT)] = c
+         |               THEN CAST(1 AS BIGINT) << CAST(j - 63 AS INT)
+         |               ELSE $z END), 'sum'), 0),
+         |      coalesce(list_aggregate(
+         |        list_transform(range(1, len(rw) + 1), j ->
+         |          CASE WHEN j <= 62 AND rw[CAST(j AS INT)] = c
+         |               THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
+         |               ELSE $z END), 'sum'), 0)])""".stripMargin
+    val idx = Map("pvh" -> 1, "pvl" -> 2, "mvh" -> 3, "mvl" -> 4, "sc" -> 5)
+    val step = myersStep(DuckDia, "mk[1]", "mk[2]", f => s"v[${idx(f)}]",
+      (a, b, c, dd, e) => s"[$a, $b, $c, $dd, $e]")
+    s"""(list_reduce(list_prepend(
+       |      [bmh, bml, $z, $z, m],
+       |      $masks),
+       |      (v, mk) -> $step))[5]""".stripMargin
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -186,6 +291,59 @@ object Ext47 {
         .withColumn("f2_ppm",
           expr("5L * p_ppm * r_ppm div greatest(4L * p_ppm + r_ppm, 1L)"))
         .orderBy(col("source"), col("n"))
+    }),
+
+    // X156 WER — word error rate (the ASR/generation eval): per pair,
+    // Levenshtein distance between candidate and reference token
+    // sequences over the 124-token window, spelled as Myers' (1999)
+    // BIT-PARALLEL recurrence: per candidate token, the DP column's ±1
+    // differences live in two bitvectors (Pv, Mv) updated with O(1)
+    // bitvector ops — the same two-62-bit-limb discipline as x154, but
+    // with carry-in shifts and a running score instead of a final
+    // popcount. The step expression is GENERATED once (myersStep) and
+    // rendered per dialect, so engine and oracle execute the identical
+    // recurrence. Empty reference (m = 0, unreachable via the ≥1-token
+    // split semantics but spelled anyway) degrades to dist = |cand|.
+    // micro wer_ppm = Σdist·1e6 div Σ|ref|; macro = mean per-pair ppm
+    // (can exceed 1e6 when the candidate is longer — WER's convention).
+    "x156_wer" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.words(col("text")).as("w"))
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("source"),
+          expr(s"slice(w, 1, $LcsCap)").as("cw"),
+          (size(col("w")) > LcsCap).as("ccap"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1L).as("pair_id"),
+          expr(s"slice(w, 1, $LcsCap)").as("rw"),
+          (size(col("w")) > LcsCap).as("rcap"))
+      val per = cand.join(ref, Seq("pair_id"))
+        .withColumn("m", size(col("rw")).cast("long"))
+        .withColumn("bml",
+          expr("shiftleft(1L, CAST(least(m, 62) AS INT)) - 1L"))
+        .withColumn("bmh",
+          expr("shiftleft(1L, CAST(greatest(m - 62, 0) AS INT)) - 1L"))
+        .withColumn("st", expr(werFoldSparkSql))
+        .select(col("source"),
+          size(col("cw")).cast("long").as("nc"), col("m"),
+          (col("ccap") || col("rcap")).as("cap"),
+          expr("CASE WHEN m = 0 THEN CAST(size(cw) AS BIGINT)" +
+            " ELSE st.sc END").as("dist"))
+      per.groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("dist")).as("dist_sum"),
+          sum(col("nc")).as("cand_len"),
+          sum(col("m")).as("ref_len"),
+          sum(when(col("cap"), 1L).otherwise(0L)).as("n_capped"),
+          sum(expr("dist * 1000000L div greatest(m, 1L)")).as("w_sum"))
+        .select(col("source"), col("n_pairs"), col("dist_sum"),
+          col("cand_len"), col("ref_len"), col("n_capped"),
+          expr("dist_sum * 1000000L div greatest(ref_len, 1L)")
+            .as("wer_ppm"),
+          expr("w_sum div greatest(n_pairs, 1L)").as("macro_wer_ppm"))
+        .orderBy(col("source"))
     }),
   )
 
@@ -289,5 +447,38 @@ object Ext47 {
         |  CAST(5 * p_ppm * r_ppm // greatest(4 * p_ppm + r_ppm, 1)
         |    AS BIGINT) AS f2_ppm
         |FROM fin ORDER BY source, n""".stripMargin,
+
+    "x156_wer" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |    FROM documents),
+         |pr AS (SELECT c.doc_id AS pair_id, c.source,
+         |    c.w[1 : $LcsCap] AS cw, r.w[1 : $LcsCap] AS rw,
+         |    (len(c.w) > $LcsCap OR len(r.w) > $LcsCap) AS cap,
+         |    CAST(len(r.w[1 : $LcsCap]) AS BIGINT) AS m,
+         |    (CAST(1 AS BIGINT) << CAST(least(len(r.w[1 : $LcsCap]), 62) AS INT)) - 1 AS bml,
+         |    (CAST(1 AS BIGINT) << CAST(greatest(len(r.w[1 : $LcsCap]) - 62, 0) AS INT)) - 1 AS bmh
+         |  FROM (SELECT * FROM d WHERE doc_id % 2 = 1) c
+         |  JOIN (SELECT doc_id + 1 AS pid, w FROM d WHERE doc_id % 2 = 0) r
+         |    ON c.doc_id = r.pid),
+         |st AS (SELECT pair_id, source, cap,
+         |    CAST(len(cw) AS BIGINT) AS nc, m,
+         |    $werFoldDuckSql AS sc
+         |  FROM pr),
+         |pp AS (SELECT source, cap, nc, m,
+         |    CASE WHEN m = 0 THEN nc ELSE sc END AS dist
+         |  FROM st),
+         |ag AS (SELECT source,
+         |    CAST(count(*) AS BIGINT) AS n_pairs,
+         |    CAST(sum(dist) AS BIGINT) AS dist_sum,
+         |    CAST(sum(nc) AS BIGINT) AS cand_len,
+         |    CAST(sum(m) AS BIGINT) AS ref_len,
+         |    CAST(sum(CASE WHEN cap THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+         |    CAST(sum(dist * 1000000 // greatest(m, 1)) AS BIGINT) AS w_sum
+         |  FROM pp GROUP BY source)
+         |SELECT source, n_pairs, dist_sum, cand_len, ref_len, n_capped,
+         |  CAST(dist_sum * 1000000 // greatest(ref_len, 1) AS BIGINT)
+         |    AS wer_ppm,
+         |  CAST(w_sum // greatest(n_pairs, 1) AS BIGINT) AS macro_wer_ppm
+         |FROM ag ORDER BY source""".stripMargin,
   )
 }

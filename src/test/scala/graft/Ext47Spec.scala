@@ -93,6 +93,82 @@ class Ext47Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  /** Classic O(nm) Levenshtein — the textbook row recurrence. */
+  private def levDP(a: Seq[String], b: Seq[String]): Long = {
+    var prev = (0 to b.length).toArray
+    for (i <- 1 to a.length) {
+      val cur = new Array[Int](b.length + 1); cur(0) = i
+      for (j <- 1 to b.length)
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1),
+          prev(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      prev = cur
+    }
+    prev(b.length).toLong
+  }
+
+  test("x156: equals the classic-DP Levenshtein replay per source on " +
+    "sf0.001 (the engine's Myers bitvector fold and the oracle's " +
+    "list_reduce twin are both generated from one step builder; this " +
+    "is the independent third spelling)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val byId = docs.map(d => d._1 -> d).toMap
+    case class P(source: String, nc: Long, m: Long, cap: Boolean, dist: Long)
+    val pairs = docs.filter(_._1 % 2 == 1).flatMap {
+      case (id, src, ctext) =>
+        byId.get(id - 1).map { case (_, _, rtext) =>
+          val cAll = toks(ctext); val rAll = toks(rtext)
+          val cw = cAll.take(124); val rw = rAll.take(124)
+          P(src, cw.length.toLong, rw.length.toLong,
+            cAll.length > 124 || rAll.length > 124, levDP(cw, rw))
+        }
+    }
+    val expected = pairs.groupBy(_.source).map { case (src, ps) =>
+      val ds = ps.map(_.dist).sum
+      val cl = ps.map(_.nc).sum; val rl = ps.map(_.m).sum
+      val wSum = ps.map(p => p.dist * 1000000L / math.max(p.m, 1L)).sum
+      (src, ps.length.toLong, ds, cl, rl, ps.count(_.cap).toLong,
+        ds * 1000000L / math.max(rl, 1L),
+        wSum / math.max(ps.length.toLong, 1L))
+    }.toSeq.sortBy(_._1)
+    val got = SparkEntry.queries("x156_wer")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got == expected)
+    assert(got.nonEmpty && got.map(_._3).sum > 0L)
+    GraftCaches.releasePrior()
+  }
+
+  test("x156 planted: hand-checkable distances — a 1-substitution pair, " +
+    "an insertion-only pair, a disjoint pair (dist = max len), and a " +
+    "150-token identical pair that caps at 124 with dist 0") {
+    import spark.implicits._
+    val run150 = (1 to 150).map(i => s"t$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("x156").toString
+    Seq(
+      (0L, "the cat sat", "s1"), (1L, "the hat sat", "s1"),      // 1 sub
+      (2L, "a b c", "s2"), (3L, "a b c d e", "s2"),              // 2 ins
+      (4L, "x y z", "s3"), (5L, "p q r s", "s3"),                // disjoint
+      (6L, run150, "s4"), (7L, run150, "s4"))                    // capped
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x156_wer")(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))).toMap
+    assert(rows("s1") == (1L, 1L, 3L, 3L, 0L,
+      1000000L / 3L, 1000000L / 3L))
+    assert(rows("s2") == (1L, 2L, 5L, 3L, 0L,
+      2000000L / 3L, 2000000L / 3L))
+    // disjoint 4-token cand vs 3-token ref: 3 subs + 1 ins = 4;
+    // macro wer = 4/3 > 1 — WER's convention survives the ppm floor
+    assert(rows("s3") == (1L, 4L, 4L, 3L, 0L,
+      4000000L / 3L, 4000000L / 3L))
+    assert(rows("s4") == (1L, 0L, 124L, 124L, 1L, 0L, 0L))
+    GraftCaches.releasePrior()
+  }
+
   /** chrF replay twin: char n-gram multiset of the space-stripped text. */
   private def charGrams(t: String, n: Int): Map[String, Long] = {
     val s = t.replace(" ", "")
