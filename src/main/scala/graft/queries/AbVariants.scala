@@ -51,6 +51,14 @@ object AbVariants {
     "x143_beam_ann__persistqr" -> ((s, d) => Ext43.beamAnn(s, d,
       twoBands = true, persistQuant = true, persistRank = true)),
 
+    // x155 single-pass side-flag form (union both sides into ONE
+    // (pair, n, gram) groupBy, clip = least with no join) — the round-8
+    // NEGATIVE result: 9.76 vs 5.26 s min-of-3 same-boot at sf0.1
+    // (BENCH_AB_r08_x155.json). Per-gram multiplicity ~1 means map-side
+    // combine saves nothing, so the union only fattens the exchange.
+    // Catalog keeps the x152-shaped join-clip form.
+    "x155_chrf__singlepass" -> ((s, d) => Ext47.chrF(s, d, joinClip = false)),
+
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)
       val n = eQ.count()

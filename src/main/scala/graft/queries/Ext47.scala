@@ -247,51 +247,18 @@ object Ext47 {
     // β = 2 weights recall: F2 = 5PR/(4P+R), composed from the floored
     // ppm P and R (documented double-floor — both engines identical).
     // 5·P·R ≤ 5e12 — no BIGINT overflow.
-    "x155_chrf" -> ((s, d) => {
-      val docs = documents(s, d).select(col("doc_id"), col("source"),
-        expr("replace(text, ' ', '')").as("t"))
-      val cand = docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id").as("pair_id"), col("source"), col("t").as("ct"))
-      val ref = docs.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 1L).as("pair_id"), col("t").as("rt"))
-      val pairs = cand.join(ref, Seq("pair_id"))
-      // x152's sequence gotcha: sequence(1, stop) DESCENDS when stop < 1,
-      // so generate over a floor of 1 and slice back to the true count.
-      def grams(tc: String): Column = explode(expr(
-        s"""flatten(transform(sequence(1, 6), n ->
-           |  slice(
-           |    transform(sequence(1, greatest(length($tc) - n + 1, 1)), i ->
-           |      named_struct('n', n, 'g', substring($tc, i, n))),
-           |    1, greatest(length($tc) - n + 1, 0))))""".stripMargin))
-      val cc = pairs.select(col("pair_id"), col("source"), grams("ct").as("x"))
-        .groupBy(col("pair_id"), col("source"),
-          col("x.n").cast("long").as("n"), col("x.g").as("g"))
-        .agg(count(lit(1)).as("c_c"))
-      val rc = pairs.select(col("pair_id"), col("source"), grams("rt").as("x"))
-        .groupBy(col("pair_id"), col("source"),
-          col("x.n").cast("long").as("n"), col("x.g").as("g"))
-        .agg(count(lit(1)).as("c_r"))
-      val cl = cc.join(rc.drop("source"), Seq("pair_id", "n", "g"))
-        .groupBy(col("source"), col("n"))
-        .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"))
-      val tc = cc.groupBy(col("source"), col("n"))
-        .agg(sum(col("c_c")).as("total_cand"))
-      val tr = rc.groupBy(col("source"), col("n"))
-        .agg(sum(col("c_r")).as("total_ref"))
-      tc.join(cl, Seq("source", "n"), "left")
-        .join(tr, Seq("source", "n"), "left")
-        .select(col("source"), col("n"),
-          coalesce(col("clipped"), lit(0L)).as("clipped"),
-          col("total_cand"),
-          coalesce(col("total_ref"), lit(0L)).as("total_ref"),
-          expr("coalesce(clipped, 0L) * 1000000L div greatest(total_cand, 1L)")
-            .as("p_ppm"),
-          expr("coalesce(clipped, 0L) * 1000000L" +
-            " div greatest(coalesce(total_ref, 0L), 1L)").as("r_ppm"))
-        .withColumn("f2_ppm",
-          expr("5L * p_ppm * r_ppm div greatest(4L * p_ppm + r_ppm, 1L)"))
-        .orderBy(col("source"), col("n"))
-    }),
+    // Plan: x152's two per-side (pair, n, gram) groupBys + equi-join
+    // clip. The "obvious" improvement — union both sides with a flag
+    // into ONE groupBy, clip = least(c_c, c_r), no join — MEASURED 2×
+    // SLOWER same-boot (9.76 vs 5.26 s min-of-3 at sf0.1,
+    // BENCH_AB_r08_x155.json; kept as AbVariants
+    // "x155_chrf__singlepass"): per-(pair, n, gram) multiplicity is ~1,
+    // so map-side combine reduces nothing and the union just pushes the
+    // SAME 2×17M rows through one fatter exchange + hash table instead
+    // of two lighter ones, while the SMJ clip it was meant to save is
+    // cheap on the already-shuffled sides. Shuffle COUNT is not shuffle
+    // COST — volume × width is.
+    "x155_chrf" -> ((s, d) => chrF(s, d, joinClip = true)),
 
     // X156 WER — word error rate (the ASR/generation eval): per pair,
     // Levenshtein distance between candidate and reference token
@@ -346,6 +313,77 @@ object Ext47 {
         .orderBy(col("source"))
     }),
   )
+
+  /** x155 body; `joinClip = false` is the single-pass side-flag form —
+    * the retained NEGATIVE result (see the catalog entry's comment and
+    * BENCH_AB_r08_x155.json). Outputs are identical either way (the
+    * total_cand > 0 filter reproduces the join form's cand-side row
+    * domain). */
+  private[graft] def chrF(s: SparkSession, d: String,
+      joinClip: Boolean): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("source"),
+      expr("replace(text, ' ', '')").as("t"))
+    val cand = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("pair_id"), col("source"), col("t").as("ct"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1L).as("pair_id"), col("t").as("rt"))
+    val pairs = cand.join(ref, Seq("pair_id"))
+    // x152's sequence gotcha: sequence(1, stop) DESCENDS when stop < 1,
+    // so generate over a floor of 1 and slice back to the true count.
+    def grams(tc: String): Column = explode(expr(
+      s"""flatten(transform(sequence(1, 6), n ->
+         |  slice(
+         |    transform(sequence(1, greatest(length($tc) - n + 1, 1)), i ->
+         |      named_struct('n', n, 'g', substring($tc, i, n))),
+         |    1, greatest(length($tc) - n + 1, 0))))""".stripMargin))
+    val fin =
+      if (!joinClip) {
+        val per = pairs
+          .select(col("pair_id"), col("source"), lit(1L).as("is_c"),
+            grams("ct").as("x"))
+          .unionByName(pairs
+            .select(col("pair_id"), col("source"), lit(0L).as("is_c"),
+              grams("rt").as("x")))
+          .groupBy(col("pair_id"), col("source"),
+            col("x.n").cast("long").as("n"), col("x.g").as("g"))
+          .agg(sum(col("is_c")).as("c_c"),
+            sum(lit(1L) - col("is_c")).as("c_r"))
+        per.groupBy(col("source"), col("n"))
+          .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"),
+            sum(col("c_c")).as("total_cand"),
+            sum(col("c_r")).as("total_ref"))
+          .filter(col("total_cand") > 0L)
+      } else {
+        val cc = pairs.select(col("pair_id"), col("source"), grams("ct").as("x"))
+          .groupBy(col("pair_id"), col("source"),
+            col("x.n").cast("long").as("n"), col("x.g").as("g"))
+          .agg(count(lit(1)).as("c_c"))
+        val rc = pairs.select(col("pair_id"), col("source"), grams("rt").as("x"))
+          .groupBy(col("pair_id"), col("source"),
+            col("x.n").cast("long").as("n"), col("x.g").as("g"))
+          .agg(count(lit(1)).as("c_r"))
+        val cl = cc.join(rc.drop("source"), Seq("pair_id", "n", "g"))
+          .groupBy(col("source"), col("n"))
+          .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"))
+        val tc = cc.groupBy(col("source"), col("n"))
+          .agg(sum(col("c_c")).as("total_cand"))
+        val tr = rc.groupBy(col("source"), col("n"))
+          .agg(sum(col("c_r")).as("total_ref"))
+        tc.join(cl, Seq("source", "n"), "left")
+          .join(tr, Seq("source", "n"), "left")
+      }
+    fin.select(col("source"), col("n"),
+        coalesce(col("clipped"), lit(0L)).as("clipped"),
+        col("total_cand"),
+        coalesce(col("total_ref"), lit(0L)).as("total_ref"),
+        expr("coalesce(clipped, 0L) * 1000000L div greatest(total_cand, 1L)")
+          .as("p_ppm"),
+        expr("coalesce(clipped, 0L) * 1000000L" +
+          " div greatest(coalesce(total_ref, 0L), 1L)").as("r_ppm"))
+      .withColumn("f2_ppm",
+        expr("5L * p_ppm * r_ppm div greatest(4L * p_ppm + r_ppm, 1L)"))
+      .orderBy(col("source"), col("n"))
+  }
 
   val oracleSql: Map[String, String] = Map(
     "x154_rouge_l" ->

@@ -169,6 +169,30 @@ class Ext47Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x154/x156 plan pins: the whole per-pair DP is Project-resident " +
+    "— no Generate, no cartesian, and exactly ONE shuffle exchange " +
+    "(the |sources|-bounded rollup) before the presentation sort") {
+    for (q <- Seq("x154_rouge_l", "x156_wer")) {
+      val df = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      assert(!p.contains("Generate"), s"$q: the fold must not explode:\n$p")
+      val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(shuffles <= 1, s"$q: $shuffles hash exchanges (want <= 1):\n$p")
+      GraftCaches.releasePrior()
+    }
+  }
+
+  test("x155 plan pin: gram generation is partition-local (Generates " +
+    "sit below the aggregates, no pre-explode exchange) and no " +
+    "cartesian anywhere") {
+    val df = SparkEntry.queries("x155_chrf")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"cartesian:\n$p")
+    assert(p.contains("Generate"), "explode expected in x155")
+    GraftCaches.releasePrior()
+  }
+
   /** chrF replay twin: char n-gram multiset of the space-stripped text. */
   private def charGrams(t: String, n: Int): Map[String, Long] = {
     val s = t.replace(" ", "")
