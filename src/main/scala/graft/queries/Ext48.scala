@@ -39,7 +39,10 @@ import graft.ingest.GlobalSeq
   */
 object Ext48 {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries1 ++ queries2
+
+  private val queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X157 SPLIT-CONFORMAL COVERAGE: nonconformity α = token density
     // (whitespace tokens per char, ppm). Calibration = even doc_id,
@@ -112,7 +115,98 @@ object Ext48 {
     }),
   )
 
+  /** x159 level count: bit-levels of the 0-based y-rank. 24 covers 16M
+    * rows; levels above log2(n) put every element in one all-zero-bit
+    * group and contribute nothing (harmless, documented — raise for
+    * larger corpora; the cost is linear in levels). */
+  val TauLevels = 24
+
+  val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X159 KENDALL'S TAU — exact inversion counting WITHOUT the O(n²)
+    // pair join: every discordant pair (pos_i < pos_j, y_i > y_j) first
+    // differs at exactly ONE bit level ℓ of the 0-based y-ranks (they
+    // share the prefix y >> (ℓ+1), and bit ℓ is 1 for the earlier/larger
+    // element, 0 for the later/smaller), so
+    //   inversions = Σ_ℓ Σ_{bit=0 elements} (# bit=1 elements earlier in
+    //                pos order within the same (ℓ, prefix) group)
+    // — i.e., EXPLODE each element into 24 (level, prefix) rows and run
+    // ONE running-sum window partitioned by (level, prefix) ordered by
+    // position. This is a distributed merge sort spelled as SQL: n·24
+    // rows, one fine-grained co-partitioned window, one aggregate —
+    // never the n² cross join the textbook definition implies. Ranks
+    // are the same deterministic total orders as x158 (doc_id
+    // tie-break), so the y-ranks form a permutation and tau-a needs no
+    // tie terms. tau_ppm = 1e6 − 4·inv/(n(n−1)) via the x158 two-step
+    // floor for BIGINT headroom. Spearman (x158) and this must agree in
+    // sign on the same signal pair — the spec asserts it.
+    "x159_kendall_tau" -> ((s, d) => {
+      val scored = documents(s, d)
+        .select(col("doc_id"),
+          length(col("text")).cast("long").as("s1"),
+          expr("""size(array_distinct(split(text, ' '))) * 1000000L
+                 | div greatest(size(split(text, ' ')), 1L)""".stripMargin)
+            .as("s2"))
+      val px = GlobalSeq.withSeq(
+          scored.select(col("doc_id"), col("s1")),
+          Seq(col("s1"), col("doc_id")), "px")
+        .select(col("doc_id"), col("px"))
+      val y0 = GlobalSeq.withSeq(
+          scored.select(col("doc_id"), col("s2")),
+          Seq(col("s2"), col("doc_id")), "y0")
+        .select(col("doc_id"), col("y0"))
+      val lv = px.join(y0, Seq("doc_id"))
+        .select(col("px"), col("y0"),
+          explode(expr(s"sequence(0, ${TauLevels - 1})")).as("l"))
+        .select(col("px"), col("l"),
+          expr("shiftright(y0, l + 1)").as("grp"),
+          expr("shiftright(y0, l) & 1L").as("bit"))
+      val w = Window.partitionBy(col("l"), col("grp")).orderBy(col("px"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      lv.withColumn("ones_before", sum(col("bit")).over(w) - col("bit"))
+        .agg(
+          sum(when(col("l") === 0, 1L).otherwise(0L)).as("n"),
+          sum(when(col("bit") === 0L, col("ones_before")).otherwise(0L))
+            .as("n_inversions"))
+        .select(col("n"), col("n_inversions"),
+          expr("""1000000L - ((4L * n_inversions div greatest(n, 1L))
+                 | * 1000000L div greatest(n - 1L, 1L))""".stripMargin)
+            .as("tau_ppm"))
+    }),
+  )
+
   val oracleSql: Map[String, String] = Map(
+    "x159_kendall_tau" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS s1,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      * 1000000
+         |      // greatest(len(string_split(text, ' ')), 1) AS s2
+         |  FROM documents),
+         |rk AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY s1, doc_id) AS BIGINT) AS px,
+         |    CAST(row_number() OVER (ORDER BY s2, doc_id) - 1 AS BIGINT)
+         |      AS y0
+         |  FROM sc),
+         |lv AS (SELECT px, l,
+         |    y0 >> CAST(l + 1 AS INT) AS grp,
+         |    (y0 >> CAST(l AS INT)) & 1 AS bit
+         |  FROM rk, (SELECT unnest(range(0, $TauLevels)) AS l) ls),
+         |cum AS (SELECT l, bit,
+         |    sum(bit) OVER (PARTITION BY l, grp ORDER BY px
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bit
+         |      AS ones_before
+         |  FROM lv),
+         |ag AS (SELECT
+         |    CAST(sum(CASE WHEN l = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN bit = 0 THEN ones_before ELSE 0 END)
+         |      AS BIGINT) AS n_inversions
+         |  FROM cum)
+         |SELECT n, n_inversions,
+         |  CAST(1000000 - ((4 * n_inversions // greatest(n, 1))
+         |    * 1000000 // greatest(n - 1, 1)) AS BIGINT) AS tau_ppm
+         |FROM ag""".stripMargin,
+
     "x157_conformal_coverage" ->
       """WITH sc AS (SELECT doc_id,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) * 1000000

@@ -93,6 +93,67 @@ class Ext48Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x159: equals the brute-force O(n^2) discordant-pair count on " +
+    "sf0.001 (the engine counts inversions via bit-level prefix sums — " +
+    "never a pair join), and agrees in sign with x158's Spearman on " +
+    "the same signal pair") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val s1 = docs.map { case (id, t) => (id, t.length.toLong) }
+    val s2 = docs.map { case (id, t) =>
+      val w = toks(t)
+      (id, w.distinct.length.toLong * 1000000L / math.max(w.length.toLong, 1L))
+    }
+    def ranks(xs: Array[(Long, Long)]): Map[Long, Long] =
+      xs.sortBy { case (id, v) => (v, id) }.zipWithIndex
+        .map { case ((id, _), i) => id -> i.toLong }.toMap
+    val px = ranks(s1); val y = ranks(s2)
+    val ids = docs.map(_._1)
+    var inv = 0L
+    for (i <- ids; j <- ids if px(i) < px(j) && y(i) > y(j)) inv += 1
+    val n = ids.length.toLong
+    val tau = 1000000L - ((4L * inv / n) * 1000000L / (n - 1L))
+    val r = SparkEntry.queries("x159_kendall_tau")(spark, sf).collect().head
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_inversions") == inv)
+    assert(r.getAs[Long]("tau_ppm") == tau)
+    val rho = SparkEntry.queries("x158_spearman")(spark, sf)
+      .collect().head.getAs[Long]("rho_ppm")
+    assert((tau >= 0L) == (rho >= 0L),
+      s"Kendall ($tau) and Spearman ($rho) disagree in sign")
+    GraftCaches.releasePrior()
+  }
+
+  test("x159 planted: the reversed permutation counts every pair as an " +
+    "inversion (C(n,2), tau = -1e6 exactly) and the agreeing pair " +
+    "counts none (tau = 1e6)") {
+    import spark.implicits._
+    // reuse the x158 planted corpora shapes: agreeing via tie-break,
+    // reversed via constant length + decreasing distinct count
+    val dirA = java.nio.file.Files.createTempDirectory("x159a").toString
+    (1 to 10).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val a = SparkEntry.queries("x159_kendall_tau")(spark, dirA)
+      .collect().head
+    assert(a.getAs[Long]("n_inversions") == 0L)
+    assert(a.getAs[Long]("tau_ppm") == 1000000L)
+    val dirB = java.nio.file.Files.createTempDirectory("x159b").toString
+    (1 to 10).map { i =>
+      val toks12 = (1 to (12 - i)).map(j => f"w$j%02d") ++
+        Seq.fill(i)("w01")
+      (i.toLong, toks12.mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    val b = SparkEntry.queries("x159_kendall_tau")(spark, dirB)
+      .collect().head
+    assert(b.getAs[Long]("n_inversions") == 45L) // C(10,2)
+    // 4*45 div 10 = 18; 1e6 - 18e6 div 9 = -1e6 exactly
+    assert(b.getAs[Long]("tau_ppm") == -1000000L)
+    GraftCaches.releasePrior()
+  }
+
   test("x158 planted: monotone-agreeing signals (via the doc_id " +
     "tie-break) give rho = 1e6 exactly; a perfectly reversed pair " +
     "gives rho = -1e6 exactly (sum_d2 = n(n^2-1)/3 divides out)") {
