@@ -150,6 +150,12 @@ object Ext43 {
       hopPersist: Boolean = true,
       persistQuant: Boolean = false, persistRank: Boolean = false,
       perturbQueries: Boolean = false): DataFrame = {
+      // the narrow-rank branch computes only the s0/s1 rank joins — it
+      // has no b3/p2 path, so a third band there would reference an
+      // unresolved column at analysis time; reject the combination
+      // loudly (review finding, round 8)
+      require(!(bands3 && (narrowShuffles || narrowRank)),
+        "bands3 is only implemented for the wide-rank construction")
       val code = (0 until 16).map { p =>
         when(iproj(col("q"), p) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)

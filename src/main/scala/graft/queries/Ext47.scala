@@ -54,24 +54,45 @@ object Ext47 {
     * truncation is surfaced per source as `n_capped`. */
   val LcsCap = 124
 
+  /** Match masks shared by the LCS and WER folds, one {hi, lo} struct
+    * per candidate token: the set bits of its occurrences in the
+    * reference, split lo = positions 1..62, hi = 63..124. Nested IFs
+    * (not AND) guarantee element_at is only evaluated in-bounds under
+    * ANSI. ONE definition — the two kernels must never drift on the
+    * limb split (review finding, round 8). */
+  private val sparkMasksSql: String =
+    """transform(cw, c -> named_struct(
+      |    'hi', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
+      |      a + IF(j > 62 AND j <= size(rw),
+      |            IF(element_at(rw, j) = c, shiftleft(1L, j - 63), 0L), 0L)),
+      |    'lo', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
+      |      a + IF(j <= least(size(rw), 62),
+      |            IF(element_at(rw, j) = c, shiftleft(1L, j - 1), 0L), 0L))))"""
+      .stripMargin
+
+  /** Candidate/reference token pairing shared by x154 and x156 (odd
+    * doc_id = candidate, doc_id − 1 = reference; both sides windowed to
+    * LcsCap with the truncation flags kept). */
+  private def pairedTokens(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
+    val cand = docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id").as("pair_id"), col("source"),
+        expr(s"slice(w, 1, $LcsCap)").as("cw"),
+        (size(col("w")) > LcsCap).as("ccap"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select((col("doc_id") + 1L).as("pair_id"),
+        expr(s"slice(w, 1, $LcsCap)").as("rw"),
+        (size(col("w")) > LcsCap).as("rcap"))
+    cand.join(ref, Seq("pair_id"))
+  }
+
   /** The two-limb Allison–Dix fold as one Spark SQL expression over
     * pair columns `cw` (candidate tokens, ≤ LcsCap) and `rw`
     * (reference tokens, ≤ LcsCap). Yields the final bitvector struct;
     * LCS = size(rw) − popcount(hi) − popcount(lo). */
   private[graft] val lcsFoldSql: String = {
-    // Match masks, one per candidate token: the set bits of its
-    // occurrences in the reference, split lo = positions 1..62,
-    // hi = 63..124. Nested IFs (not AND) guarantee element_at is only
-    // evaluated in-bounds under ANSI.
-    val masks =
-      """transform(cw, c -> named_struct(
-        |    'hi', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
-        |      a + IF(j > 62 AND j <= size(rw),
-        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 63), 0L), 0L)),
-        |    'lo', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
-        |      a + IF(j <= least(size(rw), 62),
-        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 1), 0L), 0L))))"""
-        .stripMargin
+    val masks = sparkMasksSql
     // V starts all-ones over m bits. Each step: U = V & M; S = V + U
     // with the lo→hi carry ((lo + ulo) >> 62 — both operands < 2^62, so
     // the sum stays positive and the shift is the exact carry bit);
@@ -146,15 +167,7 @@ object Ext47 {
 
   /** The full Spark-side Myers fold over pair columns cw/rw/m/bmh/bml. */
   private val werFoldSparkSql: String = {
-    val masks =
-      """transform(cw, c -> named_struct(
-        |    'hi', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
-        |      a + IF(j > 62 AND j <= size(rw),
-        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 63), 0L), 0L)),
-        |    'lo', aggregate(sequence(1, greatest(size(rw), 1)), 0L, (a, j) ->
-        |      a + IF(j <= least(size(rw), 62),
-        |            IF(element_at(rw, j) = c, shiftleft(1L, j - 1), 0L), 0L))))"""
-        .stripMargin
+    val masks = sparkMasksSql
     val step = myersStep(SparkDia, "mk.hi", "mk.lo", f => s"v.$f",
       (a, b, c, dd, e) =>
         s"named_struct('pvh', $a, 'pvl', $b, 'mvh', $c, 'mvl', $dd, 'sc', $e)")
@@ -203,18 +216,7 @@ object Ext47 {
     // harmonic mean of micro P and R computed exactly — composing the
     // two already-floored ppm values would double-floor.
     "x154_rouge_l" -> ((s, d) => {
-      val docs = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          TextOps.words(col("text")).as("w"))
-      val cand = docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id").as("pair_id"), col("source"),
-          expr(s"slice(w, 1, $LcsCap)").as("cw"),
-          (size(col("w")) > LcsCap).as("ccap"))
-      val ref = docs.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 1L).as("pair_id"),
-          expr(s"slice(w, 1, $LcsCap)").as("rw"),
-          (size(col("w")) > LcsCap).as("rcap"))
-      val per = cand.join(ref, Seq("pair_id"))
+      val per = pairedTokens(s, d)
         .withColumn("st", expr(lcsFoldSql))
         .select(col("source"),
           size(col("cw")).cast("long").as("nc"),
@@ -274,18 +276,7 @@ object Ext47 {
     // micro wer_ppm = Σdist·1e6 div Σ|ref|; macro = mean per-pair ppm
     // (can exceed 1e6 when the candidate is longer — WER's convention).
     "x156_wer" -> ((s, d) => {
-      val docs = documents(s, d)
-        .select(col("doc_id"), col("source"),
-          TextOps.words(col("text")).as("w"))
-      val cand = docs.filter(col("doc_id") % 2 === 1)
-        .select(col("doc_id").as("pair_id"), col("source"),
-          expr(s"slice(w, 1, $LcsCap)").as("cw"),
-          (size(col("w")) > LcsCap).as("ccap"))
-      val ref = docs.filter(col("doc_id") % 2 === 0)
-        .select((col("doc_id") + 1L).as("pair_id"),
-          expr(s"slice(w, 1, $LcsCap)").as("rw"),
-          (size(col("w")) > LcsCap).as("rcap"))
-      val per = cand.join(ref, Seq("pair_id"))
+      val per = pairedTokens(s, d)
         .withColumn("m", size(col("rw")).cast("long"))
         .withColumn("bml",
           expr("shiftleft(1L, CAST(least(m, 62) AS INT)) - 1L"))

@@ -70,7 +70,12 @@ object Ext48 {
       val q = hist.crossJoin(nCal)
         .filter(col("cum") >= expr("(9L * (n_cal + 1L) + 9L) div 10L"))
         .agg(coalesce(min(col("alpha")), lit(Long.MaxValue)).as("q_alpha"))
+      // groupBy on a constant, not a global agg (review fix): an EMPTY
+      // test split must yield ZERO rows on both engines — the oracle's
+      // GROUP BY does, and Spark's global .agg() would emit one
+      // NULL-filled row instead.
       tst.crossJoin(broadcast(q)).crossJoin(nCal)
+        .groupBy(lit(1).as("_g"))
         .agg(
           first(col("n_cal")).as("n_cal"),
           expr("(9L * (first(n_cal) + 1L) + 9L) div 10L").as("k"),
@@ -90,13 +95,7 @@ object Ext48 {
     // (documented; oracle identical). rho = 1 − 6Σd²/(n(n²−1)) in ppm
     // via the two-step floor (headroom note in the object doc).
     "x158_spearman" -> ((s, d) => {
-      import s.implicits._
-      val scored = documents(s, d)
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("s1"),
-          expr("""size(array_distinct(split(text, ' '))) * 1000000L
-                 | div greatest(size(split(text, ' ')), 1L)""".stripMargin)
-            .as("s2"))
+      val scored = signals(s, d)
       val r1 = GlobalSeq.withSeq(
           scored.select(col("doc_id"), col("s1")),
           Seq(col("s1"), col("doc_id")), "z1")
@@ -115,6 +114,17 @@ object Ext48 {
     }),
   )
 
+  /** The signal pair shared by x158 and x159 (the sign-agreement spec
+    * relies on them being the SAME two definitions — one helper, not
+    * two copies): s1 = char length, s2 = distinct-token ratio (ppm). */
+  private def signals(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("s1"),
+        expr("""size(array_distinct(split(text, ' '))) * 1000000L
+               | div greatest(size(split(text, ' ')), 1L)""".stripMargin)
+          .as("s2"))
+
   /** x159 level count: bit-levels of the 0-based y-rank. 24 covers 16M
     * rows; levels above log2(n) put every element in one all-zero-bit
     * group and contribute nothing (harmless, documented — raise for
@@ -130,23 +140,19 @@ object Ext48 {
     // element, 0 for the later/smaller), so
     //   inversions = Σ_ℓ Σ_{bit=0 elements} (# bit=1 elements earlier in
     //                pos order within the same (ℓ, prefix) group)
-    // — i.e., EXPLODE each element into 24 (level, prefix) rows and run
-    // ONE running-sum window partitioned by (level, prefix) ordered by
-    // position. This is a distributed merge sort spelled as SQL: n·24
-    // rows, one fine-grained co-partitioned window, one aggregate —
-    // never the n² cross join the textbook definition implies. Ranks
+    // — i.e., EXPLODE each element into 24 (level, prefix) rows, then
+    // per-partition linear passes + an O(P)-bounded boundary combine
+    // (see the inline scale note — NOT a plain window: the top levels'
+    // groups hold the whole corpus). This is a distributed merge sort:
+    // n·24 rows, one range shuffle, one tiny combine window, one
+    // aggregate — never the n² cross join the textbook implies. Ranks
     // are the same deterministic total orders as x158 (doc_id
     // tie-break), so the y-ranks form a permutation and tau-a needs no
-    // tie terms. tau_ppm = 1e6 − 4·inv/(n(n−1)) via the x158 two-step
-    // floor for BIGINT headroom. Spearman (x158) and this must agree in
-    // sign on the same signal pair — the spec asserts it.
+    // tie terms. tau_ppm = 1e6 − 4·inv·1e6 div (n(n−1)) in ONE floor
+    // (see the select's headroom note). Spearman (x158) and this must
+    // agree in sign on the same signal pair — the spec asserts it.
     "x159_kendall_tau" -> ((s, d) => {
-      val scored = documents(s, d)
-        .select(col("doc_id"),
-          length(col("text")).cast("long").as("s1"),
-          expr("""size(array_distinct(split(text, ' '))) * 1000000L
-                 | div greatest(size(split(text, ' ')), 1L)""".stripMargin)
-            .as("s2"))
+      val scored = signals(s, d)
       val px = GlobalSeq.withSeq(
           scored.select(col("doc_id"), col("s1")),
           Seq(col("s1"), col("doc_id")), "px")
@@ -158,19 +164,64 @@ object Ext48 {
       val lv = px.join(y0, Seq("doc_id"))
         .select(col("px"), col("y0"),
           explode(expr(s"sequence(0, ${TauLevels - 1})")).as("l"))
-        .select(col("px"), col("l"),
+        .select(col("px").cast("long"), col("l").cast("int"),
           expr("shiftright(y0, l + 1)").as("grp"),
           expr("shiftright(y0, l) & 1L").as("bit"))
-      val w = Window.partitionBy(col("l"), col("grp")).orderBy(col("px"))
+      // The top bit levels put the WHOLE corpus into a handful of (l,
+      // grp) groups (level L−1 is literally one group of n rows), so a
+      // plain running-sum window would funnel corpus-scale data through
+      // one task (review finding, round 8). Exact distributed spelling
+      // instead: range-partition by (l, grp, px) — within a group,
+      // partition order IS px order — then ONE linear per-partition
+      // pass emits (ones, zeros, local inversions) per (l, grp) run,
+      // and the cross-partition term Σ_p zeros_p · (ones in earlier
+      // partitions) needs a window over ≤ P rows per group — bounded by
+      // PARTITION COUNT, never by corpus rows (the ChainFill/
+      // BoundaryFill O(P) boundary-exchange family; mapPartitions is
+      // justified here exactly as in ChainFill: a genuinely sequential
+      // per-partition scan).
+      import s.implicits._
+      val parts = lv
+        .repartitionByRange(col("l"), col("grp"), col("px"))
+        .sortWithinPartitions(col("l"), col("grp"), col("px"))
+        .select(col("l"), col("grp"), col("px"), col("bit"))
+        .as[(Int, Long, Long, Long)]
+        .mapPartitions { it =>
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Int, Long, Long, Long)]
+          var curL = -1; var curG = 0L
+          var ones = 0L; var zeros = 0L; var inv = 0L
+          def flush(): Unit =
+            if (curL >= 0) out += ((curL, curG, pid, ones, zeros, inv))
+          for ((l, g, _, bit) <- it) {
+            if (l != curL || g != curG) {
+              flush(); curL = l; curG = g; ones = 0L; zeros = 0L; inv = 0L
+            }
+            if (bit == 1L) ones += 1L
+            else { zeros += 1L; inv += ones }
+          }
+          flush()
+          out.iterator
+        }.toDF("l", "grp", "pid", "ones", "zeros", "local_inv")
+      val w = Window.partitionBy(col("l"), col("grp")).orderBy(col("pid"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      lv.withColumn("ones_before", sum(col("bit")).over(w) - col("bit"))
+      parts
+        .withColumn("ones_before", sum(col("ones")).over(w) - col("ones"))
         .agg(
-          sum(when(col("l") === 0, 1L).otherwise(0L)).as("n"),
-          sum(when(col("bit") === 0L, col("ones_before")).otherwise(0L))
+          sum(when(col("l") === 0, col("ones") + col("zeros"))
+            .otherwise(0L)).as("n"),
+          sum(col("local_inv") + col("zeros") * col("ones_before"))
             .as("n_inversions"))
         .select(col("n"), col("n_inversions"),
-          expr("""1000000L - ((4L * n_inversions div greatest(n, 1L))
-                 | * 1000000L div greatest(n - 1L, 1L))""".stripMargin)
+          // ONE-step floor (review fix): the x158-style two-step form
+          // divides by n first and then by only (n−1), so its floor
+          // error is up to 1e6/(n−1) ppm — material at small n (x158's
+          // second divisor is n²−1, where the same trick costs ≤1 ppm).
+          // 4·inv·1e6 ≤ 2e6·n² stays in BIGINT up to n ≈ 2.1M — the
+          // family's documented fixed-point-shift boundary (x151 rule).
+          expr("""1000000L - (4L * n_inversions * 1000000L
+                 | div greatest(n * (n - 1L), 1L))""".stripMargin)
             .as("tau_ppm"))
     }),
   )
@@ -203,8 +254,8 @@ object Ext48 {
          |      AS BIGINT) AS n_inversions
          |  FROM cum)
          |SELECT n, n_inversions,
-         |  CAST(1000000 - ((4 * n_inversions // greatest(n, 1))
-         |    * 1000000 // greatest(n - 1, 1)) AS BIGINT) AS tau_ppm
+         |  CAST(1000000 - (4 * n_inversions * 1000000
+         |    // greatest(n * (n - 1), 1)) AS BIGINT) AS tau_ppm
          |FROM ag""".stripMargin,
 
     "x157_conformal_coverage" ->

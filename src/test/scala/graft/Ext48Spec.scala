@@ -113,7 +113,9 @@ class Ext48Spec extends AnyFunSuite {
     var inv = 0L
     for (i <- ids; j <- ids if px(i) < px(j) && y(i) > y(j)) inv += 1
     val n = ids.length.toLong
-    val tau = 1000000L - ((4L * inv / n) * 1000000L / (n - 1L))
+    // one-step floor (the engine's exact spelling; the x158-style
+    // two-step would skew up to 1e6/(n-1) ppm here)
+    val tau = 1000000L - (4L * inv * 1000000L / (n * (n - 1L)))
     val r = SparkEntry.queries("x159_kendall_tau")(spark, sf).collect().head
     assert(r.getAs[Long]("n") == n)
     assert(r.getAs[Long]("n_inversions") == inv)
@@ -149,7 +151,7 @@ class Ext48Spec extends AnyFunSuite {
     val b = SparkEntry.queries("x159_kendall_tau")(spark, dirB)
       .collect().head
     assert(b.getAs[Long]("n_inversions") == 45L) // C(10,2)
-    // 4*45 div 10 = 18; 1e6 - 18e6 div 9 = -1e6 exactly
+    // 1e6 - 4*45*1e6 div 90 = 1e6 - 2e6 = -1e6 exactly
     assert(b.getAs[Long]("tau_ppm") == -1000000L)
     GraftCaches.releasePrior()
   }
