@@ -161,6 +161,25 @@ object PyText {
     latinFull.matcher(s).matches()
   }
 
+  /** True when the Latin-gate pre-match normalization (typographic map,
+    * confusable map, `"`-drop, whitespace collapse) is a NO-OP on `s`
+    * modulo strip. This is the fixture-parity invariant the
+    * `pipeline_sanctions_cols` oracle relies on: its bare regex
+    * full-match agrees with [[isLatinName]] exactly when every fixture
+    * name is such a fixed point (PipelineSpec enforces it). */
+  def latinGateIsIdentity(s: String): Boolean = {
+    if (s == null) return true
+    val t = pyStrip(s)
+    var u = mapChars(t, latinTypoMap)
+    u = mapChars(u, confusables)
+    u = u.replace('"', ' ')
+    // collapseWs deliberately excluded from the fixed-point check:
+    // repetition of plain ' ' (already in the regex class) can never
+    // change a full-match verdict. Exotic whitespace CAN (pyStrip
+    // removes it, SQL trim does not) — so require none besides ' '.
+    u == t && t.forall(c => c == ' ' || !Character.isWhitespace(c))
+  }
+
   // -- F6 clean_fullname_no_accents_final (main.py:309–330) ------------------
 
   def cleanFullnameNoAccentsFinal(s: String): String = {

@@ -274,11 +274,6 @@ object Core {
       s"THEN lower(substr($x, CAST(i AS INT), 1)) " +
       s"ELSE upper(substr($x, CAST(i AS INT), 1)) END), 'string_agg', '')"
 
-  /** DuckDB oracle for `pipeline_sanctions_cols`: re-derives the
-    * SQL-expressible pipeline columns from the fixture feed EMBEDDED as a
-    * SQL literal (the query ignores the sf dir, so the oracle must too).
-    * Entity split and field extraction are regexp-based — deliberately a
-    * different decomposition from the engine's from_xml path. */
   /** The bundled fixture feed, shared by the engine entry and its oracle. */
   private lazy val fixtureFeedXml: String = {
     val in = getClass.getResourceAsStream("/graft/fixtures/feed.xml")
@@ -286,6 +281,19 @@ object Core {
     finally in.close()
   }
 
+  /** DuckDB oracle for `pipeline_sanctions_cols`: re-derives the
+    * SQL-expressible pipeline columns from the fixture feed EMBEDDED as a
+    * SQL literal (the query ignores the sf dir, so the oracle must too).
+    * Entity split and field extraction are regexp-based — deliberately a
+    * different decomposition from the engine's from_xml path.
+    *
+    * PARITY CAVEAT (enforced by `PipelineSpec`'s fixture-ASCII guard):
+    * the oracle's Latin-name predicate and pyTitle are ASCII-level
+    * spellings, while the engine first applies the typographic/
+    * confusable maps and ICU full-Unicode title-casing — they agree
+    * exactly BECAUSE the bundled fixture's wholeName/countryDescription
+    * fields are pure ASCII. A fixture update that introduces
+    * confusables or accented country names must extend this oracle. */
   private lazy val pipelineColsOracle: String = {
     val feedLit = fixtureFeedXml.replace("'", "''")
     // Latin-name predicate (P2, main.py:356–369): '' already doubled for SQL

@@ -125,11 +125,23 @@ object Ext48 {
                | div greatest(size(split(text, ' ')), 1L)""".stripMargin)
           .as("s2"))
 
-  /** x159 level count: bit-levels of the 0-based y-rank. 24 covers 16M
-    * rows; levels above log2(n) put every element in one all-zero-bit
-    * group and contribute nothing (harmless, documented — raise for
-    * larger corpora; the cost is linear in levels). */
+  /** The ORACLE's fixed x159 level count (the SQL string is static).
+    * The ENGINE derives its level count from n at runtime
+    * ([[tauLevelsFor]]) — a fixed constant would silently DROP the
+    * inversions whose y-ranks first differ above its top bit once
+    * n > 2^levels (round-9 fix; the old fixed-24 engine was silently
+    * wrong above 16.7M rows and the shared constant hid it from the
+    * harness). Levels above bits(n−1) put every element in one
+    * all-zero-bit group and contribute zero, so the two engines agree
+    * exactly whenever n ≤ 2^24 — the oracle's operating range. */
   val TauLevels = 24
+
+  /** Exact level count for an n-row 0-based rank permutation: the bit
+    * length of n−1 (every y-rank fits in this many bits, and any pair
+    * first differs at one of them). n ≤ 1 has no pairs — one level
+    * keeps the explode shape valid. */
+  def tauLevelsFor(n: Long): Int =
+    if (n <= 1L) 1 else 64 - java.lang.Long.numberOfLeadingZeros(n - 1L)
 
   val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -153,6 +165,11 @@ object Ext48 {
     // agree in sign on the same signal pair — the spec asserts it.
     "x159_kendall_tau" -> ((s, d) => {
       val scored = signals(s, d)
+      // Level count from n — ONE cheap count job before the explode
+      // (round-9 fix): a fixed constant silently drops every inversion
+      // whose y-ranks first differ above its top bit once n exceeds
+      // 2^levels, and a shared oracle constant cannot catch it.
+      val levels = tauLevelsFor(scored.count())
       val px = GlobalSeq.withSeq(
           scored.select(col("doc_id"), col("s1")),
           Seq(col("s1"), col("doc_id")), "px")
@@ -161,9 +178,23 @@ object Ext48 {
           scored.select(col("doc_id"), col("s2")),
           Seq(col("s2"), col("doc_id")), "y0")
         .select(col("doc_id"), col("y0"))
-      val lv = px.join(y0, Seq("doc_id"))
+      tauKernel(s, px.join(y0, Seq("doc_id")), levels)
+    }),
+  )
+
+  /** The x159 inversion-counting kernel over a ranked frame with
+    * columns `px` (1-based position rank) and `y0` (0-based value
+    * rank, a permutation), exploded over `levels` bit levels.
+    * Exposed for the scale specs: `levels` MUST be ≥
+    * [[tauLevelsFor]](n) for an exact count (the catalog entry derives
+    * it; the spec's negative control forces one fewer to prove the
+    * derivation is load-bearing). */
+  private[graft] def tauKernel(s: SparkSession, ranked: DataFrame,
+      levels: Int): DataFrame = {
+      require(levels >= 1 && levels <= 62, s"tau levels out of range: $levels")
+      val lv = ranked
         .select(col("px"), col("y0"),
-          explode(expr(s"sequence(0, ${TauLevels - 1})")).as("l"))
+          explode(expr(s"sequence(0, ${levels - 1})")).as("l"))
         .select(col("px").cast("long"), col("l").cast("int"),
           expr("shiftright(y0, l + 1)").as("grp"),
           expr("shiftright(y0, l) & 1L").as("bit"))
@@ -223,8 +254,7 @@ object Ext48 {
           expr("""1000000L - (4L * n_inversions * 1000000L
                  | div greatest(n * (n - 1L), 1L))""".stripMargin)
             .as("tau_ppm"))
-    }),
-  )
+  }
 
   val oracleSql: Map[String, String] = Map(
     "x159_kendall_tau" ->

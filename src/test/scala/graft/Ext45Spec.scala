@@ -76,7 +76,7 @@ class Ext45Spec extends AnyFunSuite {
       .find(t => weights((md5hash32(t) % 64).toInt) < 0).get
     // "t t t": 3 tokens, 1 distinct → A false (< 40 tokens), C false
     // (1*2 < 3), B false (negative average weight)
-    val dir = java.nio.file.Files.createTempDirectory("x147deg").toString
+    val dir = TestSpark.scratchDir("x147deg")
     Seq((0L, s"$tok $tok $tok")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = SparkEntry.queries("x147_krippendorff_alpha")(spark, dir)
@@ -137,7 +137,7 @@ class Ext45Spec extends AnyFunSuite {
     // score is (w + 500)·1000 for a single-token vocabulary)
     val tok = ('a' to 'z').map(_.toString)
       .find(t => weights((md5hash32(t) % 64).toInt) < -150).get
-    val dir = java.nio.file.Files.createTempDirectory("x149deg").toString
+    val dir = TestSpark.scratchDir("x149deg")
     // 3 tokens -> grade A 0; strongly negative lexicon -> grade B 0
     Seq((0L, s"$tok $tok $tok")).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
@@ -157,7 +157,7 @@ class Ext45Spec extends AnyFunSuite {
       (51 to 60).map(i => s"u$i")).mkString(" ")
     val doc2 = ((1 to 40).map(i => s"v$i") ++ s20 ++
       (41 to 80).map(i => s"v$i")).mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("x148plant").toString
+    val dir = TestSpark.scratchDir("x148plant")
     Seq((0L, doc1), (1L, doc2)).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("x148_longest_repeat")(spark, dir).collect()
@@ -183,7 +183,7 @@ class Ext45Spec extends AnyFunSuite {
     val s600 = (1 to 600).map(i => s"c$i")
     val doc1 = ((1 to 10).map(i => s"u$i") ++ s600).mkString(" ")
     val doc2 = (s600 ++ (1 to 10).map(i => s"v$i")).mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("x148cap").toString
+    val dir = TestSpark.scratchDir("x148cap")
     Seq((0L, doc1), (1L, doc2)).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val out = SparkEntry.queries("x148_longest_repeat")(spark, dir).collect()

@@ -26,7 +26,7 @@ class Ext47ScaleSpec extends AnyFunSuite {
         .map(j => if (j == 20) "SUB" else s"w${i}_$j").mkString(" ")
       Seq((2 * i, ref, s"s${i % 4}"), (2 * i + 1, cand, s"s${i % 4}"))
     }.toDF("doc_id", "text", "source")
-    val dir = java.nio.file.Files.createTempDirectory("x47scale").toString
+    val dir = TestSpark.scratchDir("x47scale")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
 
     val t0 = System.nanoTime()

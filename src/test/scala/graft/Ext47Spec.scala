@@ -70,7 +70,7 @@ class Ext47Spec extends AnyFunSuite {
     "x148's capped lesson)") {
     import spark.implicits._
     val run150 = (1 to 150).map(i => s"t$i").mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("x154").toString
+    val dir = TestSpark.scratchDir("x154")
     Seq(
       (0L, "the cat sat on the mat", "s1"),
       (1L, "the dog sat on a mat", "s1"),
@@ -145,7 +145,7 @@ class Ext47Spec extends AnyFunSuite {
     "150-token identical pair that caps at 124 with dist 0") {
     import spark.implicits._
     val run150 = (1 to 150).map(i => s"t$i").mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("x156").toString
+    val dir = TestSpark.scratchDir("x156")
     Seq(
       (0L, "the cat sat", "s1"), (1L, "the hat sat", "s1"),      // 1 sub
       (2L, "a b c", "s2"), (3L, "a b c d e", "s2"),              // 2 ins
@@ -241,7 +241,7 @@ class Ext47Spec extends AnyFunSuite {
     "and n-gram orders longer than every candidate produce NO row " +
     "(cand 'abab' = 4 chars → rows for n = 1..4 only)") {
     import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("x155").toString
+    val dir = TestSpark.scratchDir("x155")
     Seq((0L, "abc", "m"), (1L, "ab ab", "m"))
       .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")

@@ -10,8 +10,9 @@ import org.apache.spark.sql.functions._
   * blocks-reversed / within-block-ascending, so the inversion count
   * has the closed form C(n,2) − k·C(m,2) = 19,980,000,000 EXACTLY —
   * any cross-partition double-count or drop in the O(P) boundary
-  * combine shows up as an off-by-huge integer, across 24 levels × 32
-  * range partitions with every partition pair contributing cross
+  * combine shows up as an off-by-huge integer, across the 18 adaptive
+  * bit levels (= bits(n−1), derived from the count — the round-9 fix)
+  * × 32 range partitions with every partition pair contributing cross
   * terms. (Block structure keeps docs ≤ 1000 chars — a first cut of
   * this spec used 200k distinct lengths and accidentally built a
   * 20 GB corpus; it still counted exactly, in 139 s.)
@@ -30,7 +31,7 @@ class Ext48ScaleSpec extends AnyFunSuite {
     val docs = spark.range(n)
       .select(col("id").as("doc_id"),
         expr(s"repeat('a', CAST($k - id div $m AS INT))").as("text"))
-    val dir = java.nio.file.Files.createTempDirectory("x159scale").toString
+    val dir = TestSpark.scratchDir("x159scale")
     docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val t0 = System.nanoTime()
     val r = SparkEntry.queries("x159_kendall_tau")(spark, dir)

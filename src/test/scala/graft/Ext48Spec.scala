@@ -54,7 +54,7 @@ class Ext48Spec extends AnyFunSuite {
     // test (odd ids): "b" (alpha 1e6, uncovered), "cc" (500000, covered
     // at the boundary), "eeee" (250000, covered)
     val tst = Seq((1L, "b"), (3L, "cc"), (5L, "eeee"))
-    val dir = java.nio.file.Files.createTempDirectory("x157").toString
+    val dir = TestSpark.scratchDir("x157")
     (cal ++ tst).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val r = SparkEntry.queries("x157_conformal_coverage")(spark, dir)
@@ -133,7 +133,7 @@ class Ext48Spec extends AnyFunSuite {
     import spark.implicits._
     // reuse the x158 planted corpora shapes: agreeing via tie-break,
     // reversed via constant length + decreasing distinct count
-    val dirA = java.nio.file.Files.createTempDirectory("x159a").toString
+    val dirA = TestSpark.scratchDir("x159a")
     (1 to 10).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" ")))
       .toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
@@ -141,7 +141,7 @@ class Ext48Spec extends AnyFunSuite {
       .collect().head
     assert(a.getAs[Long]("n_inversions") == 0L)
     assert(a.getAs[Long]("tau_ppm") == 1000000L)
-    val dirB = java.nio.file.Files.createTempDirectory("x159b").toString
+    val dirB = TestSpark.scratchDir("x159b")
     (1 to 10).map { i =>
       val toks12 = (1 to (12 - i)).map(j => f"w$j%02d") ++
         Seq.fill(i)("w01")
@@ -156,11 +156,45 @@ class Ext48Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x159 levels: tauLevelsFor is the exact bit length of n-1 " +
+    "(the round-9 fix — a fixed constant is silently wrong past " +
+    "2^levels rows)") {
+    import graft.queries.Ext48.tauLevelsFor
+    assert(tauLevelsFor(0L) == 1 && tauLevelsFor(1L) == 1)
+    assert(tauLevelsFor(2L) == 1)        // y0 in {0,1}: one bit
+    assert(tauLevelsFor(3L) == 2 && tauLevelsFor(4L) == 2)
+    assert(tauLevelsFor(5L) == 3)
+    assert(tauLevelsFor(1L << 24) == 24) // the old constant's boundary
+    assert(tauLevelsFor((1L << 24) + 1L) == 25)
+    assert(tauLevelsFor((1L << 40) + 7L) == 41)
+  }
+
+  test("x159 levels boundary: at n = 2^17 + 3 the adaptive 18-level " +
+    "kernel counts the reversed permutation's C(n,2) inversions " +
+    "EXACTLY, while forcing the old fixed-constant style one level " +
+    "short undercounts — the derivation is load-bearing") {
+    import graft.queries.Ext48
+    val n = (1L << 17) + 3L
+    val ranked = spark.range(n)
+      .select((col("id") + 1L).as("px"), (lit(n) - 1L - col("id")).as("y0"))
+    val want = n * (n - 1L) / 2L
+    val good = Ext48.tauKernel(spark, ranked, Ext48.tauLevelsFor(n))
+      .collect().head
+    assert(good.getAs[Long]("n") == n)
+    assert(good.getAs[Long]("n_inversions") == want)
+    // negative control: 17 levels drop every pair whose y-ranks first
+    // differ at bit 17 — the silent-wrong mode the count() fix removes
+    val short = Ext48.tauKernel(spark, ranked, 17).collect().head
+    assert(short.getAs[Long]("n_inversions") < want,
+      "17 levels should undercount at n > 2^17")
+    GraftCaches.releasePrior()
+  }
+
   test("x158 planted: monotone-agreeing signals (via the doc_id " +
     "tie-break) give rho = 1e6 exactly; a perfectly reversed pair " +
     "gives rho = -1e6 exactly (sum_d2 = n(n^2-1)/3 divides out)") {
     import spark.implicits._
-    val dirA = java.nio.file.Files.createTempDirectory("x158a").toString
+    val dirA = TestSpark.scratchDir("x158a")
     // s1 strictly increasing (length), s2 constant (all-distinct tokens)
     // -> s2 ties broken by doc_id -> r2 = r1
     (1 to 10).map(i => (i.toLong, (1 to i).map(j => s"w$j").mkString(" ")))
@@ -171,7 +205,7 @@ class Ext48Spec extends AnyFunSuite {
     assert(a.getAs[Long]("rho_ppm") == 1000000L)
     // reversed: constant length (12 three-char tokens), distinct count
     // 12 - i strictly decreasing in doc order
-    val dirB = java.nio.file.Files.createTempDirectory("x158b").toString
+    val dirB = TestSpark.scratchDir("x158b")
     (1 to 10).map { i =>
       val toks12 = (1 to (12 - i)).map(j => f"w$j%02d") ++
         Seq.fill(i)("w01")

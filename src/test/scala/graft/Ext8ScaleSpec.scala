@@ -14,7 +14,7 @@ class Ext8ScaleSpec extends AnyFunSuite {
 
   private lazy val dir: String = {
     import spark.implicits._
-    val d = java.nio.file.Files.createTempDirectory("graft-e8scale").toString
+    val d = TestSpark.scratchDir("graft-e8scale")
     val t0 = 1700000000000000L
     spark.range(200000)
       .select(col("id").as("event_id"),

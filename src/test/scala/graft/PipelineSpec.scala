@@ -104,4 +104,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(s(8, "REM2") == "" && b(8, "flag_rem2_missing"))
     assert(!b(8, "flag_rem2_conflict"))
   }
+
+  test("fixture guard: the pipeline_sanctions_cols oracle's parity " +
+    "invariants hold on the bundled feed — every wholeName is a fixed " +
+    "point of the engine's Latin-gate normalization (so the oracle's " +
+    "bare regex full-match agrees with isLatinName), and every " +
+    "countryDescription is pure ASCII (so the oracle's [A-Za-z] " +
+    "pyTitle agrees with the engine's ICU title-casing)") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/feed.xml")
+    val xml = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    val names = """wholeName="([^"]*)"""".r
+      .findAllMatchIn(xml).map(_.group(1)).toSeq
+    val countries = """countryDescription="([^"]*)"""".r
+      .findAllMatchIn(xml).map(_.group(1)).toSeq
+    assert(names.nonEmpty && countries.nonEmpty,
+      "fixture lost its name/country attributes?")
+    for (v <- names)
+      assert(graft.norm.PyText.latinGateIsIdentity(v),
+        s"fixture wholeName '$v' is altered by the engine's " +
+          "typographic/confusable/quote normalization — extend the cols " +
+          "oracle (Core.pipelineColsOracle) before shipping this fixture")
+    for (v <- countries)
+      assert(v.forall(_ < 128.toChar),
+        s"non-ASCII countryDescription '$v' — the oracle's ASCII " +
+          "pyTitle would diverge from the engine's ICU title-casing")
+  }
 }
