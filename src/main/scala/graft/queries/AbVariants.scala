@@ -59,6 +59,16 @@ object AbVariants {
     // Catalog keeps the x152-shaped join-clip form.
     "x155_chrf__singlepass" -> ((s, d) => Ext47.chrF(s, d, joinClip = false)),
 
+    // x154/x156 round-8 two-limb 124-token forms (round 9): the cost
+    // controls for the k-limb array-state generalization that lifted
+    // LcsCap to 992. On this corpus (max ~110 tokens) the outputs are
+    // identical; the k-limb form actually does LESS bit work for m <= 62
+    // (one limb instead of a forced two) at the price of the inner
+    // carry-fold bookkeeping. BENCH_AB_r09_lcscap.json records the
+    // same-boot comparison.
+    "x154_rouge_l__2limb" -> ((s, d) => Ext47.rougeL(s, d, kLimb = false)),
+    "x156_wer__2limb" -> ((s, d) => Ext47.wer(s, d, kLimb = false)),
+
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)
       val n = eQ.count()

@@ -26,18 +26,20 @@ import graft.ext.TextOps
   *   V' = (V + (V & M(c))) | (V & ~M(c)),   LCS = m − popcount(V)
   * (M(c) = bitmask of c's positions in the reference; V starts all-ones
   * over m bits). The CARRY of the addition performs the DP row's prefix
-  * propagation, so each row update is O(1) bitvector ops instead of an
-  * O(m) sequential scan. State is TWO 62-bit BIGINT limbs (62 keeps
-  * `V + (V&M)` off the sign bit; the cross-limb carry is one shift),
-  * giving a 124-token window per side — above this corpus's longest
-  * document — with truncation SURFACED as `n_capped` (the x148 `capped`
-  * lesson: a lower-bound answer must be distinguishable from an exact
-  * one). The whole fold is one `aggregate` HOF over the candidate
-  * tokens — partition-local, no shuffle — and the SAME fold is spelled
-  * in DuckDB via list_reduce, so the oracle is an independent engine
-  * executing the identical integer recurrence (validated 40/40 against
-  * a classic-DP brute force across both limbs at build time; Ext47Spec
-  * re-pins the equivalence in pure Scala).
+  * propagation, so each row update is O(m/62) bitvector ops instead of
+  * an O(m) sequential scan. State is an ARRAY of 62-bit BIGINT limbs
+  * with a PER-PAIR limb count nl = ceil(m/62) (round 9 — generalized
+  * from the fixed two-limb {hi, lo} window; 62 keeps `V + (V&M)` off
+  * the sign bit, and the cross-limb carry is an inner fold over limb
+  * indices), giving a 992-token window per side with truncation still
+  * SURFACED as `n_capped` (the x148 `capped` lesson: a lower-bound
+  * answer must be distinguishable from an exact one). The whole fold is
+  * one `aggregate` HOF over the candidate tokens — partition-local, no
+  * shuffle — and the SAME fold is spelled in DuckDB via list_reduce, so
+  * the oracle is an independent engine executing the identical integer
+  * recurrence (each kernel validated 40/40 against a classic-DP brute
+  * force per engine before landing; Ext47Spec re-pins the equivalence
+  * in pure Scala).
   *
   * Pairing contract (shared with x152): candidate = odd doc_id,
   * reference = doc_id − 1, one equi-join on the pair key; rollups are
@@ -48,11 +50,20 @@ import graft.ext.TextOps
   */
 object Ext47 {
 
-  /** Token cap per side for the bit-parallel LCS: 2 limbs × 62 bits.
-    * Documents here max ~110 whitespace tokens, so the cap never binds
-    * on the driver corpus; when it does bind (longer corpora), the
-    * truncation is surfaced per source as `n_capped`. */
-  val LcsCap = 124
+  /** Token cap per side for the bit-parallel DP metrics: 16 limbs ×
+    * 62 bits (round 9 — lifted from the 124-token two-limb window).
+    * The folds now run over per-pair ARRAY state with
+    * nl = ceil(min(m, cap)/62) limbs, so short pairs pay only their
+    * own length and the cap is purely a COST guard (the DP is
+    * inherently O(nc·m/62) work per pair — unbounded documents would
+    * make a single pair quadratic). Truncation is still surfaced per
+    * source as `n_capped`; it never binds on the driver corpus
+    * (max ~110 tokens). */
+  val LcsCap = 992
+
+  /** The round-8 two-limb window, kept for the `__2limb` AbVariants
+    * (same-boot cost control for the k-limb generalization). */
+  private[graft] val LcsCap2Limb = 124
 
   /** Match masks shared by the LCS and WER folds, one {hi, lo} struct
     * per candidate token: the set bits of its occurrences in the
@@ -72,19 +83,25 @@ object Ext47 {
 
   /** Candidate/reference token pairing shared by x154 and x156 (odd
     * doc_id = candidate, doc_id − 1 = reference; both sides windowed to
-    * LcsCap with the truncation flags kept). */
-  private def pairedTokens(s: SparkSession, d: String): DataFrame = {
+    * `cap` with the truncation flags kept). The k-limb folds also need
+    * `m` (reference length) and `nl` (per-pair limb count) as pair
+    * columns referenced from inside the fold lambdas. */
+  private def pairedTokens(s: SparkSession, d: String,
+      cap: Int): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
     val cand = docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id").as("pair_id"), col("source"),
-        expr(s"slice(w, 1, $LcsCap)").as("cw"),
-        (size(col("w")) > LcsCap).as("ccap"))
+        expr(s"slice(w, 1, $cap)").as("cw"),
+        (size(col("w")) > cap).as("ccap"))
     val ref = docs.filter(col("doc_id") % 2 === 0)
       .select((col("doc_id") + 1L).as("pair_id"),
-        expr(s"slice(w, 1, $LcsCap)").as("rw"),
-        (size(col("w")) > LcsCap).as("rcap"))
+        expr(s"slice(w, 1, $cap)").as("rw"),
+        (size(col("w")) > cap).as("rcap"))
     cand.join(ref, Seq("pair_id"))
+      .withColumn("m", size(col("rw")).cast("long"))
+      .withColumn("nl",
+        expr("CAST(greatest((m + 61L) div 62L, 1L) AS INT)"))
   }
 
   /** The two-limb Allison–Dix fold as one Spark SQL expression over
@@ -184,7 +201,10 @@ object Ext47 {
     * 200 vs brute force), so the state is a BIGINT LIST
     * [pvh, pvl, mvh, mvl, sc] and the match masks are 2-element lists
     * [hi, lo] of the same LIST(BIGINT) type. */
-  private val werFoldDuckSql: String = {
+  // Retained two-limb DuckDB fold (superseded in the catalog by the
+  // k-limb arrWerFoldDuckSql; kept with the __2limb engine variants so
+  // the round-8 lineage stays reproducible).
+  private[graft] val werFoldDuckSql: String = {
     val z = "CAST(0 AS BIGINT)"
     val masks =
       s"""list_transform(cw, c -> [coalesce(list_aggregate(
@@ -206,6 +226,199 @@ object Ext47 {
        |      (v, mk) -> $step))[5]""".stripMargin
   }
 
+  // ---- round 9: k-limb array state (the LcsCap lift) ----------------------
+  //
+  // The two-limb {hi, lo} structs above cap both DP metrics at 124
+  // tokens per side. The k-limb generalization stores the bitvectors as
+  // ARRAY<BIGINT> with a PER-PAIR limb count nl = ceil(m/62): short
+  // pairs keep paying one limb, long pairs get exact answers up to
+  // LcsCap. The only genuinely sequential piece is the DP addition's
+  // cross-limb carry, spelled as an inner fold over limb indices
+  // (state = partial limbs + carry; each limb sum ≤ 2·(2^62−1)+1 =
+  // Long.MaxValue, so the 62-bit shift is the exact carry). Everything
+  // else is limb-wise. As with the two-limb forms, the step math is
+  // generated ONCE and rendered per dialect (validated 40/40 against
+  // classic DP per engine before landing; Ext47Spec re-pins both).
+  // DuckDB quirks carried over from x156: LIST(BIGINT) state (its
+  // list_reduce miscomputes STRUCT accumulators), list_prepend'ed init;
+  // let-bindings are spelled list_transform([expr], x -> body)[1] —
+  // the same trick works in Spark as element_at(transform(array(e)...).
+
+  private val M62 = 4611686018427387903L // (1L << 62) - 1
+
+  /** Dialect hooks for the k-limb folds. Pair columns in lambda scope:
+    * cw, rw, m (BIGINT ref length), nl (limb count). */
+  private final case class ADia(
+      lng: Long => String,
+      idx: (String, String) => String,             // 1-based array access
+      shl: (String, String) => String,
+      shr: (String, String) => String,
+      xor: (String, String) => String,
+      overNl: (String, String) => String,          // (var, body): array over 1..nl
+      let: (String, String, String) => String,     // (name, arrExpr, body)
+      fold: (String, String, String, String, String) => String,
+      addCarry: (String => String, (String, String) => String) => String,
+      stPv: String => String, stMv: String => String, stSc: String,
+      pack: (String, String, String) => String)
+
+  private val SparkA: ADia = ADia(
+    lng = v => s"${v}L",
+    idx = (a, i) => s"element_at($a, CAST($i AS INT))",
+    shl = (x, n) => s"shiftleft($x, $n)",
+    shr = (x, n) => s"shiftright($x, $n)",
+    xor = (a, b) => s"($a ^ $b)",
+    overNl = (v, body) => s"transform(sequence(1, nl), $v -> $body)",
+    let = (nm, e, body) =>
+      s"element_at(transform(array($e), $nm -> $body), 1)",
+    fold = (items, init, acc, cur, step) =>
+      s"aggregate($items,\n  $init,\n  ($acc, $cur) -> $step)",
+    addCarry = (xy, post) => {
+      val sum = s"(${xy("ci")} + cst.c)"
+      s"""aggregate(sequence(1, nl),
+         |  named_struct('c', 0L, 'a', CAST(array() AS ARRAY<BIGINT>)),
+         |  (cst, ci) -> named_struct(
+         |    'c', shiftright($sum, 62),
+         |    'a', concat(cst.a,
+         |      array(${post(s"($sum & ${M62}L)", "ci")}))),
+         |  cst -> cst.a)""".stripMargin
+    },
+    stPv = i => s"element_at(v.pv, CAST($i AS INT))",
+    stMv = i => s"element_at(v.mv, CAST($i AS INT))",
+    stSc = "v.sc",
+    pack = (pv2, mv2, sc2) =>
+      s"named_struct('pv', $pv2, 'mv', $mv2, 'sc', $sc2)")
+
+  private val DuckA: ADia = ADia(
+    lng = v => s"CAST($v AS BIGINT)",
+    idx = (a, i) => s"$a[CAST($i AS INT)]",
+    shl = (x, n) => s"($x << $n)",
+    shr = (x, n) => s"($x >> $n)",
+    xor = (a, b) => s"xor($a, $b)",
+    overNl = (v, body) => s"list_transform(range(1, nl + 1), $v -> $body)",
+    let = (nm, e, body) => s"(list_transform([$e], $nm -> $body))[1]",
+    fold = (items, init, acc, cur, step) =>
+      s"list_reduce(list_prepend($init,\n  $items),\n  ($acc, $cur) -> $step)",
+    addCarry = (xy, post) => {
+      val sum = s"(${xy("cix[1]")} + cst[1])"
+      s"""(list_reduce(list_prepend([CAST(0 AS BIGINT)],
+         |  list_transform(range(1, nl + 1), ci0 -> [CAST(ci0 AS BIGINT)])),
+         |  (cst, cix) -> list_concat(
+         |    [($sum >> 62)],
+         |    list_concat(cst[2:],
+         |      [${post(s"($sum & CAST($M62 AS BIGINT))", "cix[1]")}]))))[2:]"""
+        .stripMargin
+    },
+    stPv = i => s"v[CAST($i AS INT)]",
+    stMv = i => s"v[CAST(nl + $i AS INT)]",
+    stSc = "v[CAST(2*nl + 1 AS INT)]",
+    pack = (pv2, mv2, sc2) =>
+      s"list_concat($pv2, list_concat($mv2, [$sc2]))")
+
+  /** Live-bit mask for limb `i`: full 62 bits except the top limb's
+    * partial m − (nl−1)·62 bits (0 bits when m = 0). */
+  private def aLive(d: ADia, i: String): String =
+    s"(CASE WHEN $i < nl THEN ${d.lng(M62)} " +
+      s"ELSE ${d.shl(d.lng(1), "CAST(m - (nl-1)*62 AS INT)")} - " +
+      s"${d.lng(1)} END)"
+
+  /** Match masks, k-limb: one ARRAY of nl limbs per candidate token
+    * (limb i covers reference positions (i−1)·62+1 .. i·62). The inner
+    * position guard keeps element_at in-bounds under ANSI (and inert
+    * when Spark's sequence DESCENDS on an empty top range at m = 0). */
+  private val arrMasksSparkSql: String =
+    """transform(cw, c -> transform(sequence(1, nl), mi ->
+      |  aggregate(
+      |    sequence(CAST((mi-1)*62 + 1 AS BIGINT),
+      |             greatest(least(CAST(mi AS BIGINT)*62, m),
+      |                      CAST((mi-1)*62 + 1 AS BIGINT))),
+      |    0L, (ma, mj) ->
+      |    ma + IF(mj <= m,
+      |          IF(element_at(rw, CAST(mj AS INT)) = c,
+      |             shiftleft(1L, CAST(mj - 1 - (mi-1)*62 AS INT)), 0L),
+      |          0L))))""".stripMargin
+
+  private val arrMasksDuckSql: String =
+    """list_transform(cw, c -> list_transform(range(1, nl + 1), mi ->
+      |  coalesce(list_aggregate(
+      |    list_transform(range((mi-1)*62 + 1, least(mi*62, m) + 1), mj ->
+      |      CASE WHEN rw[CAST(mj AS INT)] = c
+      |           THEN CAST(1 AS BIGINT) << CAST(mj - 1 - (mi-1)*62 AS INT)
+      |           ELSE CAST(0 AS BIGINT) END), 'sum'), 0)))""".stripMargin
+
+  /** k-limb Allison–Dix LCS fold: state = the V bitvector as an
+    * ARRAY<BIGINT>; per token, one carry fold computes V + (V&M), then
+    * the OR with V&~M and the live-bit re-mask are limb-wise. */
+  private def arrLcsFold(d: ADia, masks: String): String = {
+    def vI(i: String) = d.idx("v", i)
+    def mkI(i: String) = d.idx("mk", i)
+    val step = d.addCarry(
+      i => s"(${vI(i)} + (${vI(i)} & ${mkI(i)}))",
+      (sum, i) => s"(($sum | (${vI(i)} & ~${mkI(i)})) & ${aLive(d, i)})")
+    d.fold(masks, d.overNl("li", aLive(d, "li")), "v", "mk", step)
+  }
+
+  private[graft] val arrLcsFoldSparkSql: String =
+    arrLcsFold(SparkA, arrMasksSparkSql)
+  private val arrLcsFoldDuckSql: String =
+    arrLcsFold(DuckA, arrMasksDuckSql)
+
+  /** One k-limb Myers step. State carries (Pv limbs, Mv limbs, score);
+    * the (Eq&Pv)+Pv addition is the carry fold, the <<1 carries bit 61
+    * limb-to-limb, the score reads bit m−1 of the top limb. Shared
+    * intermediates are LET-BOUND (computed once per step) — without
+    * the bindings the expression tree blows up multiplicatively. */
+  private def arrMyersStep(d: ADia): String = {
+    def eqI(i: String) = d.idx("mk", i)
+    def at(a: String, i: String) = d.idx(a, i)
+    val one = d.lng(1); val zero = d.lng(0)
+    val sumArr = d.addCarry(
+      i => s"((${eqI(i)} & ${d.stPv(i)}) + ${d.stPv(i)})",
+      (sum, i) => s"($sum & ${aLive(d, i)})")
+    val xhArr = d.overNl("xi",
+      s"(${d.xor(at("ms", "xi"), d.stPv("xi"))} | ${eqI("xi")})")
+    val xvArr = d.overNl("xi", s"(${eqI("xi")} | ${d.stMv("xi")})")
+    val phArr = d.overNl("xi",
+      s"(${d.stMv("xi")} | ((~(${at("mxh", "xi")} | ${d.stPv("xi")})) & " +
+        s"${aLive(d, "xi")}))")
+    val mhArr = d.overNl("xi",
+      s"(${d.stPv("xi")} & ${at("mxh", "xi")})")
+    val off = "CAST(m - 1 - (nl-1)*62 AS INT)"
+    val sc2 = s"((${d.stSc}) + (${d.shr(at("mph", "nl"), off)} & $one)" +
+      s" - (${d.shr(at("mmh", "nl"), off)} & $one))"
+    def shlArr(a: String, c0: String) = d.overNl("xi",
+      s"((${d.shl(at(a, "xi"), "1")} | (CASE WHEN xi = 1 THEN $c0 " +
+        s"ELSE (${d.shr(at(a, "xi - 1"), "61")} & $one) END)) & " +
+        s"${aLive(d, "xi")})")
+    val pv2 = d.overNl("xi",
+      s"(${at("mmhs", "xi")} | ((~(${at("mxv", "xi")} | " +
+        s"${at("mphs", "xi")})) & ${aLive(d, "xi")}))")
+    val mv2 = d.overNl("xi",
+      s"(${at("mphs", "xi")} & ${at("mxv", "xi")})")
+    d.let("ms", sumArr,
+      d.let("mxh", xhArr,
+        d.let("mxv", xvArr,
+          d.let("mph", phArr,
+            d.let("mmh", mhArr,
+              d.let("mphs", shlArr("mph", one),
+                d.let("mmhs", shlArr("mmh", zero),
+                  d.pack(pv2, mv2, sc2))))))))
+  }
+
+  private[graft] val arrWerFoldSparkSql: String = {
+    val init = "named_struct(" +
+      s"'pv', ${SparkA.overNl("li", aLive(SparkA, "li"))}, " +
+      s"'mv', ${SparkA.overNl("li", "0L")}, 'sc', m)"
+    SparkA.fold(arrMasksSparkSql, init, "v", "mk", arrMyersStep(SparkA))
+  }
+
+  private val arrWerFoldDuckSql: String = {
+    val init = "list_concat(" +
+      s"${DuckA.overNl("li", aLive(DuckA, "li"))}, list_concat(" +
+      s"${DuckA.overNl("li", "CAST(0 AS BIGINT)")}, [m]))"
+    s"(${DuckA.fold(arrMasksDuckSql, init, "v", "mk", arrMyersStep(DuckA))})" +
+      "[CAST(2*nl + 1 AS INT)]"
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X154 ROUGE-L (Lin 2004) aggregated per source:
@@ -215,33 +428,7 @@ object Ext47 {
     // all floored ppm BIGINT. The F1 spelling 2Σlcs/(Σ|c|+Σ|r|) IS the
     // harmonic mean of micro P and R computed exactly — composing the
     // two already-floored ppm values would double-floor.
-    "x154_rouge_l" -> ((s, d) => {
-      val per = pairedTokens(s, d)
-        .withColumn("st", expr(lcsFoldSql))
-        .select(col("source"),
-          size(col("cw")).cast("long").as("nc"),
-          size(col("rw")).cast("long").as("m"),
-          (col("ccap") || col("rcap")).as("cap"),
-          (size(col("rw")) - expr("bit_count(st.hi)")
-            - expr("bit_count(st.lo)")).cast("long").as("lcs"))
-      per.groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(col("lcs")).as("lcs_sum"),
-          sum(col("nc")).as("cand_len"),
-          sum(col("m")).as("ref_len"),
-          sum(when(col("cap"), 1L).otherwise(0L)).as("n_capped"),
-          sum(expr("2L * lcs * 1000000L div greatest(nc + m, 1L)"))
-            .as("f_sum"))
-        .select(col("source"), col("n_pairs"), col("lcs_sum"),
-          col("cand_len"), col("ref_len"), col("n_capped"),
-          expr("lcs_sum * 1000000L div greatest(cand_len, 1L)").as("p_ppm"),
-          expr("lcs_sum * 1000000L div greatest(ref_len, 1L)").as("r_ppm"),
-          expr("2L * lcs_sum * 1000000L div greatest(cand_len + ref_len, 1L)")
-            .as("f_ppm"),
-          expr("f_sum div greatest(n_pairs, 1L)").as("macro_f_ppm"))
-        .orderBy(col("source"))
-    }),
+    "x154_rouge_l" -> ((s, d) => rougeL(s, d, kLimb = true)),
 
     // X155 chrF (Popović 2015): character n-gram F-score, n = 1..6,
     // over whitespace-stripped text (chrF's published convention),
@@ -275,35 +462,81 @@ object Ext47 {
     // split semantics but spelled anyway) degrades to dist = |cand|.
     // micro wer_ppm = Σdist·1e6 div Σ|ref|; macro = mean per-pair ppm
     // (can exceed 1e6 when the candidate is longer — WER's convention).
-    "x156_wer" -> ((s, d) => {
-      val per = pairedTokens(s, d)
-        .withColumn("m", size(col("rw")).cast("long"))
-        .withColumn("bml",
-          expr("shiftleft(1L, CAST(least(m, 62) AS INT)) - 1L"))
-        .withColumn("bmh",
-          expr("shiftleft(1L, CAST(greatest(m - 62, 0) AS INT)) - 1L"))
-        .withColumn("st", expr(werFoldSparkSql))
-        .select(col("source"),
-          size(col("cw")).cast("long").as("nc"), col("m"),
-          (col("ccap") || col("rcap")).as("cap"),
-          expr("CASE WHEN m = 0 THEN CAST(size(cw) AS BIGINT)" +
-            " ELSE st.sc END").as("dist"))
-      per.groupBy(col("source"))
-        .agg(
-          count(lit(1)).as("n_pairs"),
-          sum(col("dist")).as("dist_sum"),
-          sum(col("nc")).as("cand_len"),
-          sum(col("m")).as("ref_len"),
-          sum(when(col("cap"), 1L).otherwise(0L)).as("n_capped"),
-          sum(expr("dist * 1000000L div greatest(m, 1L)")).as("w_sum"))
-        .select(col("source"), col("n_pairs"), col("dist_sum"),
-          col("cand_len"), col("ref_len"), col("n_capped"),
-          expr("dist_sum * 1000000L div greatest(ref_len, 1L)")
-            .as("wer_ppm"),
-          expr("w_sum div greatest(n_pairs, 1L)").as("macro_wer_ppm"))
-        .orderBy(col("source"))
-    }),
+    "x156_wer" -> ((s, d) => wer(s, d, kLimb = true)),
   )
+
+  /** x154 body; `kLimb = false` is the round-8 two-limb 124-token form,
+    * retained as the AbVariants cost control. */
+  private[graft] def rougeL(s: SparkSession, d: String,
+      kLimb: Boolean): DataFrame = {
+    val paired =
+      if (kLimb)
+        pairedTokens(s, d, LcsCap)
+          .withColumn("st", expr(arrLcsFoldSparkSql))
+          .withColumn("lcs", expr(
+            """m - aggregate(transform(st, pb -> CAST(bit_count(pb) AS BIGINT)),
+              |  0L, (pa, pc) -> pa + pc)""".stripMargin))
+      else
+        pairedTokens(s, d, LcsCap2Limb)
+          .withColumn("st", expr(lcsFoldSql))
+          .withColumn("lcs", (size(col("rw")) - expr("bit_count(st.hi)")
+            - expr("bit_count(st.lo)")).cast("long"))
+    val per = paired.select(col("source"),
+      size(col("cw")).cast("long").as("nc"), col("m"),
+      (col("ccap") || col("rcap")).as("cap"), col("lcs"))
+    per.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("lcs")).as("lcs_sum"),
+        sum(col("nc")).as("cand_len"),
+        sum(col("m")).as("ref_len"),
+        sum(when(col("cap"), 1L).otherwise(0L)).as("n_capped"),
+        sum(expr("2L * lcs * 1000000L div greatest(nc + m, 1L)"))
+          .as("f_sum"))
+      .select(col("source"), col("n_pairs"), col("lcs_sum"),
+        col("cand_len"), col("ref_len"), col("n_capped"),
+        expr("lcs_sum * 1000000L div greatest(cand_len, 1L)").as("p_ppm"),
+        expr("lcs_sum * 1000000L div greatest(ref_len, 1L)").as("r_ppm"),
+        expr("2L * lcs_sum * 1000000L div greatest(cand_len + ref_len, 1L)")
+          .as("f_ppm"),
+        expr("f_sum div greatest(n_pairs, 1L)").as("macro_f_ppm"))
+      .orderBy(col("source"))
+  }
+
+  /** x156 body; `kLimb = false` is the round-8 two-limb form. */
+  private[graft] def wer(s: SparkSession, d: String,
+      kLimb: Boolean): DataFrame = {
+    val paired =
+      if (kLimb)
+        pairedTokens(s, d, LcsCap)
+          .withColumn("stv", expr(arrWerFoldSparkSql))
+      else
+        pairedTokens(s, d, LcsCap2Limb)
+          .withColumn("bml",
+            expr("shiftleft(1L, CAST(least(m, 62) AS INT)) - 1L"))
+          .withColumn("bmh",
+            expr("shiftleft(1L, CAST(greatest(m - 62, 0) AS INT)) - 1L"))
+          .withColumn("stv", expr(werFoldSparkSql))
+    val per = paired.select(col("source"),
+      size(col("cw")).cast("long").as("nc"), col("m"),
+      (col("ccap") || col("rcap")).as("cap"),
+      expr("CASE WHEN m = 0 THEN CAST(size(cw) AS BIGINT)" +
+        " ELSE stv.sc END").as("dist"))
+    per.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("dist")).as("dist_sum"),
+        sum(col("nc")).as("cand_len"),
+        sum(col("m")).as("ref_len"),
+        sum(when(col("cap"), 1L).otherwise(0L)).as("n_capped"),
+        sum(expr("dist * 1000000L div greatest(m, 1L)")).as("w_sum"))
+      .select(col("source"), col("n_pairs"), col("dist_sum"),
+        col("cand_len"), col("ref_len"), col("n_capped"),
+        expr("dist_sum * 1000000L div greatest(ref_len, 1L)")
+          .as("wer_ppm"),
+        expr("w_sum div greatest(n_pairs, 1L)").as("macro_wer_ppm"))
+      .orderBy(col("source"))
+  }
 
   /** x155 body; `joinClip = false` is the single-pass side-flag form —
     * the retained NEGATIVE result (see the catalog entry's comment and
@@ -382,40 +615,22 @@ object Ext47 {
         |    FROM documents),
         |pr AS (SELECT c.doc_id AS pair_id, c.source,
         |    c.w[1 : $LcsCap] AS cw, r.w[1 : $LcsCap] AS rw,
-        |    (len(c.w) > $LcsCap OR len(r.w) > $LcsCap) AS cap
+        |    (len(c.w) > $LcsCap OR len(r.w) > $LcsCap) AS cap,
+        |    CAST(len(r.w[1 : $LcsCap]) AS BIGINT) AS m,
+        |    greatest((CAST(len(r.w[1 : $LcsCap]) AS BIGINT) + 61) // 62, 1)
+        |      AS nl
         |  FROM (SELECT * FROM d WHERE doc_id % 2 = 1) c
         |  JOIN (SELECT doc_id + 1 AS pid, w FROM d WHERE doc_id % 2 = 0) r
         |    ON c.doc_id = r.pid),
         |st AS (SELECT pair_id, source, cap,
-        |    CAST(len(cw) AS BIGINT) AS nc, CAST(len(rw) AS BIGINT) AS m,
-        |    list_reduce(list_prepend(
-        |      {hi: (CAST(1 AS BIGINT) << greatest(len(rw) - 62, 0)) - 1,
-        |       lo: (CAST(1 AS BIGINT) << least(len(rw), 62)) - 1},
-        |      list_transform(cw, c -> {
-        |        hi: coalesce(list_aggregate(
-        |          list_transform(range(1, len(rw) + 1), j ->
-        |            CASE WHEN j > 62 AND rw[CAST(j AS INT)] = c
-        |                 THEN CAST(1 AS BIGINT) << CAST(j - 63 AS INT)
-        |                 ELSE CAST(0 AS BIGINT) END), 'sum'), 0),
-        |        lo: coalesce(list_aggregate(
-        |          list_transform(range(1, len(rw) + 1), j ->
-        |            CASE WHEN j <= 62 AND rw[CAST(j AS INT)] = c
-        |                 THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
-        |                 ELSE CAST(0 AS BIGINT) END), 'sum'), 0)})),
-        |      (v, mk) -> {
-        |        hi: (((v.hi + (v.hi & mk.hi) +
-        |               ((v.lo + (v.lo & mk.lo)) >> 62)) |
-        |              (v.hi & ~mk.hi))
-        |             & ((CAST(1 AS BIGINT) << greatest(len(rw) - 62, 0)) - 1)),
-        |        lo: ((((v.lo + (v.lo & mk.lo)) &
-        |               ((CAST(1 AS BIGINT) << 62) - 1)) |
-        |              (v.lo & ~mk.lo))
-        |             & ((CAST(1 AS BIGINT) << least(len(rw), 62)) - 1))})
+        |    CAST(len(cw) AS BIGINT) AS nc, m,
+        |    $arrLcsFoldDuckSql
         |      AS v
         |  FROM pr),
         |pp AS (SELECT source, cap, nc, m,
-        |    m - CAST(bit_count(v.hi) AS BIGINT)
-        |      - CAST(bit_count(v.lo) AS BIGINT) AS lcs
+        |    m - coalesce(list_aggregate(
+        |      list_transform(v, pb -> CAST(bit_count(pb) AS BIGINT)),
+        |      'sum'), 0) AS lcs
         |  FROM st),
         |ag AS (SELECT source,
         |    CAST(count(*) AS BIGINT) AS n_pairs,
@@ -484,14 +699,14 @@ object Ext47 {
          |    c.w[1 : $LcsCap] AS cw, r.w[1 : $LcsCap] AS rw,
          |    (len(c.w) > $LcsCap OR len(r.w) > $LcsCap) AS cap,
          |    CAST(len(r.w[1 : $LcsCap]) AS BIGINT) AS m,
-         |    (CAST(1 AS BIGINT) << CAST(least(len(r.w[1 : $LcsCap]), 62) AS INT)) - 1 AS bml,
-         |    (CAST(1 AS BIGINT) << CAST(greatest(len(r.w[1 : $LcsCap]) - 62, 0) AS INT)) - 1 AS bmh
+         |    greatest((CAST(len(r.w[1 : $LcsCap]) AS BIGINT) + 61) // 62, 1)
+         |      AS nl
          |  FROM (SELECT * FROM d WHERE doc_id % 2 = 1) c
          |  JOIN (SELECT doc_id + 1 AS pid, w FROM d WHERE doc_id % 2 = 0) r
          |    ON c.doc_id = r.pid),
          |st AS (SELECT pair_id, source, cap,
          |    CAST(len(cw) AS BIGINT) AS nc, m,
-         |    $werFoldDuckSql AS sc
+         |    $arrWerFoldDuckSql AS sc
          |  FROM pr),
          |pp AS (SELECT source, cap, nc, m,
          |    CASE WHEN m = 0 THEN nc ELSE sc END AS dist

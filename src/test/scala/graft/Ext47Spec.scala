@@ -8,8 +8,10 @@ import org.apache.spark.sql.functions._
   * third spelling, so the engine's bit-parallel Allison–Dix fold and
   * the oracle's list_reduce twin are both checked against textbook
   * code), plus planted corpora for the hand-checkable boundary cases
-  * (known LCS, the 124-token cap surfacing, clipping, the absent-row
-  * semantics for n-gram orders longer than every candidate).
+  * (known LCS, long-pair exactness under the round-9 k-limb lift with the
+  * 992-token cost guard surfacing, clipping, the absent-row semantics
+  * for n-gram orders longer than every candidate), plus a random
+  * multi-limb stress vs classic DP at 1..16 limb widths.
   */
 class Ext47Spec extends AnyFunSuite {
 
@@ -40,9 +42,10 @@ class Ext47Spec extends AnyFunSuite {
       case (id, src, ctext) =>
         byId.get(id - 1).map { case (_, _, rtext) =>
           val cAll = toks(ctext); val rAll = toks(rtext)
-          val cw = cAll.take(124); val rw = rAll.take(124)
+          val cap = graft.queries.Ext47.LcsCap
+          val cw = cAll.take(cap); val rw = rAll.take(cap)
           P(src, cw.length.toLong, rw.length.toLong,
-            cAll.length > 124 || rAll.length > 124, lcsDP(cw, rw))
+            cAll.length > cap || rAll.length > cap, lcsDP(cw, rw))
         }
     }
     val expected = pairs.groupBy(_.source).map { case (src, ps) =>
@@ -65,17 +68,28 @@ class Ext47Spec extends AnyFunSuite {
   }
 
   test("x154 planted: known LCS on a hand-checkable pair; a 150-token " +
-    "identical pair exceeds the 124-token window and reports " +
-    "n_capped = 1 with lcs = 124 (the truncation is SURFACED, " +
-    "x148's capped lesson)") {
+    "pair is now EXACT (the round-9 k-limb lift — the old two-limb " +
+    "window capped it); a 600-token pair with 6 planted substitutions " +
+    "has LCS = 594 exactly; only a 1000-token pair exceeds the " +
+    "992-token cost guard and reports n_capped = 1 (the truncation " +
+    "stays SURFACED, x148's capped lesson)") {
     import spark.implicits._
     val run150 = (1 to 150).map(i => s"t$i").mkString(" ")
+    val ref600 = (1 to 600).map(i => s"t$i")
+    val subs = Set(50, 150, 250, 350, 450, 550)
+    val cand600 = ref600.zipWithIndex.map { case (t, i) =>
+      if (subs(i + 1)) s"zz$i" else t }
+    val run1000 = (1 to 1000).map(i => s"t$i").mkString(" ")
     val dir = TestSpark.scratchDir("x154")
     Seq(
       (0L, "the cat sat on the mat", "s1"),
       (1L, "the dog sat on a mat", "s1"),
       (2L, run150, "s2"),
-      (3L, run150, "s2"))
+      (3L, run150, "s2"),
+      (4L, ref600.mkString(" "), "s3"),
+      (5L, cand600.mkString(" "), "s3"),
+      (6L, run1000, "s4"),
+      (7L, run1000, "s4"))
       .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("x154_rouge_l")(spark, dir).collect()
@@ -87,8 +101,15 @@ class Ext47Spec extends AnyFunSuite {
     // [the, sat, on, mat] = 4 over 6+6 tokens
     assert(rows("s1") == (1L, 4L, 6L, 6L, 0L,
       4000000L / 6L, 4000000L / 6L, 8000000L / 12L, 8000000L / 12L))
-    // s2: both sides truncate 150 → 124 identical tokens
-    assert(rows("s2") == (1L, 124L, 124L, 124L, 1L,
+    // s2: 150 identical tokens, exact — 3 limbs, no cap
+    assert(rows("s2") == (1L, 150L, 150L, 150L, 0L,
+      1000000L, 1000000L, 1000000L, 1000000L))
+    // s3: 600 tokens, 6 substitutions → LCS = 594 (10 limbs);
+    // 594e6/600 = 990000 exactly
+    assert(rows("s3") == (1L, 594L, 600L, 600L, 0L,
+      990000L, 990000L, 990000L, 990000L))
+    // s4: only past 992 does the cost guard bind, and it SAYS so
+    assert(rows("s4") == (1L, 992L, 992L, 992L, 1L,
       1000000L, 1000000L, 1000000L, 1000000L))
     GraftCaches.releasePrior()
   }
@@ -119,9 +140,10 @@ class Ext47Spec extends AnyFunSuite {
       case (id, src, ctext) =>
         byId.get(id - 1).map { case (_, _, rtext) =>
           val cAll = toks(ctext); val rAll = toks(rtext)
-          val cw = cAll.take(124); val rw = rAll.take(124)
+          val cap = graft.queries.Ext47.LcsCap
+          val cw = cAll.take(cap); val rw = rAll.take(cap)
           P(src, cw.length.toLong, rw.length.toLong,
-            cAll.length > 124 || rAll.length > 124, levDP(cw, rw))
+            cAll.length > cap || rAll.length > cap, levDP(cw, rw))
         }
     }
     val expected = pairs.groupBy(_.source).map { case (src, ps) =>
@@ -141,16 +163,26 @@ class Ext47Spec extends AnyFunSuite {
   }
 
   test("x156 planted: hand-checkable distances — a 1-substitution pair, " +
-    "an insertion-only pair, a disjoint pair (dist = max len), and a " +
-    "150-token identical pair that caps at 124 with dist 0") {
+    "an insertion-only pair, a disjoint pair (dist = max len), a " +
+    "150-token identical pair (now EXACT under the k-limb lift), a " +
+    "600-token pair with 6 substitutions (dist = 6 exactly), and a " +
+    "1000-token pair that hits the 992 cost guard with n_capped = 1") {
     import spark.implicits._
     val run150 = (1 to 150).map(i => s"t$i").mkString(" ")
+    val ref600 = (1 to 600).map(i => s"t$i")
+    val subs = Set(50, 150, 250, 350, 450, 550)
+    val cand600 = ref600.zipWithIndex.map { case (t, i) =>
+      if (subs(i + 1)) s"zz$i" else t }
+    val run1000 = (1 to 1000).map(i => s"t$i").mkString(" ")
     val dir = TestSpark.scratchDir("x156")
     Seq(
       (0L, "the cat sat", "s1"), (1L, "the hat sat", "s1"),      // 1 sub
       (2L, "a b c", "s2"), (3L, "a b c d e", "s2"),              // 2 ins
       (4L, "x y z", "s3"), (5L, "p q r s", "s3"),                // disjoint
-      (6L, run150, "s4"), (7L, run150, "s4"))                    // capped
+      (6L, run150, "s4"), (7L, run150, "s4"),                    // 3 limbs
+      (8L, ref600.mkString(" "), "s5"),
+      (9L, cand600.mkString(" "), "s5"),                         // 10 limbs
+      (10L, run1000, "s6"), (11L, run1000, "s6"))                // capped
       .toDF("doc_id", "text", "source")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val rows = SparkEntry.queries("x156_wer")(spark, dir).collect()
@@ -165,7 +197,43 @@ class Ext47Spec extends AnyFunSuite {
     // macro wer = 4/3 > 1 — WER's convention survives the ppm floor
     assert(rows("s3") == (1L, 4L, 4L, 3L, 0L,
       4000000L / 3L, 4000000L / 3L))
-    assert(rows("s4") == (1L, 0L, 124L, 124L, 1L, 0L, 0L))
+    assert(rows("s4") == (1L, 0L, 150L, 150L, 0L, 0L, 0L))
+    // 6 substitutions across 600 tokens: 6e6/600 = 10000 ppm exactly
+    assert(rows("s5") == (1L, 6L, 600L, 600L, 0L, 10000L, 10000L))
+    assert(rows("s6") == (1L, 0L, 992L, 992L, 1L, 0L, 0L))
+    GraftCaches.releasePrior()
+  }
+
+  test("x154/x156 k-limb stress: engine equals classic DP on random " +
+    "pairs spanning 1..12 limbs (limb-boundary lengths 62/63/124/125 " +
+    "included) — the cross-limb carry, <<1 seam and top-limb live " +
+    "masks are exercised at every width") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val lens = Seq(1, 5, 62, 63, 124, 125, 200, 311, 500, 700, 992)
+    val pairs = (0 until 16).map { i =>
+      val m = lens(rnd.nextInt(lens.length))
+      val n = lens(rnd.nextInt(lens.length))
+      val v = 1 + rnd.nextInt(40)
+      val cw = Seq.fill(n)(s"w${rnd.nextInt(v)}")
+      val rw = Seq.fill(m)(s"w${rnd.nextInt(v)}")
+      (i, cw, rw)
+    }
+    val dir = TestSpark.scratchDir("x4756stress")
+    pairs.flatMap { case (i, cw, rw) => Seq(
+      (2L * i, rw.mkString(" "), f"p$i%02d"),
+      (2L * i + 1, cw.mkString(" "), f"p$i%02d"))
+    }.toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val gotL = SparkEntry.queries("x154_rouge_l")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val gotW = SparkEntry.queries("x156_wer")(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    for ((i, cw, rw) <- pairs) {
+      val key = f"p$i%02d"
+      assert(gotL(key) == lcsDP(cw, rw), s"$key lcs (|c|=${cw.length}, |r|=${rw.length})")
+      assert(gotW(key) == levDP(cw, rw), s"$key dist (|c|=${cw.length}, |r|=${rw.length})")
+    }
     GraftCaches.releasePrior()
   }
 
