@@ -92,7 +92,8 @@ object SparkEntry {
       graft.queries.Ext45.queries ++
       graft.queries.Ext46.queries ++
       graft.queries.Ext47.queries ++
-      graft.queries.Ext48.queries
+      graft.queries.Ext48.queries ++
+      graft.queries.Ext49.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -147,5 +148,6 @@ object SparkEntry {
       graft.queries.Ext45.oracleSql ++
       graft.queries.Ext46.oracleSql ++
       graft.queries.Ext47.oracleSql ++
-      graft.queries.Ext48.oracleSql
+      graft.queries.Ext48.oracleSql ++
+      graft.queries.Ext49.oracleSql
 }

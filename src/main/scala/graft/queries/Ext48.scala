@@ -114,10 +114,10 @@ object Ext48 {
     }),
   )
 
-  /** The signal pair shared by x158 and x159 (the sign-agreement spec
-    * relies on them being the SAME two definitions — one helper, not
-    * two copies): s1 = char length, s2 = distinct-token ratio (ppm). */
-  private def signals(s: SparkSession, d: String): DataFrame =
+  /** The signal pair shared by x158, x159 and x160 (the sign-agreement
+    * specs rely on them being the SAME two definitions — one helper,
+    * not copies): s1 = char length, s2 = distinct-token ratio (ppm). */
+  private[graft] def signals(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("doc_id"),
         length(col("text")).cast("long").as("s1"),

@@ -1,0 +1,174 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ingest.GlobalSeq
+
+/** Round-9 batch: x160 Kendall's tau-b — the TIES-aware rank
+  * correlation over the raw (untied-rank-free) signal pair, the field
+  * reality x159's tau-a deliberately sidesteps by ranking into a
+  * permutation. Raw corpus signals (char length, distinct-token ratio)
+  * are heavily tied, and tau-a over tie-broken ranks treats tied pairs
+  * as concordant-by-doc_id noise; tau-b corrects both the numerator
+  * and the denominator:
+  *
+  *   tau_b = (C − D) / sqrt((n0 − T1)(n0 − T2)),   n0 = n(n−1)/2,
+  *   T1/T2 = Σ C(c,2) over s1-/s2-value multiplicities,
+  *   T3    = Σ C(c,2) over (s1, s2)-pair multiplicities,
+  *   C − D = n0 − T1 − T2 + T3 − 2·D   (Knight 1966),
+  *
+  * where D (discordant pairs) is the x159 bit-level inversion count run
+  * over px = row_number(s1, s2, doc_id) and y0 = DENSE rank of s2:
+  * sorting the x-ties by s2 makes them inversion-free, dense ranks make
+  * y-ties contribute zero at every bit level, so the counted inversions
+  * are EXACTLY the strictly-discordant pairs — still no pair join
+  * (validated 30/30 against an O(n²) brute force in DuckDB before
+  * landing; Ext49Spec replays it in Scala).
+  *
+  * Exactness across the BIGINT boundary: (n0−T1)(n0−T2) overflows
+  * BIGINT past n ≈ 78k rows, so the engine computes the FIVE scalars
+  * (n, T1, T2, T3, D) distributed — three partial-aggregable tie
+  * groupBys, one count, one inversion kernel, all corpus-scale-safe —
+  * and finishes in driver BigInt with an exact Newton integer sqrt
+  * (O(1) driver state; the x151 driver-rounds precedent). The oracle
+  * finishes in HUGEINT with a 3-step Newton isqrt seeded from the
+  * float sqrt (seed error scales with the result's ulp, so quadratic
+  * convergence closes it in one step at every magnitude; ±1 correction
+  * pinned by Ext49Spec at 2^100 scale). tau_b_ppm is spelled
+  * sign(C−D)·(|C−D|·1e6 div r) in BOTH engines — integer division of
+  * negatives must not depend on the engine's truncation convention.
+  * Output columns are exact for n up to ~6·10⁹ (n0 within BIGINT);
+  * the driver math itself is BigInt and never overflows.
+  */
+object Ext49 {
+
+  /** Exact floor(sqrt(x)) for BigInt — the classic monotone Newton
+    * descent (b = (a + x/a)/2 strictly decreases until it crosses the
+    * root; the last a above the crossing is the floor). */
+  private[graft] def isqrt(x: BigInt): BigInt = {
+    require(x >= 0, s"isqrt of negative: $x")
+    if (x < 2) x
+    else {
+      var a = x
+      var b = (x + 1) / 2
+      while (b < a) { a = b; b = (a + x / a) / 2 }
+      a
+    }
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X160 KENDALL'S TAU-B (see object doc). Plan: count + three
+    // value-keyed groupBys (map-side combinable — tie multiplicities
+    // are exactly what partial aggregation absorbs) + the x159
+    // inversion kernel over (px, dense y0); dense y ranks come from
+    // GlobalSeq over the DISTINCT s2 values joined back (|distinct| ≤
+    // n frame, and the join key is the value itself). The adaptive
+    // level count uses the DISTINCT count, not n — tied corpora need
+    // fewer bit levels than their row count suggests.
+    "x160_kendall_tau_b" -> ((s, d) => {
+      val sc = Ext48.signals(s, d)
+      val n = sc.count()
+      def tieTerm(cols: Seq[String]): Long =
+        sc.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(coalesce(sum(expr("c * (c - 1L) div 2L")), lit(0L)))
+          .first().getLong(0)
+      val t1 = tieTerm(Seq("s1"))
+      val t2 = tieTerm(Seq("s2"))
+      val t3 = tieTerm(Seq("s1", "s2"))
+      val dInv =
+        if (n < 2) 0L
+        else {
+          val distinctS2 = sc.select(col("s2")).distinct()
+          val nDist = distinctS2.count()
+          val yr = GlobalSeq.withSeq(distinctS2, Seq(col("s2")), "y0")
+          val px = GlobalSeq.withSeq(
+            sc, Seq(col("s1"), col("s2"), col("doc_id")), "px")
+          val ranked = px.join(yr, Seq("s2"))
+            .select((col("px") + 1L).as("px"), col("y0"))
+          Ext48.tauKernel(s, ranked, Ext48.tauLevelsFor(nDist))
+            .select(coalesce(col("n_inversions"), lit(0L)))
+            .first().getLong(0)
+        }
+      val n0 = BigInt(n) * (BigInt(n) - 1) / 2
+      val cmd = n0 - t1 - t2 + t3 - 2 * BigInt(dInv)
+      val r = isqrt((n0 - t1) * (n0 - t2))
+      val rr = r.max(1)
+      val tau = if (cmd < 0) -((-cmd) * 1000000 / rr)
+                else cmd * 1000000 / rr
+      import s.implicits._
+      Seq((n, t1, t2, t3, dInv, cmd.toLong, r.toLong, tau.toLong))
+        .toDF("n", "t1", "t2", "t3", "n_discordant", "c_minus_d",
+          "denom_isqrt", "tau_b_ppm")
+    }),
+  )
+
+  /** Oracle's fixed level count (its SQL is static; 24 covers 16M
+    * DISTINCT s2 values — the engine derives its count adaptively). */
+  private val Levels = 24
+
+  val oracleSql: Map[String, String] = Map(
+    "x160_kendall_tau_b" ->
+      s"""WITH sc AS (SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS s1,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      * 1000000
+         |      // greatest(len(string_split(text, ' ')), 1) AS s2
+         |  FROM documents),
+         |agg AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+         |t1 AS (SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) AS t1
+         |  FROM (SELECT count(*) AS c FROM sc GROUP BY s1)),
+         |t2 AS (SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) AS t2
+         |  FROM (SELECT count(*) AS c FROM sc GROUP BY s2)),
+         |t3 AS (SELECT CAST(coalesce(sum(c*(c-1)//2), 0) AS BIGINT) AS t3
+         |  FROM (SELECT count(*) AS c FROM sc GROUP BY s1, s2)),
+         |rk AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY s1, s2, doc_id) AS BIGINT)
+         |      AS px,
+         |    CAST(dense_rank() OVER (ORDER BY s2) - 1 AS BIGINT) AS y0
+         |  FROM sc),
+         |lv AS (SELECT px, l, y0 >> CAST(l + 1 AS INT) AS grp,
+         |    (y0 >> CAST(l AS INT)) & 1 AS bit
+         |  FROM rk, (SELECT unnest(range(0, $Levels)) AS l) ls),
+         |cum AS (SELECT l, bit,
+         |    sum(bit) OVER (PARTITION BY l, grp ORDER BY px
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bit
+         |      AS ones_before
+         |  FROM lv),
+         |dd AS (SELECT CAST(coalesce(
+         |    sum(CASE WHEN bit = 0 THEN ones_before ELSE 0 END), 0)
+         |    AS BIGINT) AS d FROM cum),
+         |b2 AS (SELECT n, t1, t2, t3, d,
+         |    (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)) // 2 AS n0
+         |  FROM agg, t1, t2, t3, dd),
+         |ab AS (SELECT *, (n0 - t1 - t2 + t3 - 2*d) AS cmd,
+         |    (n0 - t1) * (n0 - t2) AS prod FROM b2),
+         |s0 AS (SELECT *, greatest(
+         |    CAST(ceil(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) + 2, 1)
+         |    AS x0 FROM ab),
+         |s1_ AS (SELECT *, greatest((x0 + prod // greatest(x0, 1)) // 2, 1)
+         |    AS x1 FROM s0),
+         |s2_ AS (SELECT *, greatest((x1 + prod // greatest(x1, 1)) // 2, 1)
+         |    AS x2 FROM s1_),
+         |s3_ AS (SELECT *, greatest((x2 + prod // greatest(x2, 1)) // 2, 1)
+         |    AS x3 FROM s2_),
+         |s4_ AS (SELECT *, greatest((x3 + prod // greatest(x3, 1)) // 2, 1)
+         |    AS x4 FROM s3_),
+         |rt AS (SELECT *, least(x3, x4) AS r0 FROM s4_),
+         |rt2 AS (SELECT *,
+         |    CASE WHEN r0 > 0 AND r0 * r0 > prod THEN r0 - 1 ELSE r0 END
+         |      AS r1 FROM rt),
+         |rt3 AS (SELECT *,
+         |    CASE WHEN prod = 0 THEN 0
+         |         WHEN (r1 + 1) * (r1 + 1) <= prod THEN r1 + 1
+         |         ELSE r1 END AS r FROM rt2)
+         |SELECT n, t1, t2, t3, d AS n_discordant,
+         |  CAST(cmd AS BIGINT) AS c_minus_d,
+         |  CAST(r AS BIGINT) AS denom_isqrt,
+         |  CAST(CASE WHEN cmd < 0
+         |       THEN -((-cmd) * 1000000 // greatest(r, 1))
+         |       ELSE cmd * 1000000 // greatest(r, 1) END AS BIGINT)
+         |    AS tau_b_ppm
+         |FROM rt3""".stripMargin,
+  )
+}

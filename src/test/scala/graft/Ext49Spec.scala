@@ -1,0 +1,160 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** x160 Kendall tau-b: O(n²) brute-force replay on sf0.001 (counts
+  * C/D/tie classes pair by pair — the textbook definition, independent
+  * of the engine's Knight decomposition and bit-level inversion
+  * kernel), planted tie corpora with hand-checkable answers, the exact
+  * BigInt isqrt pinned at 2^100 scale, and the three-way sign
+  * agreement with x158 Spearman / x159 tau-a on the same signal pair.
+  */
+class Ext49Spec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def toks(t: String): Seq[String] = t.split(" ", -1).toSeq
+
+  /** Textbook tau-b over raw signal pairs: classify every pair. */
+  private def bruteTauB(sig: Seq[(Long, Long)])
+      : (Long, Long, Long, Long, Long, BigInt, BigInt, BigInt) = {
+    val n = sig.length
+    var c = 0L; var d = 0L
+    for (i <- 0 until n; j <- i + 1 until n) {
+      val p = BigInt(sig(i)._1 - sig(j)._1) * BigInt(sig(i)._2 - sig(j)._2)
+      if (p > 0) c += 1 else if (p < 0) d += 1
+    }
+    def ties[K](key: ((Long, Long)) => K): Long =
+      sig.groupBy(key).values.map(g => g.length.toLong * (g.length - 1) / 2).sum
+    val t1 = ties(_._1); val t2 = ties(_._2); val t3 = ties(identity)
+    val n0 = BigInt(n) * (n - 1) / 2
+    val cmd = BigInt(c) - d
+    val r = graft.queries.Ext49.isqrt((n0 - t1) * (n0 - t2))
+    val rr = r.max(1)
+    val tau = if (cmd < 0) -((-cmd) * 1000000 / rr) else cmd * 1000000 / rr
+    (n.toLong, t1, t2, t3, d, cmd, r, tau)
+  }
+
+  test("x160 isqrt: exact floor sqrt in BigInt — perfect squares, " +
+    "off-by-one neighbours, and 2^100-scale values (the oracle's " +
+    "HUGEINT Newton twin is pinned against the same floors)") {
+    import graft.queries.Ext49.isqrt
+    assert(isqrt(BigInt(0)) == BigInt(0) && isqrt(BigInt(1)) == BigInt(1))
+    assert(isqrt(BigInt(3)) == BigInt(1) && isqrt(BigInt(4)) == BigInt(2))
+    for (v <- Seq(BigInt(81), BigInt(82), BigInt(80),
+        BigInt(10).pow(28), BigInt(10).pow(28) + 1,
+        BigInt(2).pow(100), BigInt(2).pow(100) + 12345,
+        (BigInt(2).pow(50) - 1).pow(2), (BigInt(2).pow(50) - 1).pow(2) - 1)) {
+      val r = isqrt(v)
+      assert(r * r <= v && (r + 1) * (r + 1) > v, s"isqrt($v) = $r")
+    }
+  }
+
+  test("x160: equals the O(n^2) brute-force tau-b on sf0.001 (raw TIED " +
+    "signals — the engine's five-scalar Knight decomposition plus the " +
+    "bit-level discordance kernel against the textbook pair count)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val sig = docs.sortBy(_._1).map { case (_, t) =>
+      val w = toks(t)
+      (t.length.toLong,
+        w.distinct.length.toLong * 1000000L / math.max(w.length.toLong, 1L))
+    }.toSeq
+    val (n, t1, t2, t3, d, cmd, r, tau) = bruteTauB(sig)
+    assert(t1 > 0L || t2 > 0L,
+      "corpus has no ties — the tau-b case would be vacuous")
+    val row = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)
+      .collect().head
+    assert(row.getAs[Long]("n") == n)
+    assert(row.getAs[Long]("t1") == t1)
+    assert(row.getAs[Long]("t2") == t2)
+    assert(row.getAs[Long]("t3") == t3)
+    assert(row.getAs[Long]("n_discordant") == d)
+    assert(row.getAs[Long]("c_minus_d") == cmd.toLong)
+    assert(row.getAs[Long]("denom_isqrt") == r.toLong)
+    assert(row.getAs[Long]("tau_b_ppm") == tau.toLong)
+    GraftCaches.releasePrior()
+  }
+
+  test("x160 planted: perfect agreement WITH ties scores exactly 1e6 " +
+    "(tau-a over tie-broken ranks could not — the doc_id tie-break " +
+    "manufactures discordance tau-b excludes); a reversal scores " +
+    "-1e6; an all-tied x signal yields a 0/0 guard of 0") {
+    import spark.implicits._
+    // agreement with ties: 4 blocks of 3 identical docs; s1 and s2 move
+    // together block-to-block (s2 = distinct ratio needs token crafting:
+    // block b has length AND distinct-ratio increasing in b)
+    val dirA = TestSpark.scratchDir("x160a")
+    val blocks = Seq(
+      "a a a a a a a a",         // len 15, 1/8 distinct
+      "b bb b bb b bb bb bb",    // len 20, 2/9
+      "c cc ccc c cc ccc ccc ccc ccc", // len 29, 3/9
+      "d dd ddd dddd dd ddd dddd dddd dddd dddd") // len 39, 4/10
+    (0 until 12).map(i => (i.toLong, blocks(i / 3)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val a = SparkEntry.queries("x160_kendall_tau_b")(spark, dirA)
+      .collect().head
+    // 4 blocks of 3: T1 = T2 = T3 = 4*C(3,2) = 12; D = 0;
+    // C = pairs across blocks = C(12,2) - 12 = 54; denom = n0 - T1 = 54
+    assert(a.getAs[Long]("t1") == 12L && a.getAs[Long]("t2") == 12L)
+    assert(a.getAs[Long]("t3") == 12L)
+    assert(a.getAs[Long]("n_discordant") == 0L)
+    assert(a.getAs[Long]("c_minus_d") == 54L)
+    assert(a.getAs[Long]("denom_isqrt") == 54L)
+    assert(a.getAs[Long]("tau_b_ppm") == 1000000L)
+    // reversal: 8 tokens per block, distinct count 4−b (ratio strictly
+    // decreasing), token width b+2 (length strictly increasing)
+    val dirB = TestSpark.scratchDir("x160b")
+    val blocksRev = (0 until 4).map { b =>
+      val c = ('a' + b).toChar
+      val distinctToks = (0 until (4 - b)).map(i => c.toString * (b + 1) + i)
+      (distinctToks ++ Seq.fill(8 - (4 - b))(distinctToks.head))
+        .mkString(" ")
+    }
+    (0 until 12).map(i => (i.toLong, blocksRev(i / 3)))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    val bSig = blocksRev.map { t =>
+      val w = toks(t)
+      (t.length.toLong,
+        w.distinct.length.toLong * 1000000L / w.length.toLong)
+    }
+    assert(bSig.map(_._1) == bSig.map(_._1).sorted &&
+      bSig.map(_._2) == bSig.map(_._2).sorted.reverse &&
+      bSig.map(_._1).distinct.length == 4 &&
+      bSig.map(_._2).distinct.length == 4,
+      s"planted reversal corpus broke: $bSig")
+    val b = SparkEntry.queries("x160_kendall_tau_b")(spark, dirB)
+      .collect().head
+    assert(b.getAs[Long]("n_discordant") == 54L)
+    assert(b.getAs[Long]("c_minus_d") == -54L)
+    assert(b.getAs[Long]("tau_b_ppm") == -1000000L)
+    // degenerate: every doc identical — n0 = T1 = T2, denominator 0
+    val dirC = TestSpark.scratchDir("x160c")
+    (0 until 6).map(i => (i.toLong, "same text here"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirC/documents.parquet")
+    val cRow = SparkEntry.queries("x160_kendall_tau_b")(spark, dirC)
+      .collect().head
+    assert(cRow.getAs[Long]("denom_isqrt") == 0L)
+    assert(cRow.getAs[Long]("tau_b_ppm") == 0L)
+    GraftCaches.releasePrior()
+  }
+
+  test("x160 sign agreement: tau-b, tau-a (x159) and Spearman (x158) " +
+    "agree in sign on the sf0.001 signal pair") {
+    val taub = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)
+      .collect().head.getAs[Long]("tau_b_ppm")
+    val taua = SparkEntry.queries("x159_kendall_tau")(spark, sf)
+      .collect().head.getAs[Long]("tau_ppm")
+    val rho = SparkEntry.queries("x158_spearman")(spark, sf)
+      .collect().head.getAs[Long]("rho_ppm")
+    assert((taub >= 0L) == (taua >= 0L) && (taua >= 0L) == (rho >= 0L),
+      s"sign disagreement: tau-b $taub, tau-a $taua, rho $rho")
+    GraftCaches.releasePrior()
+  }
+}
