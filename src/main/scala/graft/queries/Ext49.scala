@@ -3,8 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ingest.GlobalSeq
+import graft.tables.Tables._
 
-/** Round-9 batch: x160 Kendall's tau-b — the TIES-aware rank
+/** Round-9 batch: x160 Kendall's tau-b and x161 chrF++.
+  *
+  * x160 is the TIES-aware rank
   * correlation over the raw (untied-rank-free) signal pair, the field
   * reality x159's tau-a deliberately sidesteps by ranking into a
   * permutation. Raw corpus signals (char length, distinct-token ratio)
@@ -101,6 +104,81 @@ object Ext49 {
         .toDF("n", "t1", "t2", "t3", "n_discordant", "c_minus_d",
           "denom_isqrt", "tau_b_ppm")
     }),
+
+    // X161 chrF++ (Popović 2017): x155's character 1..6-gram F2 plus
+    // WORD 1..2-gram F2, rolled into the single headline score — the
+    // form MT evals actually report. Word n-grams are keyed as orders
+    // 7..8 so ONE (pair, order, gram) clip pipeline serves both kinds
+    // (x155's join-clip shape — the single-pass union variant was
+    // measured 2× slower, BENCH_AB_r08_x155; per-gram multiplicity ~1).
+    // Per-(source, order) F2 is micro-averaged (the x155 family
+    // convention; sacreBLEU's per-segment macro differs — documented),
+    // and chrf_pp_ppm = Σ F2 div 8 with ABSENT orders counting 0 (the
+    // fixed-8 divisor convention; surfaced via n_orders_present).
+    "x161_chrf_pp" -> ((s, d) => {
+      val docs = documents(s, d).select(
+        col("doc_id"), col("source"),
+        expr("replace(text, ' ', '')").as("t"),
+        expr("split(text, ' ')").as("wv"))
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id").as("pair_id"), col("source"),
+          col("t").as("ct"), col("wv").as("cwv"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select((col("doc_id") + 1L).as("pair_id"),
+          col("t").as("rt"), col("wv").as("rwv"))
+      val pairs = cand.join(ref, Seq("pair_id"))
+      // x152's sequence gotcha: generate over a floor of 1, slice back
+      def grams(tc: String, wv: String): Column = explode(expr(
+        s"""concat(
+           |  flatten(transform(sequence(1, 6), n ->
+           |    slice(
+           |      transform(sequence(1, greatest(length($tc) - n + 1, 1)),
+           |        i -> named_struct('n', n, 'g', substring($tc, i, n))),
+           |      1, greatest(length($tc) - n + 1, 0)))),
+           |  flatten(transform(sequence(1, 2), k ->
+           |    slice(
+           |      transform(sequence(1, greatest(size($wv) - k + 1, 1)),
+           |        i -> named_struct('n', k + 6,
+           |          'g', array_join(slice($wv, i, k), ' '))),
+           |      1, greatest(size($wv) - k + 1, 0)))))""".stripMargin))
+      val cc = pairs
+        .select(col("pair_id"), col("source"), grams("ct", "cwv").as("x"))
+        .groupBy(col("pair_id"), col("source"),
+          col("x.n").cast("long").as("n"), col("x.g").as("g"))
+        .agg(count(lit(1)).as("c_c"))
+      val rc = pairs
+        .select(col("pair_id"), col("source"), grams("rt", "rwv").as("x"))
+        .groupBy(col("pair_id"), col("source"),
+          col("x.n").cast("long").as("n"), col("x.g").as("g"))
+        .agg(count(lit(1)).as("c_r"))
+      val cl = cc.join(rc.drop("source"), Seq("pair_id", "n", "g"))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"))
+      val tc = cc.groupBy(col("source"), col("n"))
+        .agg(sum(col("c_c")).as("total_cand"))
+      val tr = rc.groupBy(col("source"), col("n"))
+        .agg(sum(col("c_r")).as("total_ref"))
+      tc.join(cl, Seq("source", "n"), "left")
+        .join(tr, Seq("source", "n"), "left")
+        .select(col("source"), col("n"),
+          expr("coalesce(clipped, 0L) * 1000000L" +
+            " div greatest(total_cand, 1L)").as("p_ppm"),
+          expr("coalesce(clipped, 0L) * 1000000L" +
+            " div greatest(coalesce(total_ref, 0L), 1L)").as("r_ppm"))
+        .withColumn("f2",
+          expr("5L * p_ppm * r_ppm div greatest(4L * p_ppm + r_ppm, 1L)"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_orders_present"),
+          sum(when(col("n") <= 6L, col("f2")).otherwise(0L))
+            .as("f2_char_sum"),
+          sum(when(col("n") > 6L, col("f2")).otherwise(0L))
+            .as("f2_word_sum"))
+        .select(col("source"), col("n_orders_present"),
+          col("f2_char_sum"), col("f2_word_sum"),
+          expr("(f2_char_sum + f2_word_sum) div 8L").as("chrf_pp_ppm"))
+        .orderBy(col("source"))
+    }),
   )
 
   /** Oracle's fixed level count (its SQL is static; 24 covers 16M
@@ -170,5 +248,69 @@ object Ext49 {
          |       ELSE cmd * 1000000 // greatest(r, 1) END AS BIGINT)
          |    AS tau_b_ppm
          |FROM rt3""".stripMargin,
+
+    "x161_chrf_pp" ->
+      """WITH d AS (SELECT doc_id, source, replace(text, ' ', '') AS t,
+        |    string_split(text, ' ') AS wv FROM documents),
+        |pr AS (SELECT c.doc_id AS pair_id, c.source, c.t AS ct,
+        |    c.wv AS cwv, r.t AS rt, r.wv AS rwv
+        |  FROM (SELECT * FROM d WHERE doc_id % 2 = 1) c
+        |  JOIN (SELECT doc_id + 1 AS pid, t, wv FROM d WHERE doc_id % 2 = 0) r
+        |    ON c.doc_id = r.pid),
+        |nn AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+        |kk AS (SELECT unnest([1, 2]) AS k),
+        |cgc AS (SELECT pair_id, source, n, substr(ct, CAST(i AS INT), n) AS g
+        |  FROM (SELECT pair_id, source, n, ct,
+        |      unnest(range(1, greatest(length(ct) - n + 2, 1))) AS i
+        |    FROM pr, nn)),
+        |cgw AS (SELECT pair_id, source, k + 6 AS n,
+        |    array_to_string(cwv[CAST(i AS INT) : CAST(i + k - 1 AS INT)], ' ')
+        |      AS g
+        |  FROM (SELECT pair_id, source, k, cwv,
+        |      unnest(range(1, greatest(len(cwv) - k + 2, 1))) AS i
+        |    FROM pr, kk)),
+        |cg AS (SELECT * FROM cgc UNION ALL SELECT * FROM cgw),
+        |rgc AS (SELECT pair_id, source, n, substr(rt, CAST(i AS INT), n) AS g
+        |  FROM (SELECT pair_id, source, n, rt,
+        |      unnest(range(1, greatest(length(rt) - n + 2, 1))) AS i
+        |    FROM pr, nn)),
+        |rgw AS (SELECT pair_id, source, k + 6 AS n,
+        |    array_to_string(rwv[CAST(i AS INT) : CAST(i + k - 1 AS INT)], ' ')
+        |      AS g
+        |  FROM (SELECT pair_id, source, k, rwv,
+        |      unnest(range(1, greatest(len(rwv) - k + 2, 1))) AS i
+        |    FROM pr, kk)),
+        |rg AS (SELECT * FROM rgc UNION ALL SELECT * FROM rgw),
+        |cc AS (SELECT pair_id, source, n, g, CAST(count(*) AS BIGINT) AS c_c
+        |  FROM cg GROUP BY 1, 2, 3, 4),
+        |rc AS (SELECT pair_id, source, n, g, CAST(count(*) AS BIGINT) AS c_r
+        |  FROM rg GROUP BY 1, 2, 3, 4),
+        |cl AS (SELECT cc.source, cc.n,
+        |    CAST(sum(least(c_c, c_r)) AS BIGINT) AS clipped
+        |  FROM cc JOIN rc ON cc.pair_id = rc.pair_id AND cc.n = rc.n
+        |    AND cc.g = rc.g
+        |  GROUP BY 1, 2),
+        |tcx AS (SELECT source, n, CAST(sum(c_c) AS BIGINT) AS total_cand
+        |  FROM cc GROUP BY 1, 2),
+        |trx AS (SELECT source, n, CAST(sum(c_r) AS BIGINT) AS total_ref
+        |  FROM rc GROUP BY 1, 2),
+        |fin AS (SELECT tcx.source, tcx.n,
+        |    CAST(coalesce(clipped, 0) * 1000000 // greatest(total_cand, 1)
+        |      AS BIGINT) AS p_ppm,
+        |    CAST(coalesce(clipped, 0) * 1000000
+        |      // greatest(coalesce(total_ref, 0), 1) AS BIGINT) AS r_ppm
+        |  FROM tcx LEFT JOIN cl ON tcx.source = cl.source AND tcx.n = cl.n
+        |  LEFT JOIN trx ON tcx.source = trx.source AND tcx.n = trx.n),
+        |f2t AS (SELECT source, n,
+        |    CAST(5 * p_ppm * r_ppm // greatest(4 * p_ppm + r_ppm, 1)
+        |      AS BIGINT) AS f2
+        |  FROM fin)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_orders_present,
+        |  CAST(sum(CASE WHEN n <= 6 THEN f2 ELSE 0 END) AS BIGINT)
+        |    AS f2_char_sum,
+        |  CAST(sum(CASE WHEN n > 6 THEN f2 ELSE 0 END) AS BIGINT)
+        |    AS f2_word_sum,
+        |  CAST((sum(f2)) // 8 AS BIGINT) AS chrf_pp_ppm
+        |FROM f2t GROUP BY source ORDER BY source""".stripMargin,
   )
 }
