@@ -69,6 +69,20 @@ object AbVariants {
     "x154_rouge_l__2limb" -> ((s, d) => Ext47.rougeL(s, d, kLimb = false)),
     "x156_wer__2limb" -> ((s, d) => Ext47.wer(s, d, kLimb = false)),
 
+    // x155 packed-key form (round 9, VERDICT #3): shuffle grams as
+    // 48-bit BIGINT keys instead of ≤6-char strings — halves the key
+    // width through the three big exchanges at the price of per-char
+    // ascii() extraction during generation. NEGATIVE result, decisively:
+    // 13.36 vs 4.59 s min-of-5 same-boot at sf0.1
+    // (BENCH_AB_r09_x155.json) — the O(n) single-char substring calls
+    // inside the packing aggregate cost ~3× what the narrower exchange
+    // saves. Codegen'd substring(tc, i, n) emits ONE arraycopy per gram;
+    // per-char extraction emits n allocations plus a fold. Same family
+    // as the r8 single-pass negative: the exchange is not where x155's
+    // time goes. Value-identical on ASCII corpora (Ext47Spec pins it).
+    "x155_chrf__packedkeys" ->
+      ((s, d) => Ext47.chrF(s, d, joinClip = true, packKeys = true)),
+
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)
       val n = eQ.count()

@@ -540,11 +540,16 @@ object Ext47 {
 
   /** x155 body; `joinClip = false` is the single-pass side-flag form —
     * the retained NEGATIVE result (see the catalog entry's comment and
-    * BENCH_AB_r08_x155.json). Outputs are identical either way (the
-    * total_cand > 0 filter reproduces the join form's cand-side row
-    * domain). */
+    * BENCH_AB_r08_x155.json). `packKeys = true` shuffles grams as
+    * 48-bit BIGINT keys (8 bits × ≤6 chars — exact and reversible for
+    * ASCII text; the round-9 shuffle-width probe, valid on this corpus
+    * whose max codepoint is 121 — a catalog entry could NOT assume
+    * that, which is one reason this stays a variant). Outputs are
+    * identical either way (the total_cand > 0 filter reproduces the
+    * join form's cand-side row domain; Ext47Spec pins the packed
+    * equality). */
   private[graft] def chrF(s: SparkSession, d: String,
-      joinClip: Boolean): DataFrame = {
+      joinClip: Boolean, packKeys: Boolean = false): DataFrame = {
     val docs = documents(s, d).select(col("doc_id"), col("source"),
       expr("replace(text, ' ', '')").as("t"))
     val cand = docs.filter(col("doc_id") % 2 === 1)
@@ -554,12 +559,20 @@ object Ext47 {
     val pairs = cand.join(ref, Seq("pair_id"))
     // x152's sequence gotcha: sequence(1, stop) DESCENDS when stop < 1,
     // so generate over a floor of 1 and slice back to the true count.
-    def grams(tc: String): Column = explode(expr(
-      s"""flatten(transform(sequence(1, 6), n ->
-         |  slice(
-         |    transform(sequence(1, greatest(length($tc) - n + 1, 1)), i ->
-         |      named_struct('n', n, 'g', substring($tc, i, n))),
-         |    1, greatest(length($tc) - n + 1, 0))))""".stripMargin))
+    def grams(tc: String): Column = {
+      val g =
+        if (packKeys)
+          s"""aggregate(sequence(1, n), 0L,
+             |  (ka, kj) -> ka * 256L + ascii(substring($tc, i + kj - 1, 1)))"""
+            .stripMargin
+        else s"substring($tc, i, n)"
+      explode(expr(
+        s"""flatten(transform(sequence(1, 6), n ->
+           |  slice(
+           |    transform(sequence(1, greatest(length($tc) - n + 1, 1)), i ->
+           |      named_struct('n', n, 'g', $g)),
+           |    1, greatest(length($tc) - n + 1, 0))))""".stripMargin))
+    }
     val fin =
       if (!joinClip) {
         val per = pairs

@@ -305,6 +305,18 @@ class Ext47Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x155 packed-key variant: 48-bit BIGINT gram keys are exact and " +
+    "reversible on ASCII text — source-level outputs equal the catalog " +
+    "string-key form row for row on sf0.001") {
+    val cat = SparkEntry.queries("x155_chrf")(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val packed = graft.queries.Ext47
+      .chrF(spark, sf, joinClip = true, packKeys = true).collect()
+      .map(_.toSeq).toSeq
+    assert(packed == cat)
+    GraftCaches.releasePrior()
+  }
+
   test("x155 planted: multiset clipping credits repeats per occurrence, " +
     "and n-gram orders longer than every candidate produce NO row " +
     "(cand 'abab' = 4 chars → rows for n = 1..4 only)") {
