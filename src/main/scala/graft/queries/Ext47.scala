@@ -451,15 +451,16 @@ object Ext47 {
 
     // X156 WER — word error rate (the ASR/generation eval): per pair,
     // Levenshtein distance between candidate and reference token
-    // sequences over the 124-token window, spelled as Myers' (1999)
-    // BIT-PARALLEL recurrence: per candidate token, the DP column's ±1
-    // differences live in two bitvectors (Pv, Mv) updated with O(1)
-    // bitvector ops — the same two-62-bit-limb discipline as x154, but
-    // with carry-in shifts and a running score instead of a final
-    // popcount. The step expression is GENERATED once (myersStep) and
-    // rendered per dialect, so engine and oracle execute the identical
-    // recurrence. Empty reference (m = 0, unreachable via the ≥1-token
-    // split semantics but spelled anyway) degrades to dist = |cand|.
+    // sequences, spelled as Myers' (1999) BIT-PARALLEL recurrence: per
+    // candidate token, the DP column's ±1 differences live in two
+    // bitvectors (Pv, Mv) updated with O(m/62) bitvector ops — the
+    // same k-limb array discipline as x154 (round 9; exact to the
+    // 992-token cost guard), with carry-in shifts and a running score
+    // instead of a final popcount. The step expression is GENERATED
+    // once (arrMyersStep) and rendered per dialect, so engine and
+    // oracle execute the identical recurrence. Empty reference (m = 0,
+    // unreachable via the ≥1-token split semantics but spelled anyway)
+    // degrades to dist = |cand|.
     // micro wer_ppm = Σdist·1e6 div Σ|ref|; macro = mean per-pair ppm
     // (can exceed 1e6 when the candidate is longer — WER's convention).
     "x156_wer" -> ((s, d) => wer(s, d, kLimb = true)),

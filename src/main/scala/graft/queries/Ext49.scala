@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ingest.GlobalSeq
 import graft.tables.Tables._
 
@@ -179,6 +180,92 @@ object Ext49 {
           expr("(f2_char_sum + f2_word_sum) div 8L").as("chrf_pp_ppm"))
         .orderBy(col("source"))
     }),
+
+    // X162 HEAPS-LAW VOCABULARY GROWTH: exact prefix-distinct
+    // vocabulary at 10 doc-rank checkpoints — the corpus-curation
+    // diagnostic behind "is more data still adding new tokens?"
+    // (Heaps/Herdan: V(n) ~ K·n^β; this emits the exact CURVE, no
+    // float fit). Checkpoint c holds the first (c·n) div 10 docs in
+    // doc_id order; a token's contribution is its FIRST-SEEN rank, so
+    // cum vocab at c = |{tokens : first_rank ≤ t_c}|. Scale shape: one
+    // corpus explode + one token-keyed groupBy(min) — first-seen is
+    // partial-aggregable min, the same absorb-the-heavy-keys property
+    // as x148's probes — then ≤10-row histograms and a 10-row cumsum
+    // window. Bucket membership is pure integer arithmetic
+    // (c = (10·fr + n − 1) div n ⇔ smallest c with (c·n) div 10 ≥ fr);
+    // token counts come from size(w) without touching the exploded
+    // stream. Tokens are split(text, ' ') as-is ('' = one empty
+    // token — the family convention, oracle identical).
+    "x162_heaps_vocab" -> ((s, d) => {
+      val docs = documents(s, d)
+        .select(col("doc_id"), expr("split(text, ' ')").as("w"))
+      val ranked = GlobalSeq.withSeq(
+          docs.select(col("doc_id")), Seq(col("doc_id")), "r0")
+        .select(col("doc_id"), (col("r0") + 1L).as("r"))
+      val nFrame = docs.agg(count(lit(1)).cast("long").as("n"))
+      val dr = docs.join(ranked, Seq("doc_id"))
+      val firstR = dr.select(col("r"), explode(col("w")).as("tok"))
+        .groupBy(col("tok")).agg(min(col("r")).as("fr"))
+      val vocabB = firstR.crossJoin(broadcast(nFrame))
+        .select(expr("(10L * fr + n - 1L) div n").as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("v"))
+      val tokB = dr.select(col("r"), size(col("w")).cast("long").as("tc"))
+        .crossJoin(broadcast(nFrame))
+        .select(expr("(10L * r + n - 1L) div n").as("c"), col("tc"))
+        .groupBy(col("c"))
+        .agg(sum(col("tc")).as("t"), count(lit(1)).as("ndocs"))
+      val cps = s.range(1, 11).select(col("id").as("c"))
+      val w10 = Window.orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cps.join(vocabB, Seq("c"), "left").join(tokB, Seq("c"), "left")
+        .select(col("c").as("checkpoint"),
+          sum(coalesce(col("ndocs"), lit(0L))).over(w10).as("n_docs_cum"),
+          sum(coalesce(col("t"), lit(0L))).over(w10).as("tokens_cum"),
+          sum(coalesce(col("v"), lit(0L))).over(w10).as("vocab_cum"))
+        .orderBy(col("checkpoint"))
+    }),
+
+    // X163 EXACT 1-D WASSERSTEIN-1 DRIFT between the even/odd doc
+    // token-count distributions — the "how far did the length
+    // distribution move" complement to x120's KS sup-gap (KS sees the
+    // worst point; W1 integrates the whole CDF gap, the quantity
+    // mixture rebalancing actually minimizes). On an integer grid W1
+    // is EXACT: Σ over consecutive distinct values of
+    // |F_A·n_b − F_B·n_a|·gap, closed in BIGINT (headroom: Σ ≤
+    // n_a·n_b·range; ×1e6 stays in BIGINT while n_a·n_b·range < 9e12 —
+    // ~2M docs at this signal's ~2k range; past that shift the fixed
+    // point, the x151 rule). w1_ppm is W1 in SIGNAL UNITS (tokens),
+    // ppm precision. Scale shape: one scan → value-keyed histogram
+    // with conditional sums → cumsum + lead over the VALUE-BOUNDED
+    // distinct-values frame (the x157/x126 single-window precedent —
+    // bounded by the value domain, never corpus rows) → one global agg.
+    "x163_wasserstein_drift" -> ((s, d) => {
+      val sc = documents(s, d).select(col("doc_id"),
+        size(expr("split(text, ' ')")).cast("long").as("v"))
+      val na = sc.filter(col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("n_a"))
+      val nb = sc.filter(col("doc_id") % 2 === 1)
+        .agg(count(lit(1)).as("n_b"))
+      val h = sc.groupBy(col("v")).agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val wcum = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h.select(col("v"),
+        sum(col("ca")).over(wcum).as("cuma"),
+        sum(col("cb")).over(wcum).as("cumb"),
+        lead(col("v"), 1).over(Window.orderBy(col("v"))).as("nxt"))
+      val ag = cum.filter(col("nxt").isNotNull)
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .agg(coalesce(sum(
+          abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
+            * (col("nxt") - col("v"))), lit(0L)).as("w1s"))
+      ag.crossJoin(na).crossJoin(nb)
+        .select(col("n_a"), col("n_b"), col("w1s").as("w1_scaled"),
+          expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
+                 | ELSE w1s * 1000000L div (n_a * n_b) END""".stripMargin)
+            .as("w1_ppm"))
+    }),
   )
 
   /** Oracle's fixed level count (its SQL is static; 24 covers 16M
@@ -312,5 +399,64 @@ object Ext49 {
         |    AS f2_word_sum,
         |  CAST((sum(f2)) // 8 AS BIGINT) AS chrf_pp_ppm
         |FROM f2t GROUP BY source ORDER BY source""".stripMargin,
+
+    "x162_heaps_vocab" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |nf AS (SELECT CAST(count(*) AS BIGINT) AS n FROM d),
+        |rk AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY doc_id) AS BIGINT) AS r, w
+        |  FROM d),
+        |tok AS (SELECT r, unnest(w) AS tok FROM rk),
+        |fr AS (SELECT tok, min(r) AS fr FROM tok GROUP BY tok),
+        |vb AS (SELECT (10*fr + n - 1) // n AS c,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM fr, nf GROUP BY 1),
+        |tb AS (SELECT (10*r + n - 1) // n AS c,
+        |    CAST(sum(len(w)) AS BIGINT) AS t,
+        |    CAST(count(*) AS BIGINT) AS ndocs
+        |  FROM rk, nf GROUP BY 1),
+        |cp AS (SELECT unnest(range(1, 11)) AS c)
+        |SELECT CAST(cp.c AS BIGINT) AS checkpoint,
+        |  CAST(sum(coalesce(ndocs, 0)) OVER (ORDER BY cp.c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_docs_cum,
+        |  CAST(sum(coalesce(t, 0)) OVER (ORDER BY cp.c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS tokens_cum,
+        |  CAST(sum(coalesce(v, 0)) OVER (ORDER BY cp.c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS vocab_cum
+        |FROM cp LEFT JOIN vb ON cp.c = vb.c LEFT JOIN tb ON cp.c = tb.c
+        |ORDER BY checkpoint""".stripMargin,
+
+    "x163_wasserstein_drift" ->
+      """WITH sc AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sc
+        |  WHERE doc_id % 2 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sc
+        |  WHERE doc_id % 2 = 1),
+        |h AS (SELECT v,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM sc GROUP BY v),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS cuma,
+        |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |      CURRENT ROW) AS cumb,
+        |    lead(v) OVER (ORDER BY v) AS nxt
+        |  FROM h),
+        |ag AS (SELECT CAST(coalesce(sum(
+        |    abs(cuma * n_b - cumb * n_a) * (nxt - v)), 0) AS BIGINT) AS w1s
+        |  FROM cum, na, nb WHERE nxt IS NOT NULL)
+        |SELECT n_a, n_b, w1s AS w1_scaled,
+        |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+        |       ELSE w1s * 1000000 // (n_a * n_b) END AS BIGINT) AS w1_ppm
+        |FROM ag, na, nb""".stripMargin,
   )
 }

@@ -9,6 +9,10 @@ import org.apache.spark.sql.functions._
   * kernel), planted tie corpora with hand-checkable answers, the exact
   * BigInt isqrt pinned at 2^100 scale, and the three-way sign
   * agreement with x158 Spearman / x159 tau-a on the same signal pair.
+  * Plus the round-9 siblings: x162 Heaps-law vocabulary growth
+  * (prefix-distinct replay + a 5-doc colliding-checkpoint plant) and
+  * x163 exact Wasserstein-1 drift (CDF-gap-integral replay + planted
+  * pure-shift / identical / one-empty-side corpora).
   */
 class Ext49Spec extends AnyFunSuite {
 
@@ -142,6 +146,104 @@ class Ext49Spec extends AnyFunSuite {
       .collect().head
     assert(cRow.getAs[Long]("denom_isqrt") == 0L)
     assert(cRow.getAs[Long]("tau_b_ppm") == 0L)
+    GraftCaches.releasePrior()
+  }
+
+  test("x162: equals the prefix-distinct replay on sf0.001 — exact " +
+    "vocabulary growth at the 10 doc-rank checkpoints, and the curve " +
+    "is concave-ish (new-vocab rate never grows by the Heaps " +
+    "expectation on natural-ish text)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+    val n = docs.length
+    val want = (1 to 10).map { c =>
+      val tc = (c * n) / 10
+      val ts = docs.take(tc).flatMap(d => toks(d._2))
+      (c.toLong, tc.toLong, ts.length.toLong, ts.distinct.length.toLong)
+    }.toSeq
+    val got = SparkEntry.queries("x162_heaps_vocab")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == want)
+    assert(got.last._4 > 0L && got.last._3 >= got.last._4)
+    GraftCaches.releasePrior()
+  }
+
+  test("x162 planted: n = 5 (checkpoints collide below 10 docs — the " +
+    "(c·n) div 10 thresholds repeat and early ones are empty), gapped " +
+    "doc_ids, one doc all-new tokens, one all-repeats") {
+    import spark.implicits._
+    val dir = TestSpark.scratchDir("x162")
+    Seq(
+      (3L, "a b c"),        // rank 1: 3 new
+      (7L, "a a a"),        // rank 2: all repeats
+      (10L, "d"),           // rank 3: 1 new
+      (95L, "a d e f"),     // rank 4: 2 new
+      (99L, ""))            // rank 5: the empty token, new
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x162_heaps_vocab")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // thresholds for n=5: t_c = (c*5) div 10 = 0,1,1,2,2,3,3,4,4,5
+    val want = Seq(
+      (1L, 0L, 0L, 0L), (2L, 1L, 3L, 3L), (3L, 1L, 3L, 3L),
+      (4L, 2L, 6L, 3L), (5L, 2L, 6L, 3L), (6L, 3L, 7L, 4L),
+      (7L, 3L, 7L, 4L), (8L, 4L, 11L, 6L), (9L, 4L, 11L, 6L),
+      (10L, 5L, 12L, 7L))
+    assert(got == want)
+    GraftCaches.releasePrior()
+  }
+
+  test("x163: equals the exact CDF-gap-integral replay on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val a = docs.filter(_._1 % 2 == 0).map(d => toks(d._2).length.toLong)
+    val b = docs.filter(_._1 % 2 == 1).map(d => toks(d._2).length.toLong)
+    val na = a.length.toLong; val nb = b.length.toLong
+    val vals = (a ++ b).distinct.sorted
+    var w1s = 0L
+    for (i <- 0 until vals.length - 1) {
+      val v = vals(i); val nxt = vals(i + 1)
+      val ca = a.count(_ <= v).toLong; val cb = b.count(_ <= v).toLong
+      w1s += math.abs(ca * nb - cb * na) * (nxt - v)
+    }
+    val ppm = if (na == 0 || nb == 0) 0L else w1s * 1000000L / (na * nb)
+    val r = SparkEntry.queries("x163_wasserstein_drift")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("w1_scaled") == w1s)
+    assert(r.getAs[Long]("w1_ppm") == ppm)
+    GraftCaches.releasePrior()
+  }
+
+  test("x163 planted: a pure 4-token shift between the splits scores " +
+    "w1_ppm = 4e6 exactly (W1 in signal units); identical splits " +
+    "score 0; a single-doc corpus (one empty side) guards to 0") {
+    import spark.implicits._
+    val dirA = TestSpark.scratchDir("x163a")
+    ((0 until 100 by 2).map(i => (i.toLong, Seq.fill(5)("w").mkString(" "))) ++
+      (1 until 100 by 2).map(i => (i.toLong, Seq.fill(9)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val a = SparkEntry.queries("x163_wasserstein_drift")(spark, dirA)
+      .collect().head
+    assert(a.getAs[Long]("w1_ppm") == 4000000L)
+    val dirB = TestSpark.scratchDir("x163b")
+    (0 until 40).map(i => (i.toLong, Seq.fill(1 + i / 2 % 7)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    val b = SparkEntry.queries("x163_wasserstein_drift")(spark, dirB)
+      .collect().head
+    assert(b.getAs[Long]("w1_scaled") == 0L && b.getAs[Long]("w1_ppm") == 0L)
+    val dirC = TestSpark.scratchDir("x163c")
+    Seq((0L, "just one doc")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirC/documents.parquet")
+    val c = SparkEntry.queries("x163_wasserstein_drift")(spark, dirC)
+      .collect().head
+    assert(c.getAs[Long]("n_b") == 0L && c.getAs[Long]("w1_ppm") == 0L)
     GraftCaches.releasePrior()
   }
 
