@@ -6,7 +6,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.ingest.GlobalSeq
 import graft.tables.Tables._
 
-/** Round-9 batch: x160 Kendall's tau-b and x161 chrF++.
+/** Round-9 batch: x160 Kendall's tau-b, x161 chrF++, x162 Heaps-law
+  * vocabulary growth, x163 exact Wasserstein-1 drift, and x164
+  * Mann-Whitney rank-biserial (each documented at its catalog entry).
   *
   * x160 is the TIES-aware rank
   * correlation over the raw (untied-rank-free) signal pair, the field
@@ -266,6 +268,43 @@ object Ext49 {
                  | ELSE w1s * 1000000L div (n_a * n_b) END""".stripMargin)
             .as("w1_ppm"))
     }),
+
+    // X164 MANN-WHITNEY U / RANK-BISERIAL between the even/odd
+    // token-count distributions — the nonparametric "did the signal
+    // shift, and by how much" two-sample test (x163 measures distance
+    // in signal units; this measures stochastic dominance). Tie-aware
+    // via the midrank convention, kept EXACT by doubling:
+    //   2·U1 = Σ_v a_v · (2·cumB_less(v) + b_v)
+    // (each A>B pair counts 2, each tie counts 1), from the SAME
+    // value-bounded histogram shape as x163 — no per-row ranking, no
+    // pair join. rank_biserial_ppm = 2U1·1e6 div (n_a·n_b) − 1e6 ∈
+    // [−1e6, 1e6] (0 = no dominance). The normal-approximation p-value
+    // is deliberately NOT emitted — it needs a float sqrt; the exact
+    // effect size is the useful corpus statistic. Headroom: 2U1·1e6 ≤
+    // n²/2·1e6 — the x151 fixed-point boundary past ~4M docs.
+    "x164_mann_whitney" -> ((s, d) => {
+      val sc = documents(s, d).select(col("doc_id"),
+        size(expr("split(text, ' ')")).cast("long").as("v"))
+      val na = sc.filter(col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("n_a"))
+      val nb = sc.filter(col("doc_id") % 2 === 1)
+        .agg(count(lit(1)).as("n_b"))
+      val h = sc.groupBy(col("v")).agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val wLess = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = h.select(col("ca"), col("cb"),
+        coalesce(sum(col("cb")).over(wLess), lit(0L)).as("cumb_less"))
+      val ag = cum.agg(coalesce(sum(
+        col("ca") * (lit(2L) * col("cumb_less") + col("cb"))), lit(0L))
+        .as("u2"))
+      ag.crossJoin(na).crossJoin(nb)
+        .select(col("n_a"), col("n_b"), col("u2"),
+          expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
+                 | ELSE u2 * 1000000L div (n_a * n_b) - 1000000L
+                 | END""".stripMargin).as("rank_biserial_ppm"))
+    }),
   )
 
   /** Oracle's fixed level count (its SQL is static; 24 covers 16M
@@ -457,6 +496,32 @@ object Ext49 {
         |SELECT n_a, n_b, w1s AS w1_scaled,
         |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
         |       ELSE w1s * 1000000 // (n_a * n_b) END AS BIGINT) AS w1_ppm
+        |FROM ag, na, nb""".stripMargin,
+
+    "x164_mann_whitney" ->
+      """WITH sc AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sc
+        |  WHERE doc_id % 2 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sc
+        |  WHERE doc_id % 2 = 1),
+        |h AS (SELECT v,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM sc GROUP BY v),
+        |cum AS (SELECT v, ca, cb,
+        |    coalesce(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND 1 PRECEDING), 0) AS cumb_less
+        |  FROM h),
+        |ag AS (SELECT CAST(coalesce(sum(ca * (2*cumb_less + cb)), 0)
+        |    AS BIGINT) AS u2 FROM cum)
+        |SELECT n_a, n_b, u2,
+        |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+        |       ELSE u2 * 1000000 // (n_a * n_b) - 1000000 END AS BIGINT)
+        |    AS rank_biserial_ppm
         |FROM ag, na, nb""".stripMargin,
   )
 }

@@ -247,6 +247,59 @@ class Ext49Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x164: equals the brute-force pair count (2 per A>B pair, 1 per " +
+    "tie) on sf0.001") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val a = docs.filter(_._1 % 2 == 0).map(d => toks(d._2).length.toLong)
+    val b = docs.filter(_._1 % 2 == 1).map(d => toks(d._2).length.toLong)
+    val u2 = (for (x <- a; y <- b) yield
+      if (x > y) 2L else if (x == y) 1L else 0L).sum
+    val na = a.length.toLong; val nb = b.length.toLong
+    val ppm =
+      if (na == 0 || nb == 0) 0L else u2 * 1000000L / (na * nb) - 1000000L
+    val r = SparkEntry.queries("x164_mann_whitney")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("u2") == u2)
+    assert(r.getAs[Long]("rank_biserial_ppm") == ppm)
+    GraftCaches.releasePrior()
+  }
+
+  test("x164 planted: total dominance scores +1e6, total anti-dominance " +
+    "-1e6, all-tied splits 0 exactly (u2 = n_a*n_b)") {
+    import spark.implicits._
+    val dirA = TestSpark.scratchDir("x164a")
+    // evens 9 tokens, odds 3 tokens -> A > B always -> u2 = 2*na*nb
+    ((0 until 20 by 2).map(i => (i.toLong, Seq.fill(9)("w").mkString(" "))) ++
+      (1 until 20 by 2).map(i => (i.toLong, Seq.fill(3)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    val a = SparkEntry.queries("x164_mann_whitney")(spark, dirA)
+      .collect().head
+    assert(a.getAs[Long]("u2") == 200L)
+    assert(a.getAs[Long]("rank_biserial_ppm") == 1000000L)
+    val dirB = TestSpark.scratchDir("x164b")
+    ((0 until 20 by 2).map(i => (i.toLong, Seq.fill(3)("w").mkString(" "))) ++
+      (1 until 20 by 2).map(i => (i.toLong, Seq.fill(9)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    val b = SparkEntry.queries("x164_mann_whitney")(spark, dirB)
+      .collect().head
+    assert(b.getAs[Long]("u2") == 0L)
+    assert(b.getAs[Long]("rank_biserial_ppm") == -1000000L)
+    val dirC = TestSpark.scratchDir("x164c")
+    (0 until 20).map(i => (i.toLong, "w w w w"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirC/documents.parquet")
+    val c = SparkEntry.queries("x164_mann_whitney")(spark, dirC)
+      .collect().head
+    assert(c.getAs[Long]("u2") == 100L)  // every pair a tie: 1 each
+    assert(c.getAs[Long]("rank_biserial_ppm") == 0L)
+    GraftCaches.releasePrior()
+  }
+
   test("x160 sign agreement: tau-b, tau-a (x159) and Spearman (x158) " +
     "agree in sign on the sf0.001 signal pair") {
     val taub = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)
