@@ -83,6 +83,14 @@ object AbVariants {
     "x155_chrf__packedkeys" ->
       ((s, d) => Ext47.chrF(s, d, joinClip = true, packKeys = true)),
 
+    // x160 rescan control (round 9): the catalog ADOPTED the persist —
+    // the narrow (doc_id, s1, s2) signals frame feeds SEVEN scalar
+    // jobs with the SAME projection (the x150 green-light case, unlike
+    // x152's differing projections) and the persist won 1.36 vs 1.99 s
+    // min-of-5 same-boot (BENCH_AB_r09_x160.json). Hash-neutral.
+    "x160_kendall_tau_b__nopersist" ->
+      ((s, d) => Ext49.kendallTauB(s, d, persist = false)),
+
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)
       val n = eQ.count()

@@ -62,7 +62,10 @@ object Ext49 {
     }
   }
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries1 ++ queries2
+
+  private val queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X160 KENDALL'S TAU-B (see object doc). Plan: count + three
     // value-keyed groupBys (map-side combinable — tie multiplicities
@@ -71,9 +74,24 @@ object Ext49 {
     // GlobalSeq over the DISTINCT s2 values joined back (|distinct| ≤
     // n frame, and the join key is the value itself). The adaptive
     // level count uses the DISTINCT count, not n — tied corpora need
-    // fewer bit levels than their row count suggests.
-    "x160_kendall_tau_b" -> ((s, d) => {
-      val sc = Ext48.signals(s, d)
+    // fewer bit levels than their row count suggests. The narrow
+    // signals frame is PERSISTED across the seven scalar jobs — the
+    // same-projection multi-consumer case the persist checklist
+    // green-lights (x150 precedent): 1.36 vs 1.99 s min-of-5 same-boot
+    // (BENCH_AB_r09_x160.json). 24 B/row, MEMORY_AND_DISK, released by
+    // GraftCaches — the right 100 TB call for a 7-consumer frame.
+    "x160_kendall_tau_b" -> ((s, d) => kendallTauB(s, d, persist = true)),
+  )
+
+  /** x160 body; `persist = false` is the rescan form, retained as the
+    * AbVariants control (the persist WON same-boot: 1.36 vs 1.99 s
+    * min-of-5, BENCH_AB_r09_x160.json — all seven consumers share the
+    * SAME narrow projection, the x150 green-light case). */
+  private[graft] def kendallTauB(s: SparkSession, d: String,
+      persist: Boolean): DataFrame = {
+      import graft.GraftCaches.TrackedPersist
+      val sc0 = Ext48.signals(s, d)
+      val sc = if (persist) sc0.persistTracked() else sc0
       val n = sc.count()
       def tieTerm(cols: Seq[String]): Long =
         sc.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
@@ -106,7 +124,9 @@ object Ext49 {
       Seq((n, t1, t2, t3, dInv, cmd.toLong, r.toLong, tau.toLong))
         .toDF("n", "t1", "t2", "t3", "n_discordant", "c_minus_d",
           "denom_isqrt", "tau_b_ppm")
-    }),
+  }
+
+  private val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X161 chrF++ (Popović 2017): x155's character 1..6-gram F2 plus
     // WORD 1..2-gram F2, rolled into the single headline score — the
