@@ -7,8 +7,9 @@ import graft.ingest.GlobalSeq
 import graft.tables.Tables._
 
 /** Round-9 batch: x160 Kendall's tau-b, x161 chrF++, x162 Heaps-law
-  * vocabulary growth, x163 exact Wasserstein-1 drift, and x164
-  * Mann-Whitney rank-biserial (each documented at its catalog entry).
+  * vocabulary growth, x163 exact Wasserstein-1 drift, x164 Mann-Whitney
+  * rank-biserial, and x165 total-variation distance (each documented
+  * at its catalog entry).
   *
   * x160 is the TIES-aware rank
   * correlation over the raw (untied-rank-free) signal pair, the field
@@ -325,6 +326,35 @@ object Ext49 {
                  | ELSE u2 * 1000000L div (n_a * n_b) - 1000000L
                  | END""".stripMargin).as("rank_biserial_ppm"))
     }),
+
+    // X165 TOTAL-VARIATION DISTANCE between the even/odd token-count
+    // distributions — completes the drift family (x120 KS = worst CDF
+    // point, x163 W1 = integrated CDF gap in signal units, x164 MWU =
+    // stochastic dominance, this = largest probability mass any event
+    // can disagree by — the rejection-sampling / distribution-shift
+    // bound). Exact: TV = Σ_v |ca·n_b − cb·n_a| / (2·n_a·n_b); the
+    // simplest member — ONE value-keyed histogram, one global agg, NO
+    // window at all. Headroom: Σ ≤ 2·n_a·n_b; ×1e6 — the x151
+    // fixed-point boundary past ~2M docs.
+    "x165_total_variation" -> ((s, d) => {
+      val sc = documents(s, d).select(col("doc_id"),
+        size(expr("split(text, ' ')")).cast("long").as("v"))
+      val na = sc.filter(col("doc_id") % 2 === 0)
+        .agg(count(lit(1)).as("n_a"))
+      val nb = sc.filter(col("doc_id") % 2 === 1)
+        .agg(count(lit(1)).as("n_b"))
+      val ag = sc.groupBy(col("v")).agg(
+          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .agg(coalesce(sum(abs(col("ca") * col("n_b")
+          - col("cb") * col("n_a"))), lit(0L)).as("l1"))
+      ag.crossJoin(na).crossJoin(nb)
+        .select(col("n_a"), col("n_b"), col("l1").as("l1_scaled"),
+          expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
+                 | ELSE l1 * 1000000L div (2L * n_a * n_b) END"""
+            .stripMargin).as("tv_ppm"))
+    }),
   )
 
   /** Oracle's fixed level count (its SQL is static; 24 covers 16M
@@ -542,6 +572,28 @@ object Ext49 {
         |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
         |       ELSE u2 * 1000000 // (n_a * n_b) - 1000000 END AS BIGINT)
         |    AS rank_biserial_ppm
+        |FROM ag, na, nb""".stripMargin,
+
+    "x165_total_variation" ->
+      """WITH sc AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sc
+        |  WHERE doc_id % 2 = 0),
+        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sc
+        |  WHERE doc_id % 2 = 1),
+        |h AS (SELECT v,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS ca,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS cb
+        |  FROM sc GROUP BY v),
+        |ag AS (SELECT CAST(coalesce(sum(abs(ca * n_b - cb * n_a)), 0)
+        |    AS BIGINT) AS l1 FROM h, na, nb)
+        |SELECT n_a, n_b, l1 AS l1_scaled,
+        |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
+        |       ELSE l1 * 1000000 // (2 * n_a * n_b) END AS BIGINT)
+        |    AS tv_ppm
         |FROM ag, na, nb""".stripMargin,
   )
 }

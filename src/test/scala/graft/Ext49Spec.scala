@@ -300,6 +300,40 @@ class Ext49Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x165: equals the histogram-L1 replay on sf0.001; planted " +
+    "disjoint supports score 1e6 exactly and identical splits 0") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val a = docs.filter(_._1 % 2 == 0).map(d => toks(d._2).length.toLong)
+    val b = docs.filter(_._1 % 2 == 1).map(d => toks(d._2).length.toLong)
+    val na = a.length.toLong; val nb = b.length.toLong
+    val l1 = (a ++ b).distinct.map(v =>
+      math.abs(a.count(_ == v) * nb - b.count(_ == v) * na)).sum
+    val ppm = if (na == 0 || nb == 0) 0L else l1 * 1000000L / (2L * na * nb)
+    val r = SparkEntry.queries("x165_total_variation")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("l1_scaled") == l1)
+    assert(r.getAs[Long]("tv_ppm") == ppm)
+    // planted: evens 5 tokens, odds 9 -> disjoint supports -> TV = 1
+    val dirA = TestSpark.scratchDir("x165a")
+    ((0 until 20 by 2).map(i => (i.toLong, Seq.fill(5)("w").mkString(" "))) ++
+      (1 until 20 by 2).map(i => (i.toLong, Seq.fill(9)("w").mkString(" "))))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirA/documents.parquet")
+    assert(SparkEntry.queries("x165_total_variation")(spark, dirA)
+      .collect().head.getAs[Long]("tv_ppm") == 1000000L)
+    val dirB = TestSpark.scratchDir("x165b")
+    (0 until 40).map(i => (i.toLong, Seq.fill(1 + i / 2 % 7)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dirB/documents.parquet")
+    assert(SparkEntry.queries("x165_total_variation")(spark, dirB)
+      .collect().head.getAs[Long]("tv_ppm") == 0L)
+    GraftCaches.releasePrior()
+  }
+
   test("x160 sign agreement: tau-b, tau-a (x159) and Spearman (x158) " +
     "agree in sign on the sf0.001 signal pair") {
     val taub = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)
