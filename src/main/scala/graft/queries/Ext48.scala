@@ -183,8 +183,10 @@ object Ext48 {
   )
 
   /** The x159 inversion-counting kernel over a ranked frame with
-    * columns `px` (1-based position rank) and `y0` (0-based value
-    * rank, a permutation), exploded over `levels` bit levels.
+    * columns `px` (position rank — ORDER-ONLY, any base: the kernel
+    * never reads px values, only their sort order) and `y0` (0-based
+    * value rank; may carry ties — tied pairs share every bit and
+    * contribute zero), exploded over `levels` bit levels.
     * Exposed for the scale specs: `levels` MUST be ≥
     * [[tauLevelsFor]](n) for an exact count (the catalog entry derives
     * it; the spec's negative control forces one fewer to prove the

@@ -44,8 +44,12 @@ import graft.tables.Tables._
   * pinned by Ext49Spec at 2^100 scale). tau_b_ppm is spelled
   * sign(C−D)·(|C−D|·1e6 div r) in BOTH engines — integer division of
   * negatives must not depend on the engine's truncation convention.
-  * Output columns are exact for n up to ~6·10⁹ (n0 within BIGINT);
-  * the driver math itself is BigInt and never overflows.
+  * Output COLUMNS are exact while the distributed Spark-side sums
+  * stay in BIGINT: n0 = n(n−1)/2 fits to n ≈ 4.29·10⁹, and tieTerm's
+  * per-group c·(c−1) fits while the heaviest tied value has
+  * ≤ ~3.03·10⁹ rows — so the safe documented bound is ~3·10⁹ rows
+  * (review finding, round 9: an earlier comment claimed ~6·10⁹). The
+  * driver math itself is BigInt and never overflows.
   */
 object Ext49 {
 
@@ -110,7 +114,7 @@ object Ext49 {
           val px = GlobalSeq.withSeq(
             sc, Seq(col("s1"), col("s2"), col("doc_id")), "px")
           val ranked = px.join(yr, Seq("s2"))
-            .select((col("px") + 1L).as("px"), col("y0"))
+            .select(col("px"), col("y0")) // px is order-only in the kernel
           Ext48.tauKernel(s, ranked, Ext48.tauLevelsFor(nDist))
             .select(coalesce(col("n_inversions"), lit(0L)))
             .first().getLong(0)
@@ -263,15 +267,7 @@ object Ext49 {
     // distinct-values frame (the x157/x126 single-window precedent —
     // bounded by the value domain, never corpus rows) → one global agg.
     "x163_wasserstein_drift" -> ((s, d) => {
-      val sc = documents(s, d).select(col("doc_id"),
-        size(expr("split(text, ' ')")).cast("long").as("v"))
-      val na = sc.filter(col("doc_id") % 2 === 0)
-        .agg(count(lit(1)).as("n_a"))
-      val nb = sc.filter(col("doc_id") % 2 === 1)
-        .agg(count(lit(1)).as("n_b"))
-      val h = sc.groupBy(col("v")).agg(
-        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val (h, nf) = splitHistogram(s, d)
       val wcum = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cum = h.select(col("v"),
@@ -279,11 +275,11 @@ object Ext49 {
         sum(col("cb")).over(wcum).as("cumb"),
         lead(col("v"), 1).over(Window.orderBy(col("v"))).as("nxt"))
       val ag = cum.filter(col("nxt").isNotNull)
-        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+        .crossJoin(broadcast(nf))
         .agg(coalesce(sum(
           abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
             * (col("nxt") - col("v"))), lit(0L)).as("w1s"))
-      ag.crossJoin(na).crossJoin(nb)
+      ag.crossJoin(nf)
         .select(col("n_a"), col("n_b"), col("w1s").as("w1_scaled"),
           expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
                  | ELSE w1s * 1000000L div (n_a * n_b) END""".stripMargin)
@@ -304,15 +300,7 @@ object Ext49 {
     // effect size is the useful corpus statistic. Headroom: 2U1·1e6 ≤
     // n²/2·1e6 — the x151 fixed-point boundary past ~4M docs.
     "x164_mann_whitney" -> ((s, d) => {
-      val sc = documents(s, d).select(col("doc_id"),
-        size(expr("split(text, ' ')")).cast("long").as("v"))
-      val na = sc.filter(col("doc_id") % 2 === 0)
-        .agg(count(lit(1)).as("n_a"))
-      val nb = sc.filter(col("doc_id") % 2 === 1)
-        .agg(count(lit(1)).as("n_b"))
-      val h = sc.groupBy(col("v")).agg(
-        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
-        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      val (h, nf) = splitHistogram(s, d)
       val wLess = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, -1)
       val cum = h.select(col("ca"), col("cb"),
@@ -320,7 +308,7 @@ object Ext49 {
       val ag = cum.agg(coalesce(sum(
         col("ca") * (lit(2L) * col("cumb_less") + col("cb"))), lit(0L))
         .as("u2"))
-      ag.crossJoin(na).crossJoin(nb)
+      ag.crossJoin(nf)
         .select(col("n_a"), col("n_b"), col("u2"),
           expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
                  | ELSE u2 * 1000000L div (n_a * n_b) - 1000000L
@@ -337,19 +325,11 @@ object Ext49 {
     // window at all. Headroom: Σ ≤ 2·n_a·n_b; ×1e6 — the x151
     // fixed-point boundary past ~2M docs.
     "x165_total_variation" -> ((s, d) => {
-      val sc = documents(s, d).select(col("doc_id"),
-        size(expr("split(text, ' ')")).cast("long").as("v"))
-      val na = sc.filter(col("doc_id") % 2 === 0)
-        .agg(count(lit(1)).as("n_a"))
-      val nb = sc.filter(col("doc_id") % 2 === 1)
-        .agg(count(lit(1)).as("n_b"))
-      val ag = sc.groupBy(col("v")).agg(
-          sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
-          sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
-        .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      val (h, nf) = splitHistogram(s, d)
+      val ag = h.crossJoin(broadcast(nf))
         .agg(coalesce(sum(abs(col("ca") * col("n_b")
           - col("cb") * col("n_a"))), lit(0L)).as("l1"))
-      ag.crossJoin(na).crossJoin(nb)
+      ag.crossJoin(nf)
         .select(col("n_a"), col("n_b"), col("l1").as("l1_scaled"),
           expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
                  | ELSE l1 * 1000000L div (2L * n_a * n_b) END"""
@@ -357,9 +337,52 @@ object Ext49 {
     }),
   )
 
-  /** Oracle's fixed level count (its SQL is static; 24 covers 16M
-    * DISTINCT s2 values — the engine derives its count adaptively). */
-  private val Levels = 24
+  /** Shared by the drift family x163/x164/x165: the value-keyed
+    * even/odd split histogram of the token-count signal — PERSISTED
+    * (it is value-bounded, and both the statistic and the split
+    * counts read it) — and the 1-row (n_a, n_b) frame DERIVED from it
+    * (n_a = Σca, n_b = Σcb; the x121/x120 precedent). One corpus scan
+    * total: the original per-query filter-count frames re-scanned the
+    * corpus up to four extra times (review finding, round 9). One
+    * helper, not three copies — the f2ae8a2 shared-kernel rule. */
+  private def splitHistogram(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    import graft.GraftCaches.TrackedPersist
+    val h = documents(s, d)
+      .select(col("doc_id"),
+        size(expr("split(text, ' ')")).cast("long").as("v"))
+      .groupBy(col("v")).agg(
+        sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
+      .persistTracked()
+    val nf = h.agg(
+      coalesce(sum(col("ca")), lit(0L)).as("n_a"),
+      coalesce(sum(col("cb")), lit(0L)).as("n_b"))
+    (h, nf)
+  }
+
+  /** Oracle's fixed level count — Ext48's shared constant (its SQL is
+    * static; 24 covers 16M DISTINCT s2 values, the oracle's operating
+    * range — the engine derives its count adaptively). One constant,
+    * not a copy: raising it for a larger oracle corpus must move both
+    * kernels together (review finding, round 9). */
+  private def Levels: Int = Ext48.TauLevels
+
+  /** Shared oracle CTE prefix for the drift family — mirrors
+    * [[splitHistogram]] (histogram + counts DERIVED from it), one
+    * spelling so the three oracles cannot drift. */
+  private val splitHistSql: String =
+    """sc AS (SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+      |  FROM documents),
+      |h AS (SELECT v,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM sc GROUP BY v),
+      |nf AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) AS n_a,
+      |    CAST(coalesce(sum(cb), 0) AS BIGINT) AS n_b FROM h)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x160_kendall_tau_b" ->
@@ -520,20 +543,8 @@ object Ext49 {
         |ORDER BY checkpoint""".stripMargin,
 
     "x163_wasserstein_drift" ->
-      """WITH sc AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
-        |  FROM documents),
-        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sc
-        |  WHERE doc_id % 2 = 0),
-        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sc
-        |  WHERE doc_id % 2 = 1),
-        |h AS (SELECT v,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS ca,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS cb
-        |  FROM sc GROUP BY v),
-        |cum AS (SELECT v,
+      (s"WITH $splitHistSql,\n" +
+      """cum AS (SELECT v,
         |    sum(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
         |      CURRENT ROW) AS cuma,
         |    sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
@@ -542,27 +553,15 @@ object Ext49 {
         |  FROM h),
         |ag AS (SELECT CAST(coalesce(sum(
         |    abs(cuma * n_b - cumb * n_a) * (nxt - v)), 0) AS BIGINT) AS w1s
-        |  FROM cum, na, nb WHERE nxt IS NOT NULL)
+        |  FROM cum, nf WHERE nxt IS NOT NULL)
         |SELECT n_a, n_b, w1s AS w1_scaled,
         |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
         |       ELSE w1s * 1000000 // (n_a * n_b) END AS BIGINT) AS w1_ppm
-        |FROM ag, na, nb""".stripMargin,
+        |FROM ag, nf""".stripMargin),
 
     "x164_mann_whitney" ->
-      """WITH sc AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
-        |  FROM documents),
-        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sc
-        |  WHERE doc_id % 2 = 0),
-        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sc
-        |  WHERE doc_id % 2 = 1),
-        |h AS (SELECT v,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS ca,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS cb
-        |  FROM sc GROUP BY v),
-        |cum AS (SELECT v, ca, cb,
+      (s"WITH $splitHistSql,\n" +
+      """cum AS (SELECT v, ca, cb,
         |    coalesce(sum(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
         |      PRECEDING AND 1 PRECEDING), 0) AS cumb_less
         |  FROM h),
@@ -572,28 +571,16 @@ object Ext49 {
         |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
         |       ELSE u2 * 1000000 // (n_a * n_b) - 1000000 END AS BIGINT)
         |    AS rank_biserial_ppm
-        |FROM ag, na, nb""".stripMargin,
+        |FROM ag, nf""".stripMargin),
 
     "x165_total_variation" ->
-      """WITH sc AS (SELECT doc_id,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
-        |  FROM documents),
-        |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM sc
-        |  WHERE doc_id % 2 = 0),
-        |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM sc
-        |  WHERE doc_id % 2 = 1),
-        |h AS (SELECT v,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS ca,
-        |    CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
-        |      AS cb
-        |  FROM sc GROUP BY v),
-        |ag AS (SELECT CAST(coalesce(sum(abs(ca * n_b - cb * n_a)), 0)
-        |    AS BIGINT) AS l1 FROM h, na, nb)
+      (s"WITH $splitHistSql,\n" +
+      """ag AS (SELECT CAST(coalesce(sum(abs(ca * n_b - cb * n_a)), 0)
+        |    AS BIGINT) AS l1 FROM h, nf)
         |SELECT n_a, n_b, l1 AS l1_scaled,
         |  CAST(CASE WHEN n_a = 0 OR n_b = 0 THEN 0
         |       ELSE l1 * 1000000 // (2 * n_a * n_b) END AS BIGINT)
         |    AS tv_ppm
-        |FROM ag, na, nb""".stripMargin,
+        |FROM ag, nf""".stripMargin),
   )
 }

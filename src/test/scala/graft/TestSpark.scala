@@ -25,9 +25,18 @@ object TestSpark {
     import java.util.Comparator
     cleanupQueue.forEach { root =>
       try {
-        if (Files.exists(root))
-          Files.walk(root).sorted(Comparator.reverseOrder[Path]())
-            .forEach(p => try Files.delete(p) catch { case _: Exception => })
+        if (Files.exists(root)) {
+          // close the walk stream before deleting — an open
+          // DirectoryStream can make the deletes themselves fail
+          val paths = {
+            val st = Files.walk(root)
+            try st.sorted(Comparator.reverseOrder[Path]())
+              .toArray(new Array[Path](_))
+            finally st.close()
+          }
+          paths.foreach(p =>
+            try Files.delete(p) catch { case _: Exception => })
+        }
       } catch { case _: Exception => }
     }
   }))

@@ -21,7 +21,11 @@ def norm_cell(v):
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # partial corpora (e.g. the k-limb gate's documents-only dir)
+        # only get views for the tables they ship
+        if glob.glob(f"{sf_dir}/{t}.parquet"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     # Verify emits each entry under both "<name>" and "<name>.parquet"
     # (driver lookup convention); check each query once, by base name.
