@@ -185,6 +185,58 @@ object Ext45 {
             col("n_occ"), col("n_docs"), lit(L == SpanCap).as("capped"))
           .orderBy(col("n_occ").desc, col("span_hash"))
           .limit(5)
+    }),
+
+    // X166 CROSS-SOURCE SHARED SPAN (round 9): the longest token span
+    // appearing in >= 2 DISTINCT sources — x148's exact binary search
+    // with the existence predicate swapped from "repeats anywhere"
+    // (count >= 2) to "crosses a source boundary" (countDistinct(source)
+    // >= 2): the decontamination diagnostic behind "did source A leak
+    // into source B". Same bounded-rounds scale shape (9 probe rounds,
+    // each one hash-groupBy with map-side partial aggregation absorbing
+    // hot span keys); countDistinct over the tiny source domain is
+    // partial-aggregable. SpanCap truncation surfaced as `capped`.
+    "x166_cross_source_span" -> ((s, d) => {
+      val toks = documents(s, d)
+        .select(col("doc_id"), col("source"),
+          TextOps.words(col("text")).as("w"))
+        .persistTracked()
+      def spans1(len: Long): DataFrame = toks
+        .filter(size(col("w")) >= len)
+        .select(col("doc_id"), col("source"), col("w"),
+          explode(expr(s"sequence(1, size(w) - $len + 1)")).as("p"))
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", slice(col("w"), col("p"), lit(len.toInt))))
+            .as("h"))
+      var lo = 0L
+      var hi = math.min(
+        toks.agg(coalesce(max(size(col("w"))).cast("long"), lit(0L)))
+          .head().getLong(0), SpanCap)
+      for (_ <- 1 to SpanRounds) {
+        val mid = (lo + hi + 1L) / 2L
+        val exists = mid >= 1L && !spans1(mid)
+          .groupBy(col("h")).agg(countDistinct(col("source")).as("c"))
+          .filter(col("c") >= 2L).isEmpty
+        if (mid >= 1L) { if (exists) lo = mid else hi = mid - 1L }
+      }
+      val L = lo
+      if (L < 1L)
+        toks.sparkSession.range(0).select(
+          lit(0L).as("span_len"), lit("").as("span_hash"),
+          lit(0L).as("n_occ"), lit(0L).as("n_docs"),
+          lit(0L).as("n_sources"), lit(false).as("capped"))
+      else
+        spans1(L)
+          .groupBy(col("h").as("span_hash"))
+          .agg(count(lit(1)).as("n_occ"),
+            countDistinct(col("doc_id")).as("n_docs"),
+            countDistinct(col("source")).as("n_sources"))
+          .filter(col("n_sources") >= 2L)
+          .select(lit(L).as("span_len"), col("span_hash"),
+            col("n_occ"), col("n_docs"), col("n_sources"),
+            lit(L == SpanCap).as("capped"))
+          .orderBy(col("n_occ").desc, col("span_hash"))
+          .limit(5)
     }))
 
   /** The per-round binary-search CTE block for x148's oracle: m_k picks
@@ -192,11 +244,12 @@ object Ext45 {
     * repeat" (DuckDB range(1, n−mid+2) is empty when the doc is shorter
     * than mid, and list slices clamp — no guards needed), st_k folds the
     * answer back into (lo, hi). */
-  private def spanRoundCtes(rounds: Int): String =
+  private def spanRoundCtes(rounds: Int,
+      cExpr: String = "count(*)"): String =
     (1 to rounds).map { k =>
       s"""m$k AS (SELECT lo, hi, (lo + hi + 1) // 2 AS mid FROM st${k - 1}),
          |e$k AS (SELECT coalesce(max(c), 0) >= 2 AS ex FROM (
-         |    SELECT count(*) AS c FROM t CROSS JOIN m$k,
+         |    SELECT $cExpr AS c FROM t CROSS JOIN m$k,
          |      unnest(range(1, len(w) - CAST(mid AS INT) + 2)) AS u(p)
          |    WHERE mid >= 1
          |    GROUP BY md5(array_to_string(
@@ -299,5 +352,25 @@ object Ext45 {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  (SELECT lo FROM st$SpanRounds) = $SpanCap AS capped
         |FROM f0 GROUP BY h HAVING count(*) >= 2
+        |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin,
+
+    "x166_cross_source_span" ->
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+        |    FROM documents),
+        |st0 AS (SELECT CAST(0 AS BIGINT) AS lo,
+        |  CAST(least(coalesce(max(len(w)), 0), $SpanCap) AS BIGINT) AS hi
+        |  FROM t),
+        |${spanRoundCtes(SpanRounds, "count(DISTINCT source)")},
+        |f0 AS (SELECT t.doc_id, t.source, md5(array_to_string(
+        |      w[CAST(p AS INT):CAST(p + lo - 1 AS INT)], ' ')) AS h
+        |  FROM t CROSS JOIN st$SpanRounds,
+        |    unnest(range(1, len(w) - CAST(lo AS INT) + 2)) AS u(p)
+        |  WHERE lo >= 1)
+        |SELECT (SELECT lo FROM st$SpanRounds) AS span_len, h AS span_hash,
+        |  CAST(count(*) AS BIGINT) AS n_occ,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  (SELECT lo FROM st$SpanRounds) = $SpanCap AS capped
+        |FROM f0 GROUP BY h HAVING count(DISTINCT source) >= 2
         |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin)
 }

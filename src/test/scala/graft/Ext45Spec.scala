@@ -231,4 +231,83 @@ class Ext45Spec extends AnyFunSuite {
       assert(byHash(r.getAs[String]("span_hash")) == r.getAs[Long]("n_occ"))
     GraftCaches.releasePrior()
   }
+
+  test("x166 planted: the answer is the longest CROSS-SOURCE span, not " +
+    "the longest repeat — a 20-token within-source repeat loses to a " +
+    "12-token span shared across sources") {
+    import spark.implicits._
+    val dir = TestSpark.scratchDir("x166plant")
+    val shared12 = (1 to 12).map(i => s"s$i").mkString(" ")
+    val rep20 = (1 to 20).map(i => s"r$i").mkString(" ")
+    Seq(
+      // source A repeats a 20-token run INTERNALLY (two docs) — x148
+      // would report 20; x166 must not
+      (0L, "A", rep20 + " x1 " + shared12),
+      (1L, "A", rep20 + " y1 y2"),
+      // source B carries the 12-token span once
+      (2L, "B", "z1 z2 " + shared12 + " z3"),
+      (3L, "B", "q1 q2 q3"))
+      .toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("x166_cross_source_span")(spark, dir)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("span_len") == 12L)
+    assert(out.head.getAs[Long]("n_occ") == 2L)
+    assert(out.head.getAs[Long]("n_docs") == 2L)
+    assert(out.head.getAs[Long]("n_sources") == 2L)
+    assert(!out.head.getAs[Boolean]("capped"))
+    GraftCaches.releasePrior()
+  }
+
+  test("x166: span_len matches a brute-force longest-cross-source scan " +
+    "of sf0.001, and every reported row's counts recount exactly") {
+    val rows = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("source", "split(text, ' ') AS w").collect()
+      .map(r => (r.getString(0), r.getSeq[String](1).toArray))
+    def crossAt(len: Int): Boolean = {
+      val srcs = scala.collection.mutable.HashMap.empty[String, String]
+      var found = false
+      for ((src, w) <- rows if !found; p <- 0 to w.length - len if !found) {
+        val k = w.slice(p, p + len).mkString(" ")
+        srcs.get(k) match {
+          case Some(s0) if s0 != src => found = true
+          case Some(_) => ()
+          case None => srcs(k) = src
+        }
+      }
+      found
+    }
+    val maxLen = rows.map(_._2.length).max
+    val expected = (math.min(maxLen, 511) to 1 by -1)
+      .find(crossAt).getOrElse(0)
+    val out = SparkEntry.queries("x166_cross_source_span")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty && out.head.getAs[Long]("span_len") == expected.toLong)
+    val L = out.head.getAs[Long]("span_len").toInt
+    // recount occurrences / docs / sources of every reported hash
+    case class Acc(var occ: Long, docs: scala.collection.mutable.Set[Int],
+      srcs: scala.collection.mutable.Set[String])
+    val accs = scala.collection.mutable.HashMap.empty[String, Acc]
+    for (((src, w), di) <- rows.zipWithIndex; p <- 0 to w.length - L) {
+      val k = w.slice(p, p + L).mkString(" ")
+      val a = accs.getOrElseUpdate(k,
+        Acc(0L, scala.collection.mutable.Set.empty,
+          scala.collection.mutable.Set.empty))
+      a.occ += 1; a.docs += di; a.srcs += src
+    }
+    val md5of = (str: String) => java.security.MessageDigest
+      .getInstance("MD5").digest(str.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val byHash = accs.map { case (k, a) => md5of(k) -> a }
+    for (r <- out) {
+      val a = byHash(r.getAs[String]("span_hash"))
+      assert(a.occ == r.getAs[Long]("n_occ"))
+      assert(a.docs.size.toLong == r.getAs[Long]("n_docs"))
+      assert(a.srcs.size.toLong == r.getAs[Long]("n_sources"))
+      assert(a.srcs.size >= 2)
+    }
+    GraftCaches.releasePrior()
+  }
 }
