@@ -91,6 +91,16 @@ object AbVariants {
     "x160_kendall_tau_b__nopersist" ->
       ((s, d) => Ext49.kendallTauB(s, d, persist = false)),
 
+    // x163 unpersisted-histogram control (round 9 review refactor):
+    // the shared splitHistogram persists the value-bounded histogram
+    // so the statistic and the derived counts cost ONE corpus scan;
+    // this control re-runs the histogram per consumer (the shape the
+    // review flagged). BENCH_AB_r09_drifthist.json records the toy-
+    // scale trade; the catalog keeps the persist regardless — the
+    // multiscan form pays 3+ corpus scans at 100 TB.
+    "x163_wasserstein_drift__multiscan" ->
+      ((s, d) => Ext49.wassersteinMultiscan(s, d)),
+
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)
       val n = eQ.count()

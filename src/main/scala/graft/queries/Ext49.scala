@@ -343,22 +343,49 @@ object Ext49 {
     * counts read it) — and the 1-row (n_a, n_b) frame DERIVED from it
     * (n_a = Σca, n_b = Σcb; the x121/x120 precedent). One corpus scan
     * total: the original per-query filter-count frames re-scanned the
-    * corpus up to four extra times (review finding, round 9). One
-    * helper, not three copies — the f2ae8a2 shared-kernel rule. */
-  private def splitHistogram(s: SparkSession, d: String)
-      : (DataFrame, DataFrame) = {
+    * corpus up to four extra times (review finding, round 9) — at
+    * sf0.1 the persist materialization costs a little wall time
+    * (BENCH_AB_r09_drifthist.json), the right trade for a 100 TB scan.
+    * One helper, not three copies — the f2ae8a2 shared-kernel rule.
+    * `persist = false` is the AbVariants cost control. */
+  private[graft] def splitHistogram(s: SparkSession, d: String,
+      persist: Boolean = true): (DataFrame, DataFrame) = {
     import graft.GraftCaches.TrackedPersist
-    val h = documents(s, d)
+    val h0 = documents(s, d)
       .select(col("doc_id"),
         size(expr("split(text, ' ')")).cast("long").as("v"))
       .groupBy(col("v")).agg(
         sum(when(col("doc_id") % 2 === 0, 1L).otherwise(0L)).as("ca"),
         sum(when(col("doc_id") % 2 === 1, 1L).otherwise(0L)).as("cb"))
-      .persistTracked()
+    val h = if (persist) h0.persistTracked() else h0
     val nf = h.agg(
       coalesce(sum(col("ca")), lit(0L)).as("n_a"),
       coalesce(sum(col("cb")), lit(0L)).as("n_b"))
     (h, nf)
+  }
+
+  /** x163 with the unpersisted histogram — the A/B control for the
+    * shared-kernel refactor (each nf reference re-runs the histogram,
+    * i.e. re-scans the corpus; value-identical). */
+  private[graft] def wassersteinMultiscan(s: SparkSession,
+      d: String): DataFrame = {
+    val (h, nf) = splitHistogram(s, d, persist = false)
+    val wcum = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = h.select(col("v"),
+      sum(col("ca")).over(wcum).as("cuma"),
+      sum(col("cb")).over(wcum).as("cumb"),
+      lead(col("v"), 1).over(Window.orderBy(col("v"))).as("nxt"))
+    val ag = cum.filter(col("nxt").isNotNull)
+      .crossJoin(broadcast(nf))
+      .agg(coalesce(sum(
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
+          * (col("nxt") - col("v"))), lit(0L)).as("w1s"))
+    ag.crossJoin(nf)
+      .select(col("n_a"), col("n_b"), col("w1s").as("w1_scaled"),
+        expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
+               | ELSE w1s * 1000000L div (n_a * n_b) END""".stripMargin)
+          .as("w1_ppm"))
   }
 
   /** Oracle's fixed level count — Ext48's shared constant (its SQL is

@@ -334,6 +334,25 @@ class Ext49Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("drift-family plan pins: x163/x164/x165 consume the PERSISTED " +
+    "histogram (InMemoryTableScans in every branch — the corpus " +
+    "materializes once; plan TEXT repeats the cache's scan recipe per " +
+    "reference, so path-counting would over-count) and have no " +
+    "CartesianProduct") {
+    for (q <- Seq("x163_wasserstein_drift", "x164_mann_whitney",
+        "x165_total_variation")) {
+      val df = SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
+      val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
+      assert(cacheScans >= 2,
+        s"$q: expected both the statistic and the derived counts to " +
+          s"read the persisted histogram, saw $cacheScans cache " +
+          s"scans:\n$p")
+      GraftCaches.releasePrior()
+    }
+  }
+
   test("x160 sign agreement: tau-b, tau-a (x159) and Spearman (x158) " +
     "agree in sign on the sf0.001 signal pair") {
     val taub = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)
