@@ -8,8 +8,8 @@ import graft.tables.Tables._
 
 /** Round-9 batch: x160 Kendall's tau-b, x161 chrF++, x162 Heaps-law
   * vocabulary growth, x163 exact Wasserstein-1 drift, x164 Mann-Whitney
-  * rank-biserial, and x165 total-variation distance (each documented
-  * at its catalog entry).
+  * rank-biserial, x165 total-variation distance, and x167 Min-K% prob
+  * membership inference (each documented at its catalog entry).
   *
   * x160 is the TIES-aware rank
   * correlation over the raw (untied-rank-free) signal pair, the field
@@ -324,6 +324,54 @@ object Ext49 {
     // simplest member — ONE value-keyed histogram, one global agg, NO
     // window at all. Headroom: Σ ≤ 2·n_a·n_b; ×1e6 — the x151
     // fixed-point boundary past ~2M docs.
+    // X167 MIN-K% PROB membership-inference score (Shi et al. 2024,
+    // counts-only analogue): per document, the mean of its BOTTOM 20%
+    // bigram transition scores under the corpus bigram LM (x85's exact
+    // ppm machinery — c2·1e6 div c1). The detection logic: a document
+    // DUPLICATED into (or memorized by) the corpus drags its whole
+    // transition distribution up — even its LEAST likely transitions
+    // are corpus-typical — while natural text keeps a low-probability
+    // tail. High mink_ppm ⇒ likely duplicated/contaminated; the
+    // flag_memorized threshold (bottom-quintile mean ≥ 5% = 50000 ppm)
+    // is a DOCUMENTED convention — mink_ppm is the statistic. k =
+    // ceil(n/5) in exact integers ((n+4) div 5, the x157 ceil rule).
+    // Scale shape: x85's plan verbatim (persisted bigram frame, two
+    // partial-aggregable count shuffles, score equi-join) plus a
+    // per-doc sort_array over the doc's OWN bigram scores —
+    // doc-length-bounded arrays, the x61 per-group precedent. Docs
+    // with < 2 tokens have no transitions and emit NO row (both
+    // engines).
+    "x167_min_k_prob" -> ((s, d) => {
+      import graft.GraftCaches.TrackedPersist
+      val bg = documents(s, d)
+        .select(col("doc_id"), graft.ext.TextOps.words(col("text")).as("w"))
+        .filter(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(slice(w, 1, size(w) - 1)," +
+            " (x, i) -> struct(x AS l, w[i+1] AS r))")).as("p"))
+        .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
+        .persistTracked()
+      val c2 = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
+        .persistTracked()
+      val c1 = c2.groupBy(col("l")).agg(sum(col("c2")).as("c1"))
+      val score = c2.join(c1, Seq("l"))
+        .select(col("l"), col("r"), expr("c2 * 1000000 div c1").as("ppm"))
+      bg.join(score, Seq("l", "r"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("ppm"))).as("scl"),
+          count(lit(1)).as("n_bigrams"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("(n_bigrams + 4L) div 5L").as("k"),
+          expr("""aggregate(
+                 |  slice(scl, 1, CAST((n_bigrams + 4L) div 5L AS INT)),
+                 |  0L, (ma, mx) -> ma + mx)""".stripMargin).as("mink_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("k"),
+          expr("mink_sum div greatest(k, 1L)").as("mink_ppm"),
+          expr("(mink_sum div greatest(k, 1L)) >= 50000L")
+            .as("flag_memorized"))
+        .orderBy(col("doc_id"))
+    }),
+
     "x165_total_variation" -> ((s, d) => {
       val (h, nf) = splitHistogram(s, d)
       val ag = h.crossJoin(broadcast(nf))
@@ -599,6 +647,30 @@ object Ext49 {
         |       ELSE u2 * 1000000 // (n_a * n_b) - 1000000 END AS BIGINT)
         |    AS rank_biserial_ppm
         |FROM ag, nf""".stripMargin),
+
+    "x167_min_k_prob" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents),
+        |bg AS (SELECT doc_id, w[i] AS l, w[i+1] AS r
+        |  FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |    FROM w WHERE len(w) >= 2)),
+        |c2 AS (SELECT l, r, CAST(count(*) AS BIGINT) AS c2 FROM bg
+        |  GROUP BY 1, 2),
+        |c1 AS (SELECT l, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1),
+        |sc AS (SELECT l, r, (c2 * 1000000) // c1 AS ppm
+        |  FROM c2 JOIN c1 USING (l)),
+        |per AS (SELECT doc_id, list_sort(list(ppm)) AS scl,
+        |    CAST(count(*) AS BIGINT) AS n_bigrams
+        |  FROM bg JOIN sc USING (l, r) GROUP BY doc_id),
+        |fin AS (SELECT doc_id, n_bigrams, (n_bigrams + 4) // 5 AS k,
+        |    CAST(coalesce(list_aggregate(
+        |      scl[1 : CAST((n_bigrams + 4) // 5 AS INT)], 'sum'), 0)
+        |      AS BIGINT) AS mink_sum
+        |  FROM per)
+        |SELECT doc_id, n_bigrams, k,
+        |  CAST(mink_sum // greatest(k, 1) AS BIGINT) AS mink_ppm,
+        |  (mink_sum // greatest(k, 1)) >= 50000 AS flag_memorized
+        |FROM fin ORDER BY doc_id""".stripMargin,
 
     "x165_total_variation" ->
       (s"WITH $splitHistSql,\n" +

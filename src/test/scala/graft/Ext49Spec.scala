@@ -353,6 +353,52 @@ class Ext49Spec extends AnyFunSuite {
     }
   }
 
+  test("x167: equals the full bigram-LM min-k replay on sf0.001 (sorted " +
+    "bottom-quintile means, exact ppm)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    val bigrams = docs.map { case (id, t) =>
+      val w = toks(t); id -> w.zip(w.drop(1)) }.filter(_._2.nonEmpty)
+    val all = bigrams.flatMap(_._2)
+    val c2 = all.groupBy(identity).map { case (k, o) => k -> o.length.toLong }
+    val c1 = all.groupBy(_._1).map { case (k, o) => k -> o.length.toLong }
+    val want = bigrams.sortBy(_._1).map { case (id, bs) =>
+      val sc = bs.map(b => c2(b) * 1000000L / c1(b._1)).sorted
+      val n = sc.length.toLong; val k = (n + 4L) / 5L
+      val mink = sc.take(k.toInt).sum / math.max(k, 1L)
+      (id, n, k, mink, mink >= 50000L)
+    }
+    val got = SparkEntry.queries("x167_min_k_prob")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+    GraftCaches.releasePrior()
+  }
+
+  test("x167 planted: a 10x-duplicated document with deterministic " +
+    "transitions scores mink_ppm = 1e6 and flags; a doc whose left " +
+    "token fans out across 40 successors scores 25000 and does not " +
+    "(the low-probability tail natural text keeps)") {
+    import spark.implicits._
+    val dir = TestSpark.scratchDir("x167")
+    val memo = (1 to 20).map(i => s"m$i").mkString(" ")
+    val dup = (0 until 10).map(i => (i.toLong, memo))
+    val fan = (0 until 40).map(i => (100L + i, s"h w$i"))
+    (dup ++ fan).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("x167_min_k_prob")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getBoolean(4))).toMap
+    for (i <- 0L until 10L) {
+      assert(rows(i) == ((1000000L, true)), s"dup doc $i: ${rows(i)}")
+    }
+    for (i <- 100L until 140L) {
+      assert(rows(i) == ((25000L, false)), s"fan doc $i: ${rows(i)}")
+    }
+    GraftCaches.releasePrior()
+  }
+
   test("x160 sign agreement: tau-b, tau-a (x159) and Spearman (x158) " +
     "agree in sign on the sf0.001 signal pair") {
     val taub = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)
