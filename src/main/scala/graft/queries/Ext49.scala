@@ -8,8 +8,9 @@ import graft.tables.Tables._
 
 /** Round-9 batch: x160 Kendall's tau-b, x161 chrF++, x162 Heaps-law
   * vocabulary growth, x163 exact Wasserstein-1 drift, x164 Mann-Whitney
-  * rank-biserial, x165 total-variation distance, and x167 Min-K% prob
-  * membership inference (each documented at its catalog entry).
+  * rank-biserial, x165 total-variation distance, x167 Min-K% prob
+  * membership inference, and x168 embedding centroid drift (each
+  * documented at its catalog entry).
   *
   * x160 is the TIES-aware rank
   * correlation over the raw (untied-rank-free) signal pair, the field
@@ -372,6 +373,47 @@ object Ext49 {
         .orderBy(col("doc_id"))
     }),
 
+    // X168 EMBEDDING CENTROID DRIFT between the even/odd vec_id splits
+    // — the representation-space sibling of the x163/x164/x165 signal
+    // drift family ("did the embedding distribution move"). Floats
+    // never cross the engine/oracle boundary: vectors enter the SHARED
+    // Ext43 integer quantization (floor((x+1)·1000) ∈ [0, 2000] — the
+    // beam-ANN/x137 space), per-dim sums are exact BIGINT (ONE
+    // 64·2-group shuffle regardless of corpus size), centroids are
+    // floored means, and the centroid cosine closes over the exact
+    // isqrt (driver BigInt here, HUGEINT Newton in the oracle — the
+    // x160 pattern; 64-dim centroid math is O(1) driver state).
+    // Output: exact l2_sq / dot / norms plus cos_ppm.
+    "x168_centroid_drift" -> ((s, d) => {
+      val qv = Ext43.quantized(s, d)
+        .select(col("vec_id"), (col("vec_id") % 2).as("par"), col("q"))
+      val nn = qv.agg(
+        coalesce(sum(when(col("par") === 0, 1L).otherwise(0L)), lit(0L))
+          .as("n_a"),
+        coalesce(sum(when(col("par") === 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_b")).first()
+      val na = nn.getLong(0); val nb = nn.getLong(1)
+      val ds = qv
+        .select(col("par"), posexplode(col("q")).as(Seq("dm", "x")))
+        .groupBy(col("dm")).agg(
+          coalesce(sum(when(col("par") === 0, col("x"))), lit(0L)).as("sa"),
+          coalesce(sum(when(col("par") === 1, col("x"))), lit(0L)).as("sb"))
+        .collect().sortBy(_.getInt(0)) // 64 rows — dim-bounded
+      // q >= 0 so Long division IS the floor — matches the oracle's //
+      val ma = ds.map(r => r.getLong(1) / math.max(na, 1L))
+      val mb = ds.map(r => r.getLong(2) / math.max(nb, 1L))
+      val l2 = ma.zip(mb).map { case (a, b) => (a - b) * (a - b) }.sum
+      val dot = ma.zip(mb).map { case (a, b) => a * b }.sum
+      val nasq = ma.map(a => a * a).sum
+      val nbsq = mb.map(b => b * b).sum
+      val r = isqrt(BigInt(nasq) * BigInt(nbsq))
+      val cos = (BigInt(dot) * 1000000 / r.max(1)).toLong
+      import s.implicits._
+      Seq((na, nb, l2, dot, nasq, nbsq, cos))
+        .toDF("n_a", "n_b", "l2_sq", "dot", "norm_a_sq", "norm_b_sq",
+          "cos_ppm")
+    }),
+
     "x165_total_variation" -> ((s, d) => {
       val (h, nf) = splitHistogram(s, d)
       val ag = h.crossJoin(broadcast(nf))
@@ -671,6 +713,62 @@ object Ext49 {
         |  CAST(mink_sum // greatest(k, 1) AS BIGINT) AS mink_ppm,
         |  (mink_sum // greatest(k, 1)) >= 50000 AS flag_memorized
         |FROM fin ORDER BY doc_id""".stripMargin,
+
+    "x168_centroid_drift" ->
+      """WITH qv AS (SELECT vec_id, vec_id % 2 AS par,
+        |    list_transform(CAST(embedding AS DOUBLE[]), x ->
+        |      CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |nn AS (SELECT
+        |    CAST(coalesce(sum(CASE WHEN par = 0 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_a,
+        |    CAST(coalesce(sum(CASE WHEN par = 1 THEN 1 ELSE 0 END), 0)
+        |      AS BIGINT) AS n_b
+        |  FROM qv),
+        |ds AS (SELECT dmi,
+        |    CAST(coalesce(sum(CASE WHEN par = 0 THEN q[CAST(dmi AS INT)]
+        |      END), 0) AS BIGINT) AS sa,
+        |    CAST(coalesce(sum(CASE WHEN par = 1 THEN q[CAST(dmi AS INT)]
+        |      END), 0) AS BIGINT) AS sb
+        |  FROM (SELECT par, q, unnest(range(1, 65)) AS dmi FROM qv)
+        |  GROUP BY dmi),
+        |ct AS (SELECT dmi,
+        |    sa // greatest((SELECT n_a FROM nn), 1) AS ma,
+        |    sb // greatest((SELECT n_b FROM nn), 1) AS mb
+        |  FROM ds),
+        |ag AS (SELECT
+        |    CAST(coalesce(sum((ma - mb) * (ma - mb)), 0) AS BIGINT)
+        |      AS l2_sq,
+        |    CAST(coalesce(sum(ma * mb), 0) AS BIGINT) AS dot,
+        |    CAST(coalesce(sum(ma * ma), 0) AS BIGINT) AS norm_a_sq,
+        |    CAST(coalesce(sum(mb * mb), 0) AS BIGINT) AS norm_b_sq
+        |  FROM ct),
+        |pr AS (SELECT *, CAST(norm_a_sq AS HUGEINT) * norm_b_sq AS prod
+        |  FROM ag),
+        |s0 AS (SELECT *, greatest(
+        |    CAST(ceil(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) + 2, 1)
+        |    AS x0 FROM pr),
+        |s1_ AS (SELECT *, greatest((x0 + prod // greatest(x0, 1)) // 2, 1)
+        |    AS x1 FROM s0),
+        |s2_ AS (SELECT *, greatest((x1 + prod // greatest(x1, 1)) // 2, 1)
+        |    AS x2 FROM s1_),
+        |s3_ AS (SELECT *, greatest((x2 + prod // greatest(x2, 1)) // 2, 1)
+        |    AS x3 FROM s2_),
+        |s4_ AS (SELECT *, greatest((x3 + prod // greatest(x3, 1)) // 2, 1)
+        |    AS x4 FROM s3_),
+        |rt AS (SELECT *, least(x3, x4) AS r0 FROM s4_),
+        |rt2 AS (SELECT *,
+        |    CASE WHEN r0 > 0 AND r0 * r0 > prod THEN r0 - 1 ELSE r0 END
+        |      AS r1 FROM rt),
+        |rt3 AS (SELECT *,
+        |    CASE WHEN prod = 0 THEN 0
+        |         WHEN (r1 + 1) * (r1 + 1) <= prod THEN r1 + 1
+        |         ELSE r1 END AS r FROM rt2)
+        |SELECT (SELECT n_a FROM nn) AS n_a, (SELECT n_b FROM nn) AS n_b,
+        |  l2_sq, dot, norm_a_sq, norm_b_sq,
+        |  CAST(CAST(dot AS HUGEINT) * 1000000 // greatest(r, 1) AS BIGINT)
+        |    AS cos_ppm
+        |FROM rt3""".stripMargin,
 
     "x165_total_variation" ->
       (s"WITH $splitHistSql,\n" +

@@ -399,6 +399,65 @@ class Ext49Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x168: equals the quantized-centroid replay on sf0.001 (exact " +
+    "integer l2/dot/norms and the isqrt-floored cosine)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "CAST(embedding AS array<double>) AS v")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    def q(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor((x + 1.0) * 1000.0).toLong)
+    val a = vecs.filter(_._1 % 2 == 0).map(p => q(p._2))
+    val b = vecs.filter(_._1 % 2 == 1).map(p => q(p._2))
+    val na = a.length.toLong; val nb = b.length.toLong
+    def centroid(vs: Array[Array[Long]], n: Long): Array[Long] =
+      (0 until 64).map(d =>
+        vs.map(_(d)).sum / math.max(n, 1L)).toArray
+    val ma = centroid(a, na); val mb = centroid(b, nb)
+    val l2 = ma.zip(mb).map { case (x, y) => (x - y) * (x - y) }.sum
+    val dot = ma.zip(mb).map { case (x, y) => x * y }.sum
+    val nasq = ma.map(x => x * x).sum; val nbsq = mb.map(x => x * x).sum
+    val rr = graft.queries.Ext49.isqrt(BigInt(nasq) * BigInt(nbsq))
+    val cos = (BigInt(dot) * 1000000 / rr.max(1)).toLong
+    val r = SparkEntry.queries("x168_centroid_drift")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n_a") == na && r.getAs[Long]("n_b") == nb)
+    assert(r.getAs[Long]("l2_sq") == l2)
+    assert(r.getAs[Long]("dot") == dot)
+    assert(r.getAs[Long]("norm_a_sq") == nasq)
+    assert(r.getAs[Long]("norm_b_sq") == nbsq)
+    assert(r.getAs[Long]("cos_ppm") == cos)
+    GraftCaches.releasePrior()
+  }
+
+  test("x168 planted: identical splits score cos = 1e6 with l2 = 0; " +
+    "axis-orthogonal splits score cos = 0 with l2 = 2*1999^2") {
+    import spark.implicits._
+    val dirA = TestSpark.scratchDir("x168a")
+    val vec = (0 until 64).map(d => if (d == 0) 0.9995f else -1.0f).toArray
+    (0 until 10).map(i => (i.toLong, vec, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dirA/embeddings.parquet")
+    val a = SparkEntry.queries("x168_centroid_drift")(spark, dirA)
+      .collect().head
+    assert(a.getAs[Long]("l2_sq") == 0L)
+    assert(a.getAs[Long]("cos_ppm") == 1000000L)
+    val dirB = TestSpark.scratchDir("x168b")
+    val e0 = (0 until 64).map(d => if (d == 0) 0.9995f else -1.0f).toArray
+    val e1 = (0 until 64).map(d => if (d == 1) 0.9995f else -1.0f).toArray
+    (0 until 10).map(i =>
+      (i.toLong, if (i % 2 == 0) e0 else e1, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dirB/embeddings.parquet")
+    val b = SparkEntry.queries("x168_centroid_drift")(spark, dirB)
+      .collect().head
+    // q(e0) = [1999, 0...], q(e1) = [0, 1999, 0...] — exact axes
+    assert(b.getAs[Long]("dot") == 0L)
+    assert(b.getAs[Long]("cos_ppm") == 0L)
+    assert(b.getAs[Long]("l2_sq") == 2L * 1999L * 1999L)
+    GraftCaches.releasePrior()
+  }
+
   test("x160 sign agreement: tau-b, tau-a (x159) and Spearman (x158) " +
     "agree in sign on the sf0.001 signal pair") {
     val taub = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)
