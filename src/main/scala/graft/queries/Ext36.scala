@@ -43,6 +43,37 @@ object Ext36 {
         .orderBy(col("bucket"))
     }),
 
+    // X169 ECE/MCE CALIBRATION ROLLUP (round 9): x128 emits the
+    // per-decile calibration TABLE; this emits the two standard
+    // single-number summaries — expected calibration error (bucket-
+    // weighted |observed − predicted|) and maximum calibration error.
+    // The decomposition keeps BOTH exact with integer floors: per
+    // bucket, |obs − pred| · n_b = |1000·n_pos − Σsb| EXACTLY (the
+    // per-bucket divisions cancel), so
+    //   ece_pm = Σ_b |1000·n_pos_b − Σsb_b| div n      (ONE floor)
+    //   mce_pm = max_b (|1000·n_pos_b − Σsb_b| div n_b) (per-bucket
+    //             floor, identical spelling both engines).
+    // Same scorer and ≤10-bucket rollup as x128 — one partial-
+    // aggregable shuffle, then a 10-row global agg.
+    "x169_ece_calibration" -> ((s, d) => {
+      val g = Ext33.hashedScorePm(s, d)
+        .withColumn("bucket", least(expr("sb div 100"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("nb"),
+          sum(when(col("pos"), 1L).otherwise(0L)).as("np"),
+          sum(col("sb")).as("ssb"))
+      g.agg(
+        coalesce(sum(col("nb")), lit(0L)).as("n"),
+        count(lit(1)).as("n_buckets"),
+        coalesce(sum(abs(lit(1000L) * col("np") - col("ssb"))), lit(0L))
+          .as("gap_sum"),
+        coalesce(max(expr("abs(1000L * np - ssb) div nb")), lit(0L))
+          .as("mce_pm"))
+      .select(col("n"), col("n_buckets"),
+        expr("gap_sum div greatest(n, 1L)").as("ece_pm"),
+        col("mce_pm"))
+    }),
+
     // X2h DATASET FINGERPRINT: an order-independent content hash per
     // source plus a corpus root — the "did this snapshot change?"
     // primitive behind dataset versioning and cache invalidation. Each
@@ -159,6 +190,22 @@ object Ext36 {
         |  CAST(sum((sb - y_pm) * (sb - y_pm)) AS BIGINT) AS brier_sum_pm2,
         |  CAST(sum((sb - y_pm) * (sb - y_pm)) // count(*) AS BIGINT) AS brier_pm2
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "x169_ece_calibration" -> {
+      s"""WITH ${Ext33.hashedScorePmSql},
+        |b AS (SELECT LEAST(sb // 100, 9) AS bucket,
+        |    CASE WHEN pos THEN 1 ELSE 0 END AS y, sb FROM sb),
+        |g AS (SELECT bucket, CAST(count(*) AS BIGINT) AS nb,
+        |    CAST(sum(y) AS BIGINT) AS np, CAST(sum(sb) AS BIGINT) AS ssb
+        |  FROM b GROUP BY bucket)
+        |SELECT CAST(coalesce(sum(nb), 0) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(coalesce(sum(abs(1000 * np - ssb)), 0)
+        |    // greatest(coalesce(sum(nb), 0), 1) AS BIGINT) AS ece_pm,
+        |  CAST(coalesce(max(abs(1000 * np - ssb) // nb), 0) AS BIGINT)
+        |    AS mce_pm
+        |FROM g""".stripMargin
     },
 
     "x129_dataset_merkle" ->

@@ -50,6 +50,29 @@ class Ext36Spec extends AnyFunSuite {
     assert(got.map(_._2).sum == scored.length)
   }
 
+  test("x169: ECE/MCE equal the decile replay with the cancelled-floor " +
+    "identity |obs - pred|*n_b = |1000*n_pos - sum_sb| (one floor for " +
+    "ECE, per-bucket floors for MCE)") {
+    val scored = scoreDocs()
+    val byB = scored.groupBy(t => math.min(t._2 / 100, 9L))
+    val gaps = byB.map { case (_, vs) =>
+      val np = vs.count(_._1).toLong
+      val ssb = vs.map(_._2).sum
+      (math.abs(1000L * np - ssb), vs.length.toLong)
+    }.toSeq
+    val n = scored.length.toLong
+    val ece = gaps.map(_._1).sum / math.max(n, 1L)
+    val mce = gaps.map { case (gp, nb) => gp / nb }.max
+    val r = SparkEntry.queries("x169_ece_calibration")(spark, sf)
+      .collect().head
+    assert(r.getAs[Long]("n") == n)
+    assert(r.getAs[Long]("n_buckets") == byB.size.toLong)
+    assert(r.getAs[Long]("ece_pm") == ece)
+    assert(r.getAs[Long]("mce_pm") == mce)
+    // sanity: ECE never exceeds MCE
+    assert(ece <= mce)
+  }
+
   test("x129: root is the xor of per-source fingerprints; content-sensitive") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("source", "doc_id", "text").collect()
