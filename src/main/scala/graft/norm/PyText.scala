@@ -169,15 +169,22 @@ object PyText {
     * name is such a fixed point (PipelineSpec enforces it). */
   def latinGateIsIdentity(s: String): Boolean = {
     if (s == null) return true
-    val t = pyStrip(s)
+    // Whitespace is validated on the RAW string with the Python isspace
+    // set, which is a superset of both Java's (?U)\s and
+    // Character.isWhitespace (it adds \x1c-\x1f and U+0085 NEL, which
+    // Java isWhitespace misses): any whitespace besides plain ' '
+    // voids parity — pyStrip/collapseWs remove or fold it while the
+    // oracle's trim() + bare regex do not, whether it sits at the
+    // edges (trim keeps it) or interior (collapseWs rewrites it).
+    if (!s.forall(c => c == ' ' || !pyIsSpace(c))) return false
+    val t = pyStrip(s) // now at most a plain-' ' trim, = SQL trim()
     var u = mapChars(t, latinTypoMap)
     u = mapChars(u, confusables)
     u = u.replace('"', ' ')
     // collapseWs deliberately excluded from the fixed-point check:
     // repetition of plain ' ' (already in the regex class) can never
-    // change a full-match verdict. Exotic whitespace CAN (pyStrip
-    // removes it, SQL trim does not) — so require none besides ' '.
-    u == t && t.forall(c => c == ' ' || !Character.isWhitespace(c))
+    // change a full-match verdict.
+    u == t
   }
 
   // -- F6 clean_fullname_no_accents_final (main.py:309–330) ------------------

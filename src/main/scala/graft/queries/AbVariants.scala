@@ -99,7 +99,7 @@ object AbVariants {
     // scale trade; the catalog keeps the persist regardless — the
     // multiscan form pays 3+ corpus scans at 100 TB.
     "x163_wasserstein_drift__multiscan" ->
-      ((s, d) => Ext49.wassersteinMultiscan(s, d)),
+      ((s, d) => Ext49.wasserstein(s, d, persist = false)),
 
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)

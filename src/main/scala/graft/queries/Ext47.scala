@@ -139,9 +139,12 @@ object Ext47 {
   private val SparkDia = Dia(
     (x, n) => s"shiftleft($x, $n)", (x, n) => s"shiftright($x, $n)",
     (a, b) => s"($a ^ $b)", v => s"${v}L")
-  private val DuckDia = Dia(
-    (x, n) => s"($x << $n)", (x, n) => s"($x >> $n)",
-    (a, b) => s"xor($a, $b)", v => s"CAST($v AS BIGINT)")
+  // (The two-limb DuckDB dialect instance lived here until round 10:
+  // once the catalog oracle moved to the k-limb arrWerFoldDuckSql, the
+  // retained two-limb DuckDB fold had no caller and no gate executing
+  // it — dead spelling, deleted per the round-9 ADVICE. The Spark-side
+  // two-limb fold below stays: the __2limb AbVariants cost controls
+  // still run it, and Ext47Spec still pins it against the classic DP.)
 
   private final case class BV(hi: String, lo: String)
 
@@ -193,38 +196,12 @@ object Ext47 {
        |  (v, mk) -> $step)""".stripMargin
   }
 
-  /** The DuckDB twin. TWO DuckDB-1.0.0 quirks drive the spelling:
-    * (a) list_reduce has no separate init type, so the true init state
-    * is list_prepend'ed; (b) STRUCT accumulators are miscomputed by
-    * list_reduce when a later field reads state fields (minimal repro in
-    * ROUND_NOTES — x154's 2-field fold is unaffected, re-validated 200/
-    * 200 vs brute force), so the state is a BIGINT LIST
-    * [pvh, pvl, mvh, mvl, sc] and the match masks are 2-element lists
-    * [hi, lo] of the same LIST(BIGINT) type. */
-  // Retained two-limb DuckDB fold (superseded in the catalog by the
-  // k-limb arrWerFoldDuckSql; kept with the __2limb engine variants so
-  // the round-8 lineage stays reproducible).
-  private[graft] val werFoldDuckSql: String = {
-    val z = "CAST(0 AS BIGINT)"
-    val masks =
-      s"""list_transform(cw, c -> [coalesce(list_aggregate(
-         |        list_transform(range(1, len(rw) + 1), j ->
-         |          CASE WHEN j > 62 AND rw[CAST(j AS INT)] = c
-         |               THEN CAST(1 AS BIGINT) << CAST(j - 63 AS INT)
-         |               ELSE $z END), 'sum'), 0),
-         |      coalesce(list_aggregate(
-         |        list_transform(range(1, len(rw) + 1), j ->
-         |          CASE WHEN j <= 62 AND rw[CAST(j AS INT)] = c
-         |               THEN CAST(1 AS BIGINT) << CAST(j - 1 AS INT)
-         |               ELSE $z END), 'sum'), 0)])""".stripMargin
-    val idx = Map("pvh" -> 1, "pvl" -> 2, "mvh" -> 3, "mvl" -> 4, "sc" -> 5)
-    val step = myersStep(DuckDia, "mk[1]", "mk[2]", f => s"v[${idx(f)}]",
-      (a, b, c, dd, e) => s"[$a, $b, $c, $dd, $e]")
-    s"""(list_reduce(list_prepend(
-       |      [bmh, bml, $z, $z, m],
-       |      $masks),
-       |      (v, mk) -> $step))[5]""".stripMargin
-  }
+  // (The two-limb DuckDB Myers fold — werFoldDuckSql — was deleted in
+  // round 10: the catalog oracle uses the k-limb arrWerFoldDuckSql
+  // below, and no spec or gate executed the retained spelling, so it
+  // could only rot silently. Its DuckDB-1.0.0 quirk notes — LIST
+  // state because list_reduce miscomputes STRUCT accumulators,
+  // list_prepend'ed init — live on in the k-limb section header.)
 
   // ---- round 9: k-limb array state (the LcsCap lift) ----------------------
   //
@@ -551,8 +528,24 @@ object Ext47 {
     * equality). */
   private[graft] def chrF(s: SparkSession, d: String,
       joinClip: Boolean, packKeys: Boolean = false): DataFrame = {
+    // Round-10 guard (ADVICE r9): the packed 8-bit-per-char keys alias
+    // DISTINCT grams whenever any codepoint exceeds 255, so off an
+    // ASCII corpus the variant would emit silently-wrong A/B outputs.
+    // Fail LOUDLY instead: one exists() pass per doc (negligible next
+    // to the packing fold it guards; the unpacked catalog path is
+    // untouched). Ext47Spec pins both the ASCII equality and this
+    // loud path.
+    val tCol =
+      if (!packKeys) expr("replace(text, ' ', '')")
+      else expr(
+        """CASE WHEN exists(split(replace(text, ' ', ''), ''),
+          |            c -> ascii(c) > 255)
+          |  THEN raise_error(concat('x155_chrf__packedkeys requires an',
+          |    ' ASCII corpus: 8-bit-per-char key packing aliases grams',
+          |    ' past codepoint 255 (doc_id ', CAST(doc_id AS STRING), ')'))
+          |  ELSE replace(text, ' ', '') END""".stripMargin)
     val docs = documents(s, d).select(col("doc_id"), col("source"),
-      expr("replace(text, ' ', '')").as("t"))
+      tCol.as("t"))
     val cand = docs.filter(col("doc_id") % 2 === 1)
       .select(col("doc_id").as("pair_id"), col("source"), col("t").as("ct"))
     val ref = docs.filter(col("doc_id") % 2 === 0)

@@ -125,16 +125,23 @@ object Ext48 {
                | div greatest(size(split(text, ' ')), 1L)""".stripMargin)
           .as("s2"))
 
-  /** The ORACLE's fixed x159 level count (the SQL string is static).
-    * The ENGINE derives its level count from n at runtime
-    * ([[tauLevelsFor]]) — a fixed constant would silently DROP the
-    * inversions whose y-ranks first differ above its top bit once
-    * n > 2^levels (round-9 fix; the old fixed-24 engine was silently
-    * wrong above 16.7M rows and the shared constant hid it from the
-    * harness). Levels above bits(n−1) put every element in one
-    * all-zero-bit group and contribute zero, so the two engines agree
-    * exactly whenever n ≤ 2^24 — the oracle's operating range. */
-  val TauLevels = 24
+  /** The ORACLE's level source, derived from the data exactly like the
+    * engine's [[tauLevelsFor]] (round-10 symmetry fix — VERDICT r9:
+    * the oracle previously unrolled a FIXED 24 levels, which agreed
+    * with the adaptive engine at every SF the oracle runs — extra
+    * engine levels are all-zero no-ops below 2^24 rows — but would
+    * silently UNDERCOUNT inversions on a >16M-row oracle corpus; now
+    * both sides derive bits(cnt − 1) from the same count). `cntExpr`
+    * is the aggregate whose bit length bounds the 0-based y-ranks —
+    * count(*) over `sc` for x159's permutation ranks, count(DISTINCT
+    * s2) for x160's dense ranks. Rendered as a derived-table level
+    * source: bin(x) is DuckDB's integer→binary-string, so
+    * length(bin(cnt−1)) IS the engine's 64 − nlz(cnt−1); the engine's
+    * n ≤ 1 → 1-level floor is the CASE arm. */
+  private[graft] def tauLevelsSqlFrom(cntExpr: String): String =
+    s"""(SELECT unnest(range(0, (SELECT CASE WHEN $cntExpr <= 1 THEN 1
+       |    ELSE length(bin(CAST($cntExpr - 1 AS BIGINT))) END
+       |  FROM sc))) AS l)""".stripMargin
 
   /** Exact level count for an n-row 0-based rank permutation: the bit
     * length of n−1 (every y-rank fits in this many bits, and any pair
@@ -274,7 +281,7 @@ object Ext48 {
          |lv AS (SELECT px, l,
          |    y0 >> CAST(l + 1 AS INT) AS grp,
          |    (y0 >> CAST(l AS INT)) & 1 AS bit
-         |  FROM rk, (SELECT unnest(range(0, $TauLevels)) AS l) ls),
+         |  FROM rk, ${tauLevelsSqlFrom("count(*)")} ls),
          |cum AS (SELECT l, bit,
          |    sum(bit) OVER (PARTITION BY l, grp ORDER BY px
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bit

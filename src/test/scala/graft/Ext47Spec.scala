@@ -317,6 +317,28 @@ class Ext47Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x155 packed-key variant FAILS LOUDLY off an ASCII corpus " +
+    "(round-10 guard): a codepoint past 255 would alias distinct grams, " +
+    "so the variant raises instead of emitting silently-wrong outputs") {
+    import spark.implicits._
+    val dir = TestSpark.scratchDir("x155ascii")
+    Seq((0L, "abc", "m"), (1L, "abāb", "m")) // U+0101 ā > 255
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ex = intercept[Exception] {
+      graft.queries.Ext47
+        .chrF(spark, dir, joinClip = true, packKeys = true).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("ASCII")),
+      s"expected the packed-key ASCII guard to fire, got: $ex")
+    // the same corpus is fine for the catalog string-key form
+    val cat = SparkEntry.queries("x155_chrf")(spark, dir).collect()
+    assert(cat.nonEmpty)
+    GraftCaches.releasePrior()
+  }
+
   test("x155 planted: multiset clipping credits repeats per occurrence, " +
     "and n-gram orders longer than every candidate produce NO row " +
     "(cand 'abab' = 4 chars → rows for n = 1..4 only)") {

@@ -458,6 +458,24 @@ class Ext49Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x160 exactness bound is LOUD (round-10 guard): the documented " +
+    "~3e9-row BIGINT bound rejects with a message instead of letting " +
+    "the tie-term partial sums wrap silently; the bound itself is " +
+    "exactly floor(sqrt(Long.MaxValue))") {
+    import graft.queries.Ext49
+    // the constant IS the floor sqrt: c*(c-1) < c^2 <= Long.Max at the
+    // bound, and the next integer's square overflows
+    assert(BigInt(Ext49.MaxTauBRows).pow(2) <= BigInt(Long.MaxValue))
+    assert(BigInt(Ext49.MaxTauBRows + 1).pow(2) > BigInt(Long.MaxValue))
+    Ext49.requireTauBExact(0L)
+    Ext49.requireTauBExact(Ext49.MaxTauBRows) // boundary accepts
+    val ex = intercept[IllegalArgumentException] {
+      Ext49.requireTauBExact(Ext49.MaxTauBRows + 1)
+    }
+    assert(ex.getMessage.contains("BIGINT-exact bound"),
+      s"wrong loud-path message: ${ex.getMessage}")
+  }
+
   test("x160 sign agreement: tau-b, tau-a (x159) and Spearman (x158) " +
     "agree in sign on the sf0.001 signal pair") {
     val taub = SparkEntry.queries("x160_kendall_tau_b")(spark, sf)

@@ -54,6 +54,24 @@ class NormSpec extends AnyFunSuite {
       assert(PyText.isLatinName(in) == want, s"input=<$in>")
   }
 
+  test("latinGateIsIdentity validates the RAW string (round-10 fix): " +
+    "whitespace the engine strips/collapses but SQL trim + a bare " +
+    "regex do not — U+0085 NEL, \\x1c-\\x1f, NBSP — voids parity " +
+    "wherever it sits, while plain-space fixed points still pass") {
+    import PyText.latinGateIsIdentity
+    assert(latinGateIsIdentity(null))
+    assert(latinGateIsIdentity("Abd Al-Rahman"))
+    assert(latinGateIsIdentity("  padded name  ")) // plain ' ' = SQL trim
+    // the exact escapes the round-9 ADVICE named: Python-isspace chars
+    // Java's isWhitespace misses (U+0085) or SQL trim keeps (\x1c-\x1f)
+    assert(!latinGateIsIdentity("a\u0085b"))       // interior NEL
+    assert(!latinGateIsIdentity("\u0085name"))     // leading NEL
+    assert(!latinGateIsIdentity("name\u001C"))     // trailing FS
+    assert(!latinGateIsIdentity("a\u00A0b"))       // NBSP (mapped char)
+    assert(!latinGateIsIdentity("a\tb"))           // tab: collapsed, not trimmed
+    assert(!latinGateIsIdentity("\u2019name"))     // typo-mapped char
+  }
+
   test("D1 is_forced_male matches reference") {
     for ((in, want) <- NormVectors.isForcedMale)
       assert(PyText.isForcedMale(in) == want, s"input=<$in>")
