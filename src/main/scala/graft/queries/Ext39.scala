@@ -58,7 +58,11 @@ object Ext39 {
 
   val oracleSql: Map[String, String] = Map(
 
-    "x137_srp_sketch" -> {
+    // MATERIALIZED CTEs via Ext43.matCtes: c is read twice by the
+    // self-join — unpinned, DuckDB re-inlines the 16-plane code
+    // computation into both sides (6.7 s → 3.4 s at sf0.01, rows
+    // identical; the round-10 CTE re-inlining finding).
+    "x137_srp_sketch" -> Ext43.matCtes {
       def dotQ(p: Int) = {
         val lits = plane(p).mkString("[", ", ", "]")
         s"""list_reduce(list_prepend(CAST(0 AS BIGINT),

@@ -405,17 +405,28 @@ object Ext43 {
       |    i -> q[i] + (vec_id * 37 + (i - 1) * 17) % 501 - 250) AS qq
       |  FROM e WHERE vec_id % 50 = 0)""".stripMargin
 
+  /** Pin every CTE of a DuckDB oracle as MATERIALIZED. DuckDB 1.0
+    * re-inlines unmaterialized CTEs at EVERY reference, so a chain of
+    * CTEs each read k ≥ 2 times re-expands ~k^depth — the round-10
+    * sweep finding (x143 oracle 102 s → 5.5 s, x146 72 s → 4.3 s,
+    * x137 6.7 s → 3.4 s at sf0.01; rows identical). Safe here because
+    * these oracles never use a `WINDOW w AS (...)` clause (the one
+    * spelling the rewrite would corrupt). */
+  private[queries] def matCtes(sql: String): String =
+    sql.replaceAll("""\b([A-Za-z_][A-Za-z0-9_]*) AS \(""",
+      "$1 AS MATERIALIZED (")
+
   val oracleSql: Map[String, String] = Map(
 
-    "x143_beam_ann" ->
+    "x143_beam_ann" -> matCtes(
       s"""WITH ${beamSearchCtes(SelfQsSql)}
         |SELECT q_id, CAST(rn AS BIGINT) AS rank, id AS vec_id, dist2
         |FROM (SELECT q_id, id, dist2,
         |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
         |  FROM fin) WHERE rn <= 3
-        |ORDER BY q_id, rank""".stripMargin,
+        |ORDER BY q_id, rank""".stripMargin),
 
-    "x146_beam_recall" ->
+    "x146_beam_recall" -> matCtes(
       s"""WITH ${beamSearchCtes(PerturbQsSql)},
         |beam3 AS (SELECT q_id, id FROM (SELECT q_id, id,
         |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
@@ -431,5 +442,5 @@ object Ext43 {
         |  GROUP BY 1)
         |SELECT qs.q_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
         |  CAST(coalesce(n_hits, 0) * 1000 // 3 AS BIGINT) AS recall_pm
-        |FROM qs LEFT JOIN h ON qs.q_id = h.q_id ORDER BY qs.q_id""".stripMargin)
+        |FROM qs LEFT JOIN h ON qs.q_id = h.q_id ORDER BY qs.q_id""".stripMargin))
 }
