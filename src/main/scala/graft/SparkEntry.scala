@@ -93,7 +93,8 @@ object SparkEntry {
       graft.queries.Ext46.queries ++
       graft.queries.Ext47.queries ++
       graft.queries.Ext48.queries ++
-      graft.queries.Ext49.queries
+      graft.queries.Ext49.queries ++
+      graft.queries.Ext50.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -149,5 +150,6 @@ object SparkEntry {
       graft.queries.Ext46.oracleSql ++
       graft.queries.Ext47.oracleSql ++
       graft.queries.Ext48.oracleSql ++
-      graft.queries.Ext49.oracleSql
+      graft.queries.Ext49.oracleSql ++
+      graft.queries.Ext50.oracleSql
 }

@@ -74,6 +74,11 @@ object TextOps {
   def ngramsDistinct(w: Column, n: Int): Column =
     B.column(graft.functions.GraftNgrams(B.expression(w), n))
 
+  /** All character 1..maxN-grams with multiplicity as one native
+    * codegen'd pass (x155's gram generator; order = length(gram)). */
+  def charGrams(text: Column, maxN: Int): Column =
+    B.column(graft.functions.GraftCharGrams(B.expression(text), maxN))
+
   /** All unordered distinct-token pairs "a b" (a < b, binary order) — the
     * x51 co-occurrence generator as one native codegen'd pass. */
   def cooccurPairs(tokens: Column): Column =

@@ -203,6 +203,36 @@ case class GraftNgrams(child: Expression, n: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** All character 1..maxN-grams of a string, duplicates kept, in
+  * (order asc, position asc) sequence — the chrF gram generator (x155)
+  * as one codegen'd pass over precomputed codepoint offsets. A gram's
+  * order is its own character length, so the flat string array carries
+  * the full (n, g) key the HOF pyramid spells as structs. */
+case class GraftCharGrams(child: Expression, maxN: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType if maxN >= 1 => TypeCheckResult.TypeCheckSuccess
+    case StringType => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires maxN >= 1, got $maxN")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires string, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_chargrams"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.charGrams(
+      input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.charGrams($c, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftCharGrams =
+    copy(child = newChild)
+}
+
 /** All unordered distinct-token pairs as "a b" strings (binary order,
   * a < b) — the co-occurrence pair generator (x51), one codegen'd pass
   * replacing an interpreted nested-transform/flatten HOF chain. */

@@ -254,6 +254,47 @@ object HashKernels {
     java.lang.Long.valueOf(acc)
   }
 
+  /** ALL character n-grams for n = 1..maxN in (n asc, position asc)
+    * order, duplicates kept — value-equal (as a multiset; downstream is
+    * a groupBy count) to the chrF HOF pyramid
+    * `flatten(transform(sequence(1, maxN), n -> transform(..., i ->
+    * substring(t, i, n))))`. One pass computes the codepoint byte
+    * offsets, then every gram is a zero-walk `fromBytes` slice — the
+    * HOF's substring(t, i, n) re-walks the string per gram (O(len) each,
+    * O(len²·maxN) per doc) on top of the interpreted lambda dispatch. */
+  def charGrams(t: UTF8String, maxN: Int): ArrayData = {
+    val bytes = t.getBytes
+    val nb = bytes.length
+    var count = 0
+    var p = 0
+    while (p < nb) {
+      p += UTF8String.numBytesForFirstByte(bytes(p)); count += 1
+    }
+    val off = new Array[Int](count + 1)
+    p = 0
+    var ci = 0
+    while (p < nb) {
+      off(ci) = p
+      p += UTF8String.numBytesForFirstByte(bytes(p)); ci += 1
+    }
+    off(count) = nb
+    var total = 0
+    var n = 1
+    while (n <= maxN) { if (count >= n) total += count - n + 1; n += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    n = 1
+    while (n <= maxN) {
+      var i = 0
+      while (i + n <= count) {
+        out(k) = UTF8String.fromBytes(bytes, off(i), off(i + n) - off(i))
+        k += 1; i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for two SORTED, duplicate-free long arrays via a linear merge —
     * set-equal to `size(array_intersect(a, b))` but with no hash set and no
     * boxing (the near-dup verify join calls this once per candidate pair). */

@@ -83,6 +83,19 @@ object AbVariants {
     "x155_chrf__packedkeys" ->
       ((s, d) => Ext47.chrF(s, d, joinClip = true, packKeys = true)),
 
+    // x155/x161 HOF-gram controls (round 10, VERDICT #6): the catalog
+    // ADOPTED the native GraftCharGrams generator — 0.76 vs 4.82 s
+    // min-of-5 same-boot at sf0.1 (BENCH_AB_r10_chrgram.json; x161's
+    // twin decision in BENCH_AB_r10_chrgram161.json) — after the r8/r9
+    // exchange-shrink negatives proved the time was compute: the
+    // interpreted named_struct pyramid plus an O(len) substring re-walk
+    // PER GRAM. These controls keep the original HOF spelling callable;
+    // Ext47Spec/Ext49Spec pin hash-equality of the two paths.
+    "x155_chrf__hofgrams" ->
+      ((s, d) => Ext47.chrF(s, d, joinClip = true)),
+    "x161_chrf_pp__hofgrams" ->
+      ((s, d) => Ext49.chrFpp(s, d, nativeGrams = false)),
+
     // x160 rescan control (round 9): the catalog ADOPTED the persist —
     // the narrow (doc_id, s1, s2) signals frame feeds SEVEN scalar
     // jobs with the SAME projection (the x150 green-light case, unlike

@@ -86,7 +86,7 @@ object Ext47 {
     * `cap` with the truncation flags kept). The k-limb folds also need
     * `m` (reference length) and `nl` (per-pair limb count) as pair
     * columns referenced from inside the fold lambdas. */
-  private def pairedTokens(s: SparkSession, d: String,
+  private[queries] def pairedTokens(s: SparkSession, d: String,
       cap: Int): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
@@ -225,7 +225,7 @@ object Ext47 {
 
   /** Dialect hooks for the k-limb folds. Pair columns in lambda scope:
     * cw, rw, m (BIGINT ref length), nl (limb count). */
-  private final case class ADia(
+  private[queries] final case class ADia(
       lng: Long => String,
       idx: (String, String) => String,             // 1-based array access
       shl: (String, String) => String,
@@ -238,7 +238,7 @@ object Ext47 {
       stPv: String => String, stMv: String => String, stSc: String,
       pack: (String, String, String) => String)
 
-  private val SparkA: ADia = ADia(
+  private[queries] val SparkA: ADia = ADia(
     lng = v => s"${v}L",
     idx = (a, i) => s"element_at($a, CAST($i AS INT))",
     shl = (x, n) => s"shiftleft($x, $n)",
@@ -265,7 +265,7 @@ object Ext47 {
     pack = (pv2, mv2, sc2) =>
       s"named_struct('pv', $pv2, 'mv', $mv2, 'sc', $sc2)")
 
-  private val DuckA: ADia = ADia(
+  private[queries] val DuckA: ADia = ADia(
     lng = v => s"CAST($v AS BIGINT)",
     idx = (a, i) => s"$a[CAST($i AS INT)]",
     shl = (x, n) => s"($x << $n)",
@@ -293,7 +293,7 @@ object Ext47 {
 
   /** Live-bit mask for limb `i`: full 62 bits except the top limb's
     * partial m − (nl−1)·62 bits (0 bits when m = 0). */
-  private def aLive(d: ADia, i: String): String =
+  private[queries] def aLive(d: ADia, i: String): String =
     s"(CASE WHEN $i < nl THEN ${d.lng(M62)} " +
       s"ELSE ${d.shl(d.lng(1), "CAST(m - (nl-1)*62 AS INT)")} - " +
       s"${d.lng(1)} END)"
@@ -302,7 +302,7 @@ object Ext47 {
     * (limb i covers reference positions (i−1)·62+1 .. i·62). The inner
     * position guard keeps element_at in-bounds under ANSI (and inert
     * when Spark's sequence DESCENDS on an empty top range at m = 0). */
-  private val arrMasksSparkSql: String =
+  private[queries] val arrMasksSparkSql: String =
     """transform(cw, c -> transform(sequence(1, nl), mi ->
       |  aggregate(
       |    sequence(CAST((mi-1)*62 + 1 AS BIGINT),
@@ -314,7 +314,7 @@ object Ext47 {
       |             shiftleft(1L, CAST(mj - 1 - (mi-1)*62 AS INT)), 0L),
       |          0L))))""".stripMargin
 
-  private val arrMasksDuckSql: String =
+  private[queries] val arrMasksDuckSql: String =
     """list_transform(cw, c -> list_transform(range(1, nl + 1), mi ->
       |  coalesce(list_aggregate(
       |    list_transform(range((mi-1)*62 + 1, least(mi*62, m) + 1), mj ->
@@ -344,7 +344,7 @@ object Ext47 {
     * limb-to-limb, the score reads bit m−1 of the top limb. Shared
     * intermediates are LET-BOUND (computed once per step) — without
     * the bindings the expression tree blows up multiplicatively. */
-  private def arrMyersStep(d: ADia): String = {
+  private[queries] def arrMyersStep(d: ADia): String = {
     def eqI(i: String) = d.idx("mk", i)
     def at(a: String, i: String) = d.idx(a, i)
     val one = d.lng(1); val zero = d.lng(0)
@@ -381,20 +381,36 @@ object Ext47 {
                   d.pack(pv2, mv2, sc2))))))))
   }
 
-  private[graft] val arrWerFoldSparkSql: String = {
-    val init = "named_struct(" +
-      s"'pv', ${SparkA.overNl("li", aLive(SparkA, "li"))}, " +
-      s"'mv', ${SparkA.overNl("li", "0L")}, 'sc', m)"
-    SparkA.fold(arrMasksSparkSql, init, "v", "mk", arrMyersStep(SparkA))
+  /** The k-limb Myers fold over an ARBITRARY mask-stream expression
+    * (items: ARRAY of nl-limb match-mask arrays, in candidate-token
+    * order), returning the full state. Factored in round 10 so x170's
+    * TER can fold over a BLOCK-MOVED mask stream — the masks depend
+    * only on (token, reference), so a shift just permutes them and the
+    * same fold scores the shifted hypothesis without recomputing a
+    * single mask. */
+  private[queries] def arrWerFoldOver(d: ADia, items: String): String = {
+    val init =
+      if (d eq SparkA)
+        "named_struct(" +
+          s"'pv', ${d.overNl("li", aLive(d, "li"))}, " +
+          s"'mv', ${d.overNl("li", "0L")}, 'sc', m)"
+      else
+        "list_concat(" +
+          s"${d.overNl("li", aLive(d, "li"))}, list_concat(" +
+          s"${d.overNl("li", "CAST(0 AS BIGINT)")}, [m]))"
+    d.fold(items, init, "v", "mk", arrMyersStep(d))
   }
 
-  private val arrWerFoldDuckSql: String = {
-    val init = "list_concat(" +
-      s"${DuckA.overNl("li", aLive(DuckA, "li"))}, list_concat(" +
-      s"${DuckA.overNl("li", "CAST(0 AS BIGINT)")}, [m]))"
-    s"(${DuckA.fold(arrMasksDuckSql, init, "v", "mk", arrMyersStep(DuckA))})" +
-      "[CAST(2*nl + 1 AS INT)]"
-  }
+  /** Final edit-distance scalar from the fold state. */
+  private[queries] def arrWerSc(d: ADia, foldExpr: String): String =
+    if (d eq SparkA) s"($foldExpr).sc"
+    else s"($foldExpr)[CAST(2*nl + 1 AS INT)]"
+
+  private[graft] val arrWerFoldSparkSql: String =
+    arrWerFoldOver(SparkA, arrMasksSparkSql)
+
+  private val arrWerFoldDuckSql: String =
+    arrWerSc(DuckA, arrWerFoldOver(DuckA, arrMasksDuckSql))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -424,7 +440,11 @@ object Ext47 {
     // of two lighter ones, while the SMJ clip it was meant to save is
     // cheap on the already-shuffled sides. Shuffle COUNT is not shuffle
     // COST — volume × width is.
-    "x155_chrf" -> ((s, d) => chrF(s, d, joinClip = true)),
+    // nativeGrams ADOPTED round 10: 0.76 vs 4.82 s min-of-5 same-boot
+    // at sf0.1 (BENCH_AB_r10_chrgram.json) — after two exchange-shrink
+    // negatives, the time was the interpreted gram pyramid itself.
+    "x155_chrf" -> ((s, d) => chrF(s, d, joinClip = true,
+      nativeGrams = true)),
 
     // X156 WER — word error rate (the ASR/generation eval): per pair,
     // Levenshtein distance between candidate and reference token
@@ -527,7 +547,12 @@ object Ext47 {
     * join form's cand-side row domain; Ext47Spec pins the packed
     * equality). */
   private[graft] def chrF(s: SparkSession, d: String,
-      joinClip: Boolean, packKeys: Boolean = false): DataFrame = {
+      joinClip: Boolean, packKeys: Boolean = false,
+      nativeGrams: Boolean = false): DataFrame = {
+    require(!(packKeys && nativeGrams),
+      "packKeys and nativeGrams are mutually exclusive gram paths")
+    require(!nativeGrams || joinClip,
+      "nativeGrams is wired into the catalog (joinClip) shape only")
     // Round-10 guard (ADVICE r9): the packed 8-bit-per-char keys alias
     // DISTINCT grams whenever any codepoint exceeds 255, so off an
     // ASCII corpus the variant would emit silently-wrong A/B outputs.
@@ -585,14 +610,26 @@ object Ext47 {
             sum(col("c_r")).as("total_ref"))
           .filter(col("total_cand") > 0L)
       } else {
-        val cc = pairs.select(col("pair_id"), col("source"), grams("ct").as("x"))
-          .groupBy(col("pair_id"), col("source"),
-            col("x.n").cast("long").as("n"), col("x.g").as("g"))
-          .agg(count(lit(1)).as("c_c"))
-        val rc = pairs.select(col("pair_id"), col("source"), grams("rt").as("x"))
-          .groupBy(col("pair_id"), col("source"),
-            col("x.n").cast("long").as("n"), col("x.g").as("g"))
-          .agg(count(lit(1)).as("c_r"))
+        // A gram's order IS its character length, so the native path
+        // carries the (n, g) key as a flat string array — no structs,
+        // no interpreted HOF pyramid, no per-gram substring re-walk
+        // (GraftCharGrams; the graft_shingles3 precedent, VERDICT r9 #6).
+        def gramCounts(tcol: String, cname: String): DataFrame = {
+          val keyed =
+            if (nativeGrams)
+              pairs.select(col("pair_id"), col("source"),
+                  explode(TextOps.charGrams(col(tcol), 6)).as("g"))
+                .select(col("pair_id"), col("source"),
+                  length(col("g")).cast("long").as("n"), col("g"))
+            else
+              pairs.select(col("pair_id"), col("source"), grams(tcol).as("x"))
+                .select(col("pair_id"), col("source"),
+                  col("x.n").cast("long").as("n"), col("x.g").as("g"))
+          keyed.groupBy(col("pair_id"), col("source"), col("n"), col("g"))
+            .agg(count(lit(1)).as(cname))
+        }
+        val cc = gramCounts("ct", "c_c")
+        val rc = gramCounts("rt", "c_r")
         val cl = cc.join(rc.drop("source"), Seq("pair_id", "n", "g"))
           .groupBy(col("source"), col("n"))
           .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"))

@@ -155,19 +155,20 @@ object Ext49 {
           "denom_isqrt", "tau_b_ppm")
   }
 
-  private val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
-
-    // X161 chrF++ (Popović 2017): x155's character 1..6-gram F2 plus
-    // WORD 1..2-gram F2, rolled into the single headline score — the
-    // form MT evals actually report. Word n-grams are keyed as orders
-    // 7..8 so ONE (pair, order, gram) clip pipeline serves both kinds
-    // (x155's join-clip shape — the single-pass union variant was
-    // measured 2× slower, BENCH_AB_r08_x155; per-gram multiplicity ~1).
-    // Per-(source, order) F2 is micro-averaged (the x155 family
-    // convention; sacreBLEU's per-segment macro differs — documented),
-    // and chrf_pp_ppm = Σ F2 div 8 with ABSENT orders counting 0 (the
-    // fixed-8 divisor convention; surfaced via n_orders_present).
-    "x161_chrf_pp" -> ((s, d) => {
+  /** x161 chrF++ body, shared by the catalog entry and the __hofgrams
+    * AbVariant (the one-helper-not-copies rule). nativeGrams (ADOPTED
+    * round 10, BENCH_AB_r10_chrgram.json's 6.3× x155 win applied to the
+    * same pyramid here) swaps the interpreted named_struct HOF for ONE
+    * codegen'd GraftCharGrams pass plus the (cheap, ~3 items/doc·order)
+    * word-gram HOF. Flat string keys stay injective across kinds: char
+    * grams come from space-stripped text so they NEVER contain ' ', and
+    * word grams are prefixed with ' ' — order = length for char grams,
+    * 5 + split-arity for word grams. The (n, g) group keys differ from
+    * the struct form only by that bijective re-spelling on BOTH the
+    * cand and ref legs, so every count, clip and output row is
+    * identical (Ext49Spec pins equality). */
+  private[graft] def chrFpp(s: SparkSession, d: String,
+      nativeGrams: Boolean): DataFrame = {
       val docs = documents(s, d).select(
         col("doc_id"), col("source"),
         expr("replace(text, ' ', '')").as("t"),
@@ -193,24 +194,41 @@ object Ext49 {
            |        i -> named_struct('n', k + 6,
            |          'g', array_join(slice($wv, i, k), ' '))),
            |      1, greatest(size($wv) - k + 1, 0)))))""".stripMargin))
-      val cc = pairs
-        .select(col("pair_id"), col("source"), grams("ct", "cwv").as("x"))
-        .groupBy(col("pair_id"), col("source"),
-          col("x.n").cast("long").as("n"), col("x.g").as("g"))
-        .agg(count(lit(1)).as("c_c"))
-      val rc = pairs
-        .select(col("pair_id"), col("source"), grams("rt", "rwv").as("x"))
-        .groupBy(col("pair_id"), col("source"),
-          col("x.n").cast("long").as("n"), col("x.g").as("g"))
-        .agg(count(lit(1)).as("c_r"))
+      def wordGramsPrefixed(wv: String): Column = expr(
+        s"""flatten(transform(sequence(1, 2), k ->
+           |  slice(
+           |    transform(sequence(1, greatest(size($wv) - k + 1, 1)),
+           |      i -> concat(' ', array_join(slice($wv, i, k), ' '))),
+           |    1, greatest(size($wv) - k + 1, 0))))""".stripMargin)
+      def counted(tc: String, wv: String, cname: String): DataFrame = {
+        val keyed =
+          if (nativeGrams)
+            pairs.select(col("pair_id"), col("source"),
+                explode(concat(graft.ext.TextOps.charGrams(col(tc), 6),
+                  wordGramsPrefixed(wv))).as("g"))
+              .select(col("pair_id"), col("source"),
+                expr("""CASE WHEN substring(g, 1, 1) = ' '
+                        THEN 5L + CAST(size(split(g, ' ')) AS BIGINT)
+                        ELSE CAST(length(g) AS BIGINT) END""").as("n"),
+                col("g"))
+          else
+            pairs.select(col("pair_id"), col("source"),
+                grams(tc, wv).as("x"))
+              .select(col("pair_id"), col("source"),
+                col("x.n").cast("long").as("n"), col("x.g").as("g"))
+        keyed.groupBy(col("pair_id"), col("source"), col("n"), col("g"))
+          .agg(count(lit(1)).as(cname))
+      }
+      val cc = counted("ct", "cwv", "c_c")
+      val rc = counted("rt", "rwv", "c_r")
       val cl = cc.join(rc.drop("source"), Seq("pair_id", "n", "g"))
         .groupBy(col("source"), col("n"))
         .agg(sum(least(col("c_c"), col("c_r"))).as("clipped"))
-      val tc = cc.groupBy(col("source"), col("n"))
+      val tc2 = cc.groupBy(col("source"), col("n"))
         .agg(sum(col("c_c")).as("total_cand"))
       val tr = rc.groupBy(col("source"), col("n"))
         .agg(sum(col("c_r")).as("total_ref"))
-      tc.join(cl, Seq("source", "n"), "left")
+      tc2.join(cl, Seq("source", "n"), "left")
         .join(tr, Seq("source", "n"), "left")
         .select(col("source"), col("n"),
           expr("coalesce(clipped, 0L) * 1000000L" +
@@ -230,7 +248,21 @@ object Ext49 {
           col("f2_char_sum"), col("f2_word_sum"),
           expr("(f2_char_sum + f2_word_sum) div 8L").as("chrf_pp_ppm"))
         .orderBy(col("source"))
-    }),
+  }
+
+  private val queries2: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // X161 chrF++ (Popović 2017): x155's character 1..6-gram F2 plus
+    // WORD 1..2-gram F2, rolled into the single headline score — the
+    // form MT evals actually report. Word n-grams are keyed as orders
+    // 7..8 so ONE (pair, order, gram) clip pipeline serves both kinds
+    // (x155's join-clip shape — the single-pass union variant was
+    // measured 2× slower, BENCH_AB_r08_x155; per-gram multiplicity ~1).
+    // Per-(source, order) F2 is micro-averaged (the x155 family
+    // convention; sacreBLEU's per-segment macro differs — documented),
+    // and chrf_pp_ppm = Σ F2 div 8 with ABSENT orders counting 0 (the
+    // fixed-8 divisor convention; surfaced via n_orders_present).
+    "x161_chrf_pp" -> ((s, d) => chrFpp(s, d, nativeGrams = true)),
 
     // X162 HEAPS-LAW VOCABULARY GROWTH: exact prefix-distinct
     // vocabulary at 10 doc-rank checkpoints — the corpus-curation

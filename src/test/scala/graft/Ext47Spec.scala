@@ -317,6 +317,32 @@ class Ext47Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x155 catalog native grams (GraftCharGrams, adopted r10) equal " +
+    "the original HOF pyramid row for row on sf0.001, and on a planted " +
+    "multibyte corpus (codepoint slicing, not byte slicing)") {
+    val native = SparkEntry.queries("x155_chrf")(spark, sf).collect()
+      .map(_.toSeq).toSeq
+    val hof = graft.queries.Ext47
+      .chrF(spark, sf, joinClip = true).collect()
+      .map(_.toSeq).toSeq
+    assert(native == hof)
+    // multibyte: 2-byte (ā), 3-byte (€) and 4-byte (𝄞) codepoints — a
+    // byte-sliced gram would split sequences and never match the HOF
+    import spark.implicits._
+    val dir = TestSpark.scratchDir("x155native")
+    Seq((0L, "ā€𝄞ab", "m"), (1L, "ab ā€𝄞", "m"),
+        (2L, "", "m"), (3L, "xyā", "m"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val native2 = SparkEntry.queries("x155_chrf")(spark, dir).collect()
+      .map(_.toSeq).toSeq
+    val hof2 = graft.queries.Ext47
+      .chrF(spark, dir, joinClip = true).collect()
+      .map(_.toSeq).toSeq
+    assert(native2 == hof2 && hof2.nonEmpty)
+    GraftCaches.releasePrior()
+  }
+
   test("x155 packed-key variant FAILS LOUDLY off an ASCII corpus " +
     "(round-10 guard): a codepoint past 255 would alias distinct grams, " +
     "so the variant raises instead of emitting silently-wrong outputs") {

@@ -76,6 +76,31 @@ class Ext49ChrfSpec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x161 catalog native grams (adopted r10) equal the HOF-struct " +
+    "spelling row for row on sf0.001 and on a planted multibyte / " +
+    "empty-token corpus — the space-prefix flat key is injective " +
+    "across gram kinds (char grams never contain ' ')") {
+    def hof(dir: String) = graft.queries.Ext49
+      .chrFpp(spark, dir, nativeGrams = false).collect().map(_.toSeq).toSeq
+    def native(dir: String) =
+      SparkEntry.queries("x161_chrf_pp")(spark, dir).collect()
+        .map(_.toSeq).toSeq
+    assert(native(sf) == hof(sf))
+    import spark.implicits._
+    // the collision trap: token "abc" (word 1-gram, order 7) vs char
+    // 3-gram "abc" (order 3) — plus multibyte codepoints and the
+    // empty/double-space token edge (split keeps interior empties)
+    val docs = Seq(
+      (0L, "abc abc", "m"), (1L, "abcabc", "m"),
+      (2L, "ā€𝄞 ab", "u"), (3L, "ab ā€𝄞", "u"),
+      (4L, "a  b", "e"), (5L, "a b", "e"))
+    val dir = TestSpark.scratchDir("x161native")
+    docs.map(d => (d._1, d._2, d._3)).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    assert(native(dir) == hof(dir) && hof(dir).nonEmpty)
+    GraftCaches.releasePrior()
+  }
+
   test("x161 planted: edge conventions — empty reference (one empty " +
     "token), single-token docs with no word bigram, identical pair " +
     "scoring 8/8 orders at 1e6, and the fixed-8 divisor over absent " +
