@@ -303,7 +303,12 @@ object Ext3 {
         |SELECT tok, est, exact_n FROM est
         |ORDER BY est DESC, tok LIMIT 20""".stripMargin,
 
-    "x31_canonical_pick" -> {
+    // matCtes (round 10): the bands/f/pairs CTEs are each referenced
+    // twice — unpinned, DuckDB re-inlines the whole 48-column simhash
+    // replay into every reference (1.75 s → 0.10 s at sf0.01, rows
+    // identical in the full base-vs-mat profile; MATERIALIZED is valid
+    // on the WITH RECURSIVE chain too).
+    "x31_canonical_pick" -> Ext43.matCtes {
       // same generated 48-bit simhash replay as x22, extended with the
       // recursive component labeling (x17's oracle shape) and the quality
       // argmax pick

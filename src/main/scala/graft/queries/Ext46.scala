@@ -390,7 +390,10 @@ object Ext46 {
         |ORDER BY q.q_id""".stripMargin
     },
 
-    "x151_bradley_terry" -> {
+    // matCtes (round 10): each MM round joins r{k-1} TWICE (ri/rj) —
+    // unpinned, the three chained rounds re-inline ~2^3× (1.06 s →
+    // 0.04 s at sf0.01, rows identical in the full profile).
+    "x151_bradley_terry" -> Ext43.matCtes {
       // one MM round: denominator join + rating update
       def round(k: Int): String = {
         val prev = s"r${k - 1}"
