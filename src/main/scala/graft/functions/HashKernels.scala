@@ -265,17 +265,13 @@ object HashKernels {
   def charGrams(t: UTF8String, maxN: Int): ArrayData = {
     val bytes = t.getBytes
     val nb = bytes.length
+    // one UTF-8 walk; nb + 1 is an upper bound on codepoint starts
+    val off = new Array[Int](nb + 1)
     var count = 0
     var p = 0
     while (p < nb) {
+      off(count) = p
       p += UTF8String.numBytesForFirstByte(bytes(p)); count += 1
-    }
-    val off = new Array[Int](count + 1)
-    p = 0
-    var ci = 0
-    while (p < nb) {
-      off(ci) = p
-      p += UTF8String.numBytesForFirstByte(bytes(p)); ci += 1
     }
     off(count) = nb
     var total = 0

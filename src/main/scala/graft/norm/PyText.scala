@@ -171,8 +171,9 @@ object PyText {
     if (s == null) return true
     // Whitespace is validated on the RAW string with the Python isspace
     // set, which is a superset of both Java's (?U)\s and
-    // Character.isWhitespace (it adds \x1c-\x1f and U+0085 NEL, which
-    // Java isWhitespace misses): any whitespace besides plain ' '
+    // Character.isWhitespace (beyond Character.isWhitespace it adds
+    // U+0085 NEL and the non-breaking Zs spaces U+00A0/U+2007/U+202F;
+    // \x1c-\x1f are in BOTH sets): any whitespace besides plain ' '
     // voids parity — pyStrip/collapseWs remove or fold it while the
     // oracle's trim() + bare regex do not, whether it sits at the
     // edges (trim keeps it) or interior (collapseWs rewrites it).

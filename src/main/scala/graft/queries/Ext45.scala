@@ -243,22 +243,24 @@ object Ext45 {
     * mid from the previous state, e_k asks "does any span of length mid
     * repeat" (DuckDB range(1, n−mid+2) is empty when the doc is shorter
     * than mid, and list slices clamp — no guards needed), st_k folds the
-    * answer back into (lo, hi). Every CTE is MATERIALIZED: each round
-    * references its predecessor more than once, and DuckDB 1.0 re-inlines
-    * unmaterialized CTEs at every reference — the chain re-expands
-    * ~2^rounds times (the round-10 finding: 129 s → 0.15 s at sf0.01 for
-    * x148, 166 s → 0.24 s for x166, identical rows). */
+    * answer back into (lo, hi). The x148/x166 oracles are wrapped in
+    * [[Ext43.matCtes]], which pins EVERY CTE here AS MATERIALIZED: each
+    * round references its predecessor more than once, and DuckDB 1.0
+    * re-inlines unmaterialized CTEs at every reference — the chain
+    * re-expands ~2^rounds times (the round-10 finding: 129 s → 0.15 s at
+    * sf0.01 for x148, 166 s → 0.24 s for x166, identical rows; one
+    * mechanism for all materialized oracles, review-driven). */
   private def spanRoundCtes(rounds: Int,
       cExpr: String = "count(*)"): String =
     (1 to rounds).map { k =>
-      s"""m$k AS MATERIALIZED (SELECT lo, hi, (lo + hi + 1) // 2 AS mid FROM st${k - 1}),
-         |e$k AS MATERIALIZED (SELECT coalesce(max(c), 0) >= 2 AS ex FROM (
+      s"""m$k AS (SELECT lo, hi, (lo + hi + 1) // 2 AS mid FROM st${k - 1}),
+         |e$k AS (SELECT coalesce(max(c), 0) >= 2 AS ex FROM (
          |    SELECT $cExpr AS c FROM t CROSS JOIN m$k,
          |      unnest(range(1, len(w) - CAST(mid AS INT) + 2)) AS u(p)
          |    WHERE mid >= 1
          |    GROUP BY md5(array_to_string(
          |      w[CAST(p AS INT):CAST(p + mid - 1 AS INT)], ' '))) q),
-         |st$k AS MATERIALIZED (SELECT CASE WHEN e$k.ex THEN m$k.mid ELSE m$k.lo END AS lo,
+         |st$k AS (SELECT CASE WHEN e$k.ex THEN m$k.mid ELSE m$k.lo END AS lo,
          |    CASE WHEN e$k.ex THEN m$k.hi ELSE m$k.mid - 1 END AS hi
          |  FROM m$k CROSS JOIN e$k)""".stripMargin
     }.mkString(",\n")
@@ -339,10 +341,10 @@ object Ext45 {
         |FROM k""".stripMargin
     },
 
-    "x148_longest_repeat" ->
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w
+    "x148_longest_repeat" -> Ext43.matCtes(
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w
         |    FROM documents),
-        |st0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS lo,
+        |st0 AS (SELECT CAST(0 AS BIGINT) AS lo,
         |  CAST(least(coalesce(max(len(w)), 0), $SpanCap) AS BIGINT) AS hi
         |  FROM t),
         |${spanRoundCtes(SpanRounds)},
@@ -356,12 +358,12 @@ object Ext45 {
         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
         |  (SELECT lo FROM st$SpanRounds) = $SpanCap AS capped
         |FROM f0 GROUP BY h HAVING count(*) >= 2
-        |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin,
+        |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin),
 
-    "x166_cross_source_span" ->
-      s"""WITH t AS MATERIALIZED (SELECT doc_id, source, string_split(text, ' ') AS w
+    "x166_cross_source_span" -> Ext43.matCtes(
+      s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
         |    FROM documents),
-        |st0 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS lo,
+        |st0 AS (SELECT CAST(0 AS BIGINT) AS lo,
         |  CAST(least(coalesce(max(len(w)), 0), $SpanCap) AS BIGINT) AS hi
         |  FROM t),
         |${spanRoundCtes(SpanRounds, "count(DISTINCT source)")},
@@ -376,5 +378,5 @@ object Ext45 {
         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
         |  (SELECT lo FROM st$SpanRounds) = $SpanCap AS capped
         |FROM f0 GROUP BY h HAVING count(DISTINCT source) >= 2
-        |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin)
+        |ORDER BY n_occ DESC, span_hash LIMIT 5""".stripMargin))
 }
