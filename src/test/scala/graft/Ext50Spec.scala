@@ -186,6 +186,42 @@ class Ext50Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x170 seeded scramble property: engine equals the replay on a " +
+    "dense-transposition corpus (8-token vocab => many equal grams, " +
+    "candidate caps and packed tie-breaks under real pressure)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(170)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    val docs = (0 until 24).flatMap { p =>
+      val n = 12 + rnd.nextInt(30)
+      val ref = IndexedSeq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      // hyp = ref with 1..4 random block moves and 0..2 substitutions
+      var hyp = ref
+      for (_ <- 0 until 1 + rnd.nextInt(4)) {
+        val l = 1 + rnd.nextInt(math.min(4, hyp.length))
+        val i = 1 + rnd.nextInt(hyp.length - l + 1)
+        val j = 1 + rnd.nextInt(hyp.length - l + 1)
+        if (i != j) hyp = move(hyp, i, l, j)
+      }
+      for (_ <- 0 until rnd.nextInt(3)) {
+        val k = rnd.nextInt(hyp.length)
+        hyp = hyp.updated(k, vocab(rnd.nextInt(vocab.size)))
+      }
+      val src = s"s${p % 5}"
+      Seq((2L * p, src, ref.mkString(" ")), (2L * p + 1, src, hyp.mkString(" ")))
+    }
+    val dir = TestSpark.scratchDir("x170prop")
+    docs.map(d => (d._1, d._2, d._3)).toDF("doc_id", "source", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = runEngine(dir)
+    val want = aggRows(docs)
+    assert(got == want)
+    // the corpus must actually stress the machinery
+    assert(got.map(_._3).sum > 10L, s"too few shifts: $got")
+    assert(got.map(_._8).sum > 0L, s"no cand-capped pair: $got")
+    GraftCaches.releasePrior()
+  }
+
   test("x170 packed-key headroom: the caps keep every field inside " +
     "its bit window (i, j < 2^12; lv < 2^4; sc < 2^11 at the token " +
     "cap), so BIGINT min IS the documented tie-break") {
