@@ -94,7 +94,8 @@ object SparkEntry {
       graft.queries.Ext47.queries ++
       graft.queries.Ext48.queries ++
       graft.queries.Ext49.queries ++
-      graft.queries.Ext50.queries
+      graft.queries.Ext50.queries ++
+      graft.queries.Ext51.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -151,5 +152,6 @@ object SparkEntry {
       graft.queries.Ext47.oracleSql ++
       graft.queries.Ext48.oracleSql ++
       graft.queries.Ext49.oracleSql ++
-      graft.queries.Ext50.oracleSql
+      graft.queries.Ext50.oracleSql ++
+      graft.queries.Ext51.oracleSql
 }

@@ -79,6 +79,21 @@ object TextOps {
   def charGrams(text: Column, maxN: Int): Column =
     B.column(graft.functions.GraftCharGrams(B.expression(text), maxN))
 
+  /** All word 1..maxN-grams with multiplicity as one native codegen'd
+    * pass, each gram prefixed with its order digit (the BLEU-family
+    * generator — x152/x171); decode with [[gramOrder]]/[[gramKey]]. */
+  def wordGramsAll(w: Column, maxN: Int): Column =
+    B.column(graft.functions.GraftWordGrams(B.expression(w), maxN))
+
+  /** The order n of one exploded [[wordGramsAll]] gram (its prefix
+    * digit). */
+  def gramOrder(pg: Column): Column = (ascii(pg) - 48).cast("long")
+
+  /** The md5 join key of one exploded [[wordGramsAll]] gram — equal to
+    * the HOF pyramid's md5(array_join(slice(w, i, n), ' ')). */
+  def gramKey(pg: Column): Column =
+    md5(substring(pg, 2, Int.MaxValue).cast("binary"))
+
   /** All unordered distinct-token pairs "a b" (a < b, binary order) — the
     * x51 co-occurrence generator as one native codegen'd pass. */
   def cooccurPairs(tokens: Column): Column =

@@ -361,3 +361,33 @@ case class SortedIntersectCard(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): SortedIntersectCard =
     copy(left = newLeft, right = newRight)
 }
+
+/** All word 1..maxN-grams with multiplicity as one codegen'd pass, each
+  * gram prefix-coded with its order digit (see HashKernels.wordGramsAll)
+  * — the BLEU-family word-gram generator (x152/x171), replacing the
+  * interpreted named_struct HOF pyramid. */
+case class GraftWordGrams(child: Expression, maxN: Int)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if maxN >= 1 && maxN <= 9 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires 1 <= maxN <= 9 (single prefix digit), got $maxN")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string>, got ${other.sql}")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_wordgrams"
+
+  override def nullSafeEval(input: Any): Any =
+    HashKernels.wordGramsAll(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], maxN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.wordGramsAll($c, $maxN)")
+
+  override protected def withNewChildInternal(newChild: Expression): GraftWordGrams =
+    copy(child = newChild)
+}

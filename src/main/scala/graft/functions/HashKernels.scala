@@ -291,6 +291,53 @@ object HashKernels {
     new GenericArrayData(out)
   }
 
+  /** ALL word n-grams for n = 1..maxN in (n asc, position asc) order,
+    * duplicates kept, each emitted as ONE flat string: a leading order
+    * digit ('0'+n) followed by the space-joined tokens — value-equal (as
+    * a multiset, after stripping the digit) to the BLEU HOF pyramid
+    * `flatten(transform(sequence(1, maxN), n -> transform(..., i ->
+    * array_join(slice(w, i, n), ' '))))`. The digit makes the gram's
+    * order recoverable as `ascii(g) - 48` and the md5 key as
+    * `md5(substring(g, 2))` — two codegen'd ops — while the HOF pays a
+    * named_struct per gram plus interpreted lambda dispatch per
+    * position (the GraftCharGrams finding, word-gram edition). Token
+    * bytes are fetched once; each gram is one exact-size byte
+    * assembly. Tokens must be non-null (split() output). */
+  def wordGramsAll(w: ArrayData, maxN: Int): ArrayData = {
+    val count = w.numElements()
+    val toks = new Array[Array[Byte]](count)
+    var i = 0
+    while (i < count) { toks(i) = w.getUTF8String(i).getBytes; i += 1 }
+    var total = 0
+    var n = 1
+    while (n <= maxN) { if (count >= n) total += count - n + 1; n += 1 }
+    val out = new Array[Any](total)
+    var k = 0
+    n = 1
+    while (n <= maxN) {
+      i = 0
+      while (i + n <= count) {
+        var len = n // prefix digit + (n - 1) separator spaces
+        var j = 0
+        while (j < n) { len += toks(i + j).length; j += 1 }
+        val b = new Array[Byte](len)
+        b(0) = ('0' + n).toByte
+        var p = 1
+        j = 0
+        while (j < n) {
+          if (j > 0) { b(p) = ' '; p += 1 }
+          val t = toks(i + j)
+          System.arraycopy(t, 0, b, p, t.length); p += t.length
+          j += 1
+        }
+        out(k) = UTF8String.fromBytes(b)
+        k += 1; i += 1
+      }
+      n += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** |a ∩ b| for two SORTED, duplicate-free long arrays via a linear merge —
     * set-equal to `size(array_intersect(a, b))` but with no hash set and no
     * boxing (the near-dup verify join calls this once per candidate pair). */

@@ -96,6 +96,17 @@ object AbVariants {
     "x161_chrf_pp__hofgrams" ->
       ((s, d) => Ext49.chrFpp(s, d, nativeGrams = false)),
 
+    // x152/x171 HOF word-gram controls (round 10, late): the catalog
+    // ADOPTED the native GraftWordGrams generator — the chrF finding's
+    // word-gram edition (prefix-digit flat strings replace the
+    // interpreted named_struct pyramid; order = ascii(g)-48, key =
+    // md5(substring(g, 2))). BENCH_AB_r10_wordgram.json records the
+    // same-boot decision; Ext46/Ext51 specs pin path equality.
+    "x152_bleu_precision__hofgrams" ->
+      ((s, d) => Ext46.bleuPrecision(s, d, nativeGrams = false)),
+    "x171_self_bleu__hofgrams" ->
+      ((s, d) => Ext51.selfBleu(s, d, nativeGrams = false)),
+
     // x160 rescan control (round 9): the catalog ADOPTED the persist —
     // the narrow (doc_id, s1, s2) signals frame feeds SEVEN scalar
     // jobs with the SAME projection (the x150 green-light case, unlike

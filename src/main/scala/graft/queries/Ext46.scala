@@ -216,7 +216,8 @@ object Ext46 {
     * frame, and at corpus scale a 2-sided text frame does not belong
     * in executor memory anyway. */
   private[graft] def bleuPrecision(s: SparkSession, d: String,
-      persistPairs: Boolean = false): DataFrame = {
+      persistPairs: Boolean = false,
+      nativeGrams: Boolean = true): DataFrame = {
       val docs = documents(s, d)
         .select(col("doc_id"), col("source"), TextOps.words(col("text")).as("w"))
       val cand = docs.filter(col("doc_id") % 2 === 1)
@@ -229,6 +230,9 @@ object Ext46 {
       // position 0 into the 1-based slice) — so generate over a floor of
       // 1 and slice the result back to the true position count, which is
       // empty when the doc has fewer than n tokens.
+      // HOF pyramid — the __hofgrams control; the catalog path is the
+      // native wordGramsAll generator (GraftCharGrams adoption, word
+      // edition — see AbVariants for the A/B record)
       def grams(wc: String): Column =
         explode(expr(
           s"""flatten(transform(sequence(1, 4), n ->
@@ -237,15 +241,21 @@ object Ext46 {
              |      named_struct('n', n, 'g',
              |        md5(array_join(slice($wc, i, n), ' ')))),
              |    1, greatest(size($wc) - n + 1, 0))))""".stripMargin))
-      val cc = pairs
-        .select(col("pair_id"), col("source"), grams("w").as("x"))
-        .groupBy(col("pair_id"), col("source"), col("x.n").cast("long").as("n"),
-          col("x.g").as("g"))
+      def gramRows(wc: String, keep: Column*): DataFrame =
+        if (nativeGrams)
+          pairs.select(keep :+
+            explode(TextOps.wordGramsAll(col(wc), 4)).as("pg"): _*)
+            .select(keep :+ TextOps.gramOrder(col("pg")).as("n") :+
+              TextOps.gramKey(col("pg")).as("g"): _*)
+        else
+          pairs.select(keep :+ grams(wc).as("x"): _*)
+            .select(keep :+ col("x.n").cast("long").as("n") :+
+              col("x.g").as("g"): _*)
+      val cc = gramRows("w", col("pair_id"), col("source"))
+        .groupBy(col("pair_id"), col("source"), col("n"), col("g"))
         .agg(count(lit(1)).as("c_c"))
-      val rc = pairs
-        .select(col("pair_id"), grams("rw").as("x"))
-        .groupBy(col("pair_id"), col("x.n").cast("long").as("n"),
-          col("x.g").as("g"))
+      val rc = gramRows("rw", col("pair_id"))
+        .groupBy(col("pair_id"), col("n"), col("g"))
         .agg(count(lit(1)).as("c_r"))
       val clipped = cc.join(rc, Seq("pair_id", "n", "g"))
         .groupBy(col("source"), col("n"))

@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ext.TextOps
+import graft.tables.Tables.documents
+
+/** Round-10 over-delivery: x171 Self-BLEU (Zhu et al. 2018, Texygen) —
+  * the standard GENERATION-DIVERSITY statistic: every document scored
+  * as a BLEU candidate against OTHER documents of its own source; high
+  * clipped-precision means the corpus repeats itself (mode collapse /
+  * template spam), low means diverse. Complements x127 distinct-n
+  * (distinct-n sees only the global gram set; Self-BLEU sees
+  * per-document overlap mass) and reuses x152's clipped-precision
+  * core (Papineni 2002 multiset clipping) with MULTI-reference
+  * clipping: cap(g) = max over reference docs of count_ref(g).
+  *
+  * Classic Self-BLEU references every OTHER document — an all-pairs
+  * O(n²) that cannot survive corpus scale. The scale-sane spelling
+  * here fixes a deterministic hash-sample of [[SelfBleuRefs]]
+  * reference docs per source (order by md5(doc_id): seedless,
+  * partition-stable, the x19 hash-sample discipline) and scores EVERY
+  * document against that panel, with EXACT self-exclusion: per
+  * (source, n, gram) the reference index keeps (m1 = max ref count,
+  * d1 = the doc achieving it, m2 = runner-up count); a candidate that
+  * IS the argmax clips against m2, anyone else against m1 — ties make
+  * m2 = m1, so a tied argmax still clips full, exactly "max over
+  * references excluding myself". A sampled-reference Self-BLEU is the
+  * standard estimator at corpus scale (Texygen itself subsamples);
+  * the panel size is a documented constant, not a silent cap.
+  *
+  * Scale shape: the corpus side is one n-gram explode + one
+  * (doc-local) count groupBy — partial-aggregable, no corpus-keyed
+  * exchange wider than the gram count. The reference index is bounded
+  * by |sources| × R docs of grams, built with one window over that
+  * bounded frame and BROADCAST into the probe join, so the corpus
+  * never shuffles on gram keys. Rollup is |sources| × 4 rows. (If
+  * |sources| were unbounded — per-domain sources — drop the broadcast
+  * hint and the same plan runs as a shuffle join; the hint matches
+  * this catalog's bounded source domain.)
+  */
+object Ext51 {
+
+  /** Reference-panel size per source (Texygen subsamples similarly;
+    * surfaced in the output as ref_docs so a reader sees the panel,
+    * never a silent cap). */
+  val SelfBleuRefs = 8
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x171_self_bleu" -> ((s, d) => selfBleu(s, d))
+  )
+
+  /** Word n-grams n = 1..4 as (n, md5(space-joined tokens)) structs —
+    * x152's HOF spelling (tokens come from split(text, ' ') so the
+    * join is injective per n; Spark's sequence(1, stop) DESCENDS when
+    * stop < 1, hence the floor-and-slice). Kept as the __hofgrams
+    * control; the catalog path is the native [[TextOps.wordGramsAll]]
+    * generator (the GraftCharGrams adoption, word-gram edition). */
+  private def grams(wc: String): Column =
+    explode(expr(
+      s"""flatten(transform(sequence(1, 4), n ->
+         |  slice(
+         |    transform(sequence(1, greatest(size($wc) - n + 1, 1)), i ->
+         |      named_struct('n', n, 'g',
+         |        md5(array_join(slice($wc, i, n), ' ')))),
+         |    1, greatest(size($wc) - n + 1, 0))))""".stripMargin))
+
+  /** (keep..., n, g) gram rows over a frame with a `w` token column —
+    * one row per gram occurrence, native or HOF generator. */
+  private def gramRows(df: DataFrame, native: Boolean,
+      keep: Column*): DataFrame =
+    if (native)
+      df.select(keep :+
+        explode(graft.ext.TextOps.wordGramsAll(col("w"), 4)).as("pg"): _*)
+        .select(keep :+ graft.ext.TextOps.gramOrder(col("pg")).as("n") :+
+          graft.ext.TextOps.gramKey(col("pg")).as("g"): _*)
+    else
+      df.select(keep :+ grams("w").as("x"): _*)
+        .select(keep :+ col("x.n").cast("long").as("n") :+
+          col("x.g").as("g"): _*)
+
+  private[graft] def selfBleu(s: SparkSession, dir: String,
+      nativeGrams: Boolean = true): DataFrame = {
+    val d = documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        TextOps.words(col("text")).as("w"))
+    // deterministic R-doc reference panel per source
+    val rk = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id")))
+    val refs = d.withColumn("rk", rk)
+      .filter(col("rk") <= SelfBleuRefs)
+      .select(col("doc_id").as("ref_doc"), col("source"), col("w"))
+    // reference gram counts, then (m1, d1, m2) per (source, n, gram):
+    // the window runs on the panel-bounded frame, never the corpus
+    val rc = gramRows(refs, nativeGrams, col("source"), col("ref_doc"))
+      .groupBy(col("source"), col("ref_doc"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c_r"))
+    val rn = row_number().over(
+      Window.partitionBy(col("source"), col("n"), col("g"))
+        .orderBy(col("c_r").desc, col("ref_doc")))
+    val idx = rc.withColumn("rn", rn)
+      .groupBy(col("source"), col("n"), col("g"))
+      .agg(
+        max(when(col("rn") === 1, col("c_r"))).as("m1"),
+        max(when(col("rn") === 1, col("ref_doc"))).as("d1"),
+        coalesce(max(when(col("rn") === 2, col("c_r"))), lit(0L))
+          .as("m2"))
+    // corpus-side candidate gram counts (doc-local keys — map-side
+    // absorbable), probed against the broadcast panel index
+    val cc = gramRows(d, nativeGrams, col("doc_id"), col("source"))
+      .groupBy(col("doc_id"), col("source"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c_c"))
+    val capped = cc.join(broadcast(idx), Seq("source", "n", "g"), "left")
+      .select(col("source"), col("n"), col("c_c"),
+        least(col("c_c"),
+          when(col("d1") === col("doc_id"), col("m2"))
+            .otherwise(coalesce(col("m1"), lit(0L)))).as("cl"))
+    val per = capped.groupBy(col("source"), col("n"))
+      .agg(sum(col("cl")).as("clipped"), sum(col("c_c")).as("total"))
+    val nd = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val nr = refs.groupBy(col("source"))
+      .agg(count(lit(1)).as("ref_docs"))
+    per
+      .join(broadcast(nd), Seq("source"))
+      .join(broadcast(nr), Seq("source"))
+      .select(col("source"), col("n"), col("n_docs"), col("ref_docs"),
+        col("clipped"), col("total"),
+        expr("clipped * 1000000L div greatest(total, 1L)").as("p_ppm"))
+      .orderBy(col("source"), col("n"))
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "x171_self_bleu" ->
+      s"""WITH d AS (SELECT doc_id, source, string_split(text, ' ') AS w
+         |    FROM documents),
+         |rs AS (SELECT doc_id, source, w,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM d),
+         |rf AS (SELECT doc_id, source, w FROM rs
+         |  WHERE rk <= $SelfBleuRefs),
+         |nn AS (SELECT unnest([1, 2, 3, 4]) AS n),
+         |rg AS (SELECT doc_id, source, n,
+         |    md5(array_to_string(w[i : i + n - 1], ' ')) AS g
+         |  FROM (SELECT doc_id, source, n, w,
+         |      unnest(range(1, greatest(len(w) - n + 2, 1))) AS i
+         |    FROM rf, nn)),
+         |rc AS (SELECT source, n, g, doc_id, CAST(count(*) AS BIGINT)
+         |    AS c_r
+         |  FROM rg GROUP BY 1, 2, 3, 4),
+         |rr AS (SELECT source, n, g, doc_id, c_r,
+         |    row_number() OVER (PARTITION BY source, n, g
+         |      ORDER BY c_r DESC, doc_id ASC) AS rn
+         |  FROM rc),
+         |ix AS (SELECT source, n, g,
+         |    max(CASE WHEN rn = 1 THEN c_r END) AS m1,
+         |    max(CASE WHEN rn = 1 THEN doc_id END) AS d1,
+         |    coalesce(max(CASE WHEN rn = 2 THEN c_r END), 0) AS m2
+         |  FROM rr GROUP BY 1, 2, 3),
+         |cg AS (SELECT doc_id, source, n,
+         |    md5(array_to_string(w[i : i + n - 1], ' ')) AS g
+         |  FROM (SELECT doc_id, source, n, w,
+         |      unnest(range(1, greatest(len(w) - n + 2, 1))) AS i
+         |    FROM d, nn)),
+         |cc AS (SELECT doc_id, source, n, g, CAST(count(*) AS BIGINT)
+         |    AS c_c
+         |  FROM cg GROUP BY 1, 2, 3, 4),
+         |cl AS (SELECT cc.source, cc.n,
+         |    CAST(sum(least(c_c, CASE WHEN ix.d1 = cc.doc_id THEN ix.m2
+         |      ELSE coalesce(ix.m1, 0) END)) AS BIGINT) AS clipped,
+         |    CAST(sum(c_c) AS BIGINT) AS total
+         |  FROM cc LEFT JOIN ix ON cc.source = ix.source
+         |    AND cc.n = ix.n AND cc.g = ix.g
+         |  GROUP BY 1, 2),
+         |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM d GROUP BY 1),
+         |nr AS (SELECT source, CAST(count(*) AS BIGINT) AS ref_docs
+         |  FROM rf GROUP BY 1)
+         |SELECT cl.source, CAST(cl.n AS BIGINT) AS n, n_docs, ref_docs,
+         |  clipped, total,
+         |  CAST(clipped * 1000000 // greatest(total, 1) AS BIGINT)
+         |    AS p_ppm
+         |FROM cl JOIN nd ON cl.source = nd.source
+         |JOIN nr ON cl.source = nr.source
+         |ORDER BY cl.source, n""".stripMargin)
+}

@@ -255,6 +255,28 @@ class Ext46Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("x152: native wordGramsAll path equals the HOF pyramid path on " +
+    "a multibyte/empty-token planted corpus AND on sf0.001 (the " +
+    "GraftCharGrams adoption discipline, word-gram edition)") {
+    import spark.implicits._
+    val dir = TestSpark.scratchDir("x152ng")
+    Seq(
+      // 2/3/4-byte codepoints prove byte-level gram assembly; the
+      // doubled space makes an EMPTY token; pair 2/3 repeats tokens
+      (0L, "café 世界 😀 café", "mb"), (1L, "café  世界 😀", "mb"),
+      (2L, "", "mb2"), (3L, "a  a", "mb2")
+    ).toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def run(d: String, native: Boolean) =
+      graft.queries.Ext46.bleuPrecision(spark, d, nativeGrams = native)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7))).toSeq
+    assert(run(dir, true) == run(dir, false))
+    assert(run(sf, true) == run(sf, false))
+    GraftCaches.releasePrior()
+  }
+
   // ---- x153 watermark detection ----
 
   private def md5h32(s: String): Long = {
