@@ -302,12 +302,18 @@ object HashKernels {
     * named_struct per gram plus interpreted lambda dispatch per
     * position (the GraftCharGrams finding, word-gram edition). Token
     * bytes are fetched once; each gram is one exact-size byte
-    * assembly. Tokens must be non-null (split() output). */
+    * assembly. split() output never holds nulls, but a null element
+    * (possible through the declared array<string> type) is skipped
+    * inside its window exactly like array_join skips it — the HOF
+    * twin's semantics, same as the sibling kernels' isNullAt guards. */
   def wordGramsAll(w: ArrayData, maxN: Int): ArrayData = {
     val count = w.numElements()
     val toks = new Array[Array[Byte]](count)
     var i = 0
-    while (i < count) { toks(i) = w.getUTF8String(i).getBytes; i += 1 }
+    while (i < count) {
+      toks(i) = if (w.isNullAt(i)) null else w.getUTF8String(i).getBytes
+      i += 1
+    }
     var total = 0
     var n = 1
     while (n <= maxN) { if (count >= n) total += count - n + 1; n += 1 }
@@ -317,17 +323,27 @@ object HashKernels {
     while (n <= maxN) {
       i = 0
       while (i + n <= count) {
-        var len = n // prefix digit + (n - 1) separator spaces
+        var len = 1 // prefix digit
+        var live = 0 // non-null tokens in the window
         var j = 0
-        while (j < n) { len += toks(i + j).length; j += 1 }
+        while (j < n) {
+          val t = toks(i + j)
+          if (t != null) { len += t.length; live += 1 }
+          j += 1
+        }
+        if (live > 1) len += live - 1 // separators between live tokens
         val b = new Array[Byte](len)
         b(0) = ('0' + n).toByte
         var p = 1
+        var emitted = 0
         j = 0
         while (j < n) {
-          if (j > 0) { b(p) = ' '; p += 1 }
           val t = toks(i + j)
-          System.arraycopy(t, 0, b, p, t.length); p += t.length
+          if (t != null) {
+            if (emitted > 0) { b(p) = ' '; p += 1 }
+            System.arraycopy(t, 0, b, p, t.length); p += t.length
+            emitted += 1
+          }
           j += 1
         }
         out(k) = UTF8String.fromBytes(b)

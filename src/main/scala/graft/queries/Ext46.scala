@@ -226,35 +226,11 @@ object Ext46 {
         .select((col("doc_id") + 1L).as("pair_id"), col("w").as("rw"))
       val pairs0 = cand.join(ref, Seq("pair_id"))
       val pairs = if (persistPairs) pairs0.persistTracked() else pairs0
-      // Spark's sequence(1, stop) DESCENDS when stop < 1 (it would emit
-      // position 0 into the 1-based slice) — so generate over a floor of
-      // 1 and slice the result back to the true position count, which is
-      // empty when the doc has fewer than n tokens.
-      // HOF pyramid — the __hofgrams control; the catalog path is the
-      // native wordGramsAll generator (GraftCharGrams adoption, word
-      // edition — see AbVariants for the A/B record)
-      def grams(wc: String): Column =
-        explode(expr(
-          s"""flatten(transform(sequence(1, 4), n ->
-             |  slice(
-             |    transform(sequence(1, greatest(size($wc) - n + 1, 1)), i ->
-             |      named_struct('n', n, 'g',
-             |        md5(array_join(slice($wc, i, n), ' ')))),
-             |    1, greatest(size($wc) - n + 1, 0))))""".stripMargin))
-      def gramRows(wc: String, keep: Column*): DataFrame =
-        if (nativeGrams)
-          pairs.select(keep :+
-            explode(TextOps.wordGramsAll(col(wc), 4)).as("pg"): _*)
-            .select(keep :+ TextOps.gramOrder(col("pg")).as("n") :+
-              TextOps.gramKey(col("pg")).as("g"): _*)
-        else
-          pairs.select(keep :+ grams(wc).as("x"): _*)
-            .select(keep :+ col("x.n").cast("long").as("n") :+
-              col("x.g").as("g"): _*)
-      val cc = gramRows("w", col("pair_id"), col("source"))
+      val cc = wordGramRows(pairs, "w", nativeGrams,
+        col("pair_id"), col("source"))
         .groupBy(col("pair_id"), col("source"), col("n"), col("g"))
         .agg(count(lit(1)).as("c_c"))
-      val rc = gramRows("rw", col("pair_id"))
+      val rc = wordGramRows(pairs, "rw", nativeGrams, col("pair_id"))
         .groupBy(col("pair_id"), col("n"), col("g"))
         .agg(count(lit(1)).as("c_r"))
       val clipped = cc.join(rc, Seq("pair_id", "n", "g"))
@@ -276,6 +252,37 @@ object Ext46 {
             .as("len_ratio_ppm"))
         .orderBy(col("source"), col("n"))
   }
+
+  /** BLEU-family word 1..4-gram occurrence rows (keep..., n, g) over
+    * `df`'s token column `wc` — the ONE spelling shared by x152 and
+    * x171 (the one-helper-not-copies rule). The catalog path is the
+    * native [[TextOps.wordGramsAll]] generator (the GraftCharGrams
+    * adoption, word-gram edition — BENCH_AB_r10_wordgram.json);
+    * `native = false` is the interpreted HOF pyramid kept as the
+    * __hofgrams control. Tokens come from split(text, ' ') so the
+    * space-join is injective per n. */
+  private[graft] def wordGramRows(df: DataFrame, wc: String,
+      native: Boolean, keep: Column*): DataFrame =
+    if (native)
+      df.select(keep :+
+        explode(TextOps.wordGramsAll(col(wc), 4)).as("pg"): _*)
+        .select(keep :+ TextOps.gramOrder(col("pg")).as("n") :+
+          TextOps.gramKey(col("pg")).as("g"): _*)
+    else
+      // Spark's sequence(1, stop) DESCENDS when stop < 1 (it would
+      // emit position 0 into the 1-based slice) — so generate over a
+      // floor of 1 and slice the result back to the true position
+      // count, which is empty when the doc has fewer than n tokens.
+      df.select(keep :+ explode(expr(
+        s"""flatten(transform(sequence(1, 4), n ->
+           |  slice(
+           |    transform(sequence(1, greatest(size($wc) - n + 1, 1)), i ->
+           |      named_struct('n', n, 'g',
+           |        md5(array_join(slice($wc, i, n), ' ')))),
+           |    1, greatest(size($wc) - n + 1, 0))))""".stripMargin))
+        .as("x"): _*)
+        .select(keep :+ col("x.n").cast("long").as("n") :+
+          col("x.g").as("g"): _*)
 
   /** x151's corpus-scale aggregation: ordered-pair battle counts with
     * Laplace smoothing (+2 battles / +1 win per observed ordered pair).

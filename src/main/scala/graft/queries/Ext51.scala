@@ -33,12 +33,14 @@ import graft.tables.Tables.documents
   *
   * Scale shape: the corpus side is one n-gram explode + one
   * (doc-local) count groupBy — partial-aggregable, no corpus-keyed
-  * exchange wider than the gram count. The reference index is bounded
-  * by |sources| × R docs of grams, built with one window over that
-  * bounded frame and BROADCAST into the probe join, so the corpus
+  * exchange wider than the gram count. The panel ranking window sees
+  * ONLY (doc_id, source) — the corpus text never enters a per-source
+  * sort — and the winners' token arrays come back via a broadcast
+  * join of the |sources| × R id frame. The reference gram index is
+  * panel-bounded and BROADCAST into the probe join, so the corpus
   * never shuffles on gram keys. Rollup is |sources| × 4 rows. (If
   * |sources| were unbounded — per-domain sources — drop the broadcast
-  * hint and the same plan runs as a shuffle join; the hint matches
+  * hints and the same plan runs as shuffle joins; the hints match
   * this catalog's bounded source domain.)
   */
 object Ext51 {
@@ -52,49 +54,29 @@ object Ext51 {
     "x171_self_bleu" -> ((s, d) => selfBleu(s, d))
   )
 
-  /** Word n-grams n = 1..4 as (n, md5(space-joined tokens)) structs —
-    * x152's HOF spelling (tokens come from split(text, ' ') so the
-    * join is injective per n; Spark's sequence(1, stop) DESCENDS when
-    * stop < 1, hence the floor-and-slice). Kept as the __hofgrams
-    * control; the catalog path is the native [[TextOps.wordGramsAll]]
-    * generator (the GraftCharGrams adoption, word-gram edition). */
-  private def grams(wc: String): Column =
-    explode(expr(
-      s"""flatten(transform(sequence(1, 4), n ->
-         |  slice(
-         |    transform(sequence(1, greatest(size($wc) - n + 1, 1)), i ->
-         |      named_struct('n', n, 'g',
-         |        md5(array_join(slice($wc, i, n), ' ')))),
-         |    1, greatest(size($wc) - n + 1, 0))))""".stripMargin))
-
-  /** (keep..., n, g) gram rows over a frame with a `w` token column —
-    * one row per gram occurrence, native or HOF generator. */
-  private def gramRows(df: DataFrame, native: Boolean,
-      keep: Column*): DataFrame =
-    if (native)
-      df.select(keep :+
-        explode(graft.ext.TextOps.wordGramsAll(col("w"), 4)).as("pg"): _*)
-        .select(keep :+ graft.ext.TextOps.gramOrder(col("pg")).as("n") :+
-          graft.ext.TextOps.gramKey(col("pg")).as("g"): _*)
-    else
-      df.select(keep :+ grams("w").as("x"): _*)
-        .select(keep :+ col("x.n").cast("long").as("n") :+
-          col("x.g").as("g"): _*)
-
   private[graft] def selfBleu(s: SparkSession, dir: String,
       nativeGrams: Boolean = true): DataFrame = {
     val d = documents(s, dir)
       .select(col("doc_id"), col("source"),
         TextOps.words(col("text")).as("w"))
-    // deterministic R-doc reference panel per source
+    // deterministic R-doc reference panel per source. The ranking
+    // window sees ONLY (doc_id, source) — 16-byte rows — so the
+    // per-source sort never carries corpus text (review finding:
+    // ranking d directly would shuffle every token array into
+    // |sources| reducer tasks); the winners' token arrays come back
+    // via a broadcast semi-join of the |sources|×R id frame.
     val rk = row_number().over(Window.partitionBy(col("source"))
       .orderBy(expr("md5(CAST(doc_id AS STRING))"), col("doc_id")))
-    val refs = d.withColumn("rk", rk)
+    val panelIds = d.select(col("doc_id"), col("source"))
+      .withColumn("rk", rk)
       .filter(col("rk") <= SelfBleuRefs)
+      .select(col("doc_id"))
+    val refs = d.join(broadcast(panelIds), Seq("doc_id"))
       .select(col("doc_id").as("ref_doc"), col("source"), col("w"))
     // reference gram counts, then (m1, d1, m2) per (source, n, gram):
-    // the window runs on the panel-bounded frame, never the corpus
-    val rc = gramRows(refs, nativeGrams, col("source"), col("ref_doc"))
+    // the rn window runs on the panel-bounded frame, never the corpus
+    val rc = Ext46.wordGramRows(refs, "w", nativeGrams,
+      col("source"), col("ref_doc"))
       .groupBy(col("source"), col("ref_doc"), col("n"), col("g"))
       .agg(count(lit(1)).as("c_r"))
     val rn = row_number().over(
@@ -109,7 +91,8 @@ object Ext51 {
           .as("m2"))
     // corpus-side candidate gram counts (doc-local keys — map-side
     // absorbable), probed against the broadcast panel index
-    val cc = gramRows(d, nativeGrams, col("doc_id"), col("source"))
+    val cc = Ext46.wordGramRows(d, "w", nativeGrams,
+      col("doc_id"), col("source"))
       .groupBy(col("doc_id"), col("source"), col("n"), col("g"))
       .agg(count(lit(1)).as("c_c"))
     val capped = cc.join(broadcast(idx), Seq("source", "n", "g"), "left")
@@ -120,12 +103,13 @@ object Ext51 {
     val per = capped.groupBy(col("source"), col("n"))
       .agg(sum(col("cl")).as("clipped"), sum(col("c_c")).as("total"))
     val nd = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
-    val nr = refs.groupBy(col("source"))
-      .agg(count(lit(1)).as("ref_docs"))
     per
       .join(broadcast(nd), Seq("source"))
-      .join(broadcast(nr), Seq("source"))
-      .select(col("source"), col("n"), col("n_docs"), col("ref_docs"),
+      .select(col("source"), col("n"), col("n_docs"),
+        // the rk <= R filter passes exactly min(n_docs, R) rows per
+        // source, so the panel size is derivable — no second pass
+        // over the ranking (review finding)
+        least(col("n_docs"), lit(SelfBleuRefs.toLong)).as("ref_docs"),
         col("clipped"), col("total"),
         expr("clipped * 1000000L div greatest(total, 1L)").as("p_ppm"))
       .orderBy(col("source"), col("n"))

@@ -166,6 +166,22 @@ class Ext51Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
+  test("wordGramsAll kernel: a null array element is skipped inside " +
+    "its window exactly like array_join skips it — native path equals " +
+    "the HOF pyramid on a nulled token array") {
+    import spark.implicits._
+    val df = Seq(
+      Tuple1(Seq[String]("a", null, "b", "c")),
+      Tuple1(Seq[String](null, null)),
+      Tuple1(Seq[String]("x"))).toDF("w")
+    def rows(native: Boolean) =
+      graft.queries.Ext46.wordGramRows(df, "w", native)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(identity).toSeq
+    assert(rows(true) == rows(false))
+    GraftCaches.releasePrior()
+  }
+
   test("x171: equals the pure-Scala replay on sf0.001, every source, " +
     "every n, every column") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
