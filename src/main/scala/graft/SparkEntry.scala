@@ -96,7 +96,8 @@ object SparkEntry {
       graft.queries.Ext49.queries ++
       graft.queries.Ext50.queries ++
       graft.queries.Ext51.queries ++
-      graft.queries.Ext52.queries
+      graft.queries.Ext52.queries ++
+      graft.queries.Ext53.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -155,5 +156,6 @@ object SparkEntry {
       graft.queries.Ext49.oracleSql ++
       graft.queries.Ext50.oracleSql ++
       graft.queries.Ext51.oracleSql ++
-      graft.queries.Ext52.oracleSql
+      graft.queries.Ext52.oracleSql ++
+      graft.queries.Ext53.oracleSql
 }

@@ -1,0 +1,204 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+
+/** Round-10 batch 3: x174 Jaro–Winkler similarity — THE name-screening
+  * metric of record linkage / sanctions matching (Winkler 1990, the
+  * Census string comparator; the j11/x95 edit-distance family's
+  * position-tolerant cousin). Computed EXACTLY in integer ppm:
+  * with m matches, k mismatched matched positions (so transpositions
+  * t = k/2), lengths la/lb,
+  *
+  *   jaro = (m/la + m/lb + (m − k/2)/m) / 3
+  *        = (2m²·lb + 2m²·la + la·lb·(2m − k)) / (6·la·lb·m)
+  *
+  * — one integer floor to ppm, never a float third. The Winkler boost
+  * adds L·(1e6 − jaro)/10 for the common prefix L ≤ 4 (second floor,
+  * same spelling both engines). Textbook classics pin the arithmetic:
+  * MARTHA/MARHTA = 961110, DIXON/DICKSONX = 813332, DWAYNE/DUANE =
+  * 839999 ppm.
+  *
+  * The greedy match scan is a per-row fold whose state is TWO bitmask
+  * limbs [maskB, maskA] (used positions of b / matched positions of a)
+  * — fixed-size state, no growing list, both strings ≤ 40 chars so one
+  * limb each (the x154/x156 bit-parallel state discipline; DuckDB side
+  * folds a LIST accumulator per the round-8 struct-bug rule). The
+  * matched subsequences ms1/ms2 are then re-read from the masks, so
+  * transpositions need no per-step appends.
+  *
+  * Scale shape: the candidate/reference pair equi-join (the x152-family
+  * pair convention: odd doc vs doc_id − 1, first-40-char titles) is the
+  * ONLY corpus-scale exchange; the fold is a bounded expression
+  * pipeline (≤ la·lb = 1600 compares/pair) and the output is a ≤
+  * 11-row ppm-decile histogram (value-bounded groupBy). In a real
+  * screening run the pair frame would come from a blocking join
+  * (j11's prefix block or x175's phonetic block) — the scorer is
+  * block-source-agnostic.
+  */
+object Ext53 {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "x174_jaro_winkler" -> ((s, d) => {
+      val docs = documents(s, d)
+      val cand = docs.filter(col("doc_id") % 2 === 1)
+        .select((col("doc_id") - 1L).as("pair_id"),
+          substring(col("text"), 1, 40).as("a"))
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"),
+          substring(col("text"), 1, 40).as("b"))
+      val pairs = cand.join(ref, Seq("pair_id"))
+      val scored = jaroWinkler(pairs)
+      scored
+        .groupBy(expr("jw_ppm div 100000L").as("jw_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("jw_ppm")).as("sum_jw_ppm"),
+          sum(col("jaro_ppm")).as("sum_jaro_ppm"),
+          sum(col("m")).as("sum_matches"),
+          sum(col("k")).as("sum_half_transpositions"),
+          sum(col("prefix_l")).as("sum_prefix_len"))
+        .orderBy(col("jw_decile"))
+    }))
+
+  /** Appends m, k, jaro_ppm, prefix_l, jw_ppm to a frame with string
+    * columns `a`, `b` (each ≤ 62 chars — one bitmask limb per side;
+    * require-guarded below). Shared by the catalog entry and the spec's
+    * planted-classics harness. */
+  private[graft] def jaroWinkler(pairs: DataFrame): DataFrame =
+    pairs
+      .withColumn("la", length(col("a")).cast("long"))
+      .withColumn("lb", length(col("b")).cast("long"))
+      .withColumn("acp", expr(
+        """CASE WHEN la = 0 THEN array()
+          |ELSE transform(sequence(1, cast(la AS INT)),
+          |  i -> cast(ascii(substr(a, i, 1)) AS BIGINT)) END""".stripMargin))
+      .withColumn("bcp", expr(
+        """CASE WHEN lb = 0 THEN array()
+          |ELSE transform(sequence(1, cast(lb AS INT)),
+          |  i -> cast(ascii(substr(b, i, 1)) AS BIGINT)) END""".stripMargin))
+      // loud path, never silent aliasing: one bitmask limb holds ≤ 62
+      // positions (the x155 packed-key guard convention)
+      .withColumn("w", expr(
+        """CASE WHEN la > 62 OR lb > 62
+          |  THEN raise_error(concat('x174_jaro_winkler: a side ',
+          |    'exceeds one bitmask limb (62 chars)'))
+          |  ELSE greatest(greatest(la, lb) div 2 - 1, 0L) END"""
+          .stripMargin))
+      // pass 1: greedy in-window matching; state = [maskB, maskA].
+      // The eligible-j window is spelled as a filter over ALL of b's
+      // positions with |i − j| ≤ w (never sequence(lo, hi): Spark
+      // sequence DESCENDS when lo > hi, turning an empty window into a
+      // full rescan); array_min picks the FIRST unused match.
+      .withColumn("st", expr(
+        """CASE WHEN la = 0 OR lb = 0 THEN array(0L, 0L)
+          |ELSE aggregate(sequence(0, cast(la AS INT) - 1), array(0L, 0L),
+          |  (s, i) -> CASE WHEN array_min(filter(
+          |      sequence(0, cast(lb AS INT) - 1),
+          |      j -> abs(i - j) <= w AND (shiftright(s[0], j) & 1L) = 0L
+          |        AND element_at(bcp, j + 1) = element_at(acp, i + 1)))
+          |      IS NULL THEN s
+          |    ELSE array(
+          |      s[0] | shiftleft(1L, array_min(filter(
+          |        sequence(0, cast(lb AS INT) - 1),
+          |        j -> abs(i - j) <= w AND (shiftright(s[0], j) & 1L) = 0L
+          |          AND element_at(bcp, j + 1) = element_at(acp, i + 1)))),
+          |      s[1] | shiftleft(1L, i)) END)
+          |END""".stripMargin))
+      .withColumn("m", expr("cast(bit_count(st[1]) AS BIGINT)"))
+      // pass 2: the matched subsequences, re-read from the masks in
+      // position order — ms1 vs ms2 mismatches = 2·transpositions
+      .withColumn("k", expr(
+        """CASE WHEN m = 0 THEN 0L ELSE cast(size(filter(
+          |  sequence(1, cast(m AS INT)),
+          |  t -> element_at(
+          |      transform(filter(sequence(0, cast(la AS INT) - 1),
+          |        i -> (shiftright(st[1], i) & 1L) = 1L),
+          |      i -> element_at(acp, i + 1)), t)
+          |    != element_at(
+          |      transform(filter(sequence(0, cast(lb AS INT) - 1),
+          |        j -> (shiftright(st[0], j) & 1L) = 1L),
+          |      j -> element_at(bcp, j + 1)), t))) AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("jaro_ppm", expr(
+        """CASE WHEN m = 0 THEN 0L
+          |ELSE 1000000L * (2L*m*m*lb + 2L*m*m*la + la*lb*(2L*m - k))
+          |  div (6L * la * lb * m) END""".stripMargin))
+      .withColumn("prefix_l", expr(
+        """aggregate(sequence(1, 4), 0L,
+          |  (acc, t) -> IF(acc = t - 1 AND t <= la AND t <= lb
+          |    AND element_at(acp, t) = element_at(bcp, t),
+          |    cast(t AS BIGINT), acc))""".stripMargin))
+      .withColumn("jw_ppm",
+        expr("jaro_ppm + prefix_l * (1000000L - jaro_ppm) div 10L"))
+
+  val oracleSql: Map[String, String] = Map(
+
+    "x174_jaro_winkler" ->
+      """WITH pairs AS (SELECT c.doc_id - 1 AS pair_id,
+        |    substr(c.text, 1, 40) AS a, substr(r.text, 1, 40) AS b
+        |  FROM documents c JOIN documents r
+        |    ON c.doc_id % 2 = 1 AND r.doc_id = c.doc_id - 1),
+        |cp AS (SELECT pair_id,
+        |    CAST(len(a) AS BIGINT) AS la, CAST(len(b) AS BIGINT) AS lb,
+        |    list_transform(range(1, len(a) + 1), i ->
+        |      CAST(unicode(substr(a, CAST(i AS INT), 1)) AS BIGINT)) AS acp,
+        |    list_transform(range(1, len(b) + 1), i ->
+        |      CAST(unicode(substr(b, CAST(i AS INT), 1)) AS BIGINT)) AS bcp
+        |  FROM pairs),
+        |win AS (SELECT *, greatest(greatest(la, lb) // 2 - 1, 0) AS w
+        |  FROM cp),
+        |fold AS (SELECT *,
+        |    CASE WHEN la = 0 OR lb = 0 THEN [0::BIGINT, 0::BIGINT]
+        |    ELSE list_reduce(list_prepend([0::BIGINT, 0::BIGINT],
+        |      list_transform(range(0, la), x -> [x, 0::BIGINT])),
+        |      (s, iv) -> CASE WHEN list_min(list_filter(
+        |          range(greatest(0, iv[1] - w), least(lb - 1, iv[1] + w) + 1),
+        |          j -> ((s[1] >> CAST(j AS INT)) & 1) = 0
+        |            AND bcp[CAST(j AS INT) + 1] = acp[CAST(iv[1] AS INT) + 1]))
+        |          IS NULL THEN s
+        |        ELSE [s[1] | (1::BIGINT << CAST(list_min(list_filter(
+        |          range(greatest(0, iv[1] - w), least(lb - 1, iv[1] + w) + 1),
+        |          j -> ((s[1] >> CAST(j AS INT)) & 1) = 0
+        |            AND bcp[CAST(j AS INT) + 1] = acp[CAST(iv[1] AS INT) + 1]))
+        |          AS INT)),
+        |          s[2] | (1::BIGINT << CAST(iv[1] AS INT))] END)
+        |    END AS st FROM win),
+        |mk AS (SELECT pair_id, la, lb, acp, bcp,
+        |    CAST(bit_count(st[2]) AS BIGINT) AS m,
+        |    list_transform(list_filter(range(0, la),
+        |      i -> ((st[2] >> CAST(i AS INT)) & 1) = 1),
+        |      i -> acp[CAST(i AS INT) + 1]) AS ms1,
+        |    list_transform(list_filter(range(0, lb),
+        |      j -> ((st[1] >> CAST(j AS INT)) & 1) = 1),
+        |      j -> bcp[CAST(j AS INT) + 1]) AS ms2
+        |  FROM fold),
+        |kc AS (SELECT pair_id, la, lb, acp, bcp, m,
+        |    CASE WHEN m = 0 THEN 0::BIGINT ELSE CAST(len(list_filter(
+        |      range(1, m + 1),
+        |      t -> ms1[CAST(t AS INT)] <> ms2[CAST(t AS INT)])) AS BIGINT)
+        |    END AS k
+        |  FROM mk),
+        |pj AS (SELECT pair_id, m, k,
+        |    CASE WHEN m = 0 THEN 0::BIGINT
+        |      ELSE 1000000 * (2*m*m*lb + 2*m*m*la + la*lb*(2*m - k))
+        |        // (6 * la * lb * m) END AS jaro_ppm,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      list_transform(range(1, 5), t -> CAST(t AS BIGINT))),
+        |      (acc, t) -> CASE WHEN acc = t - 1 AND t <= la AND t <= lb
+        |        AND acp[CAST(t AS INT)] = bcp[CAST(t AS INT)]
+        |        THEN t ELSE acc END) AS prefix_l
+        |  FROM kc),
+        |jw AS (SELECT pair_id, m, k, jaro_ppm, prefix_l,
+        |    jaro_ppm + prefix_l * (1000000 - jaro_ppm) // 10 AS jw_ppm
+        |  FROM pj)
+        |SELECT jw_ppm // 100000 AS jw_decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(jw_ppm) AS BIGINT) AS sum_jw_ppm,
+        |  CAST(sum(jaro_ppm) AS BIGINT) AS sum_jaro_ppm,
+        |  CAST(sum(m) AS BIGINT) AS sum_matches,
+        |  CAST(sum(k) AS BIGINT) AS sum_half_transpositions,
+        |  CAST(sum(prefix_l) AS BIGINT) AS sum_prefix_len
+        |FROM jw GROUP BY 1 ORDER BY 1""".stripMargin)
+}
