@@ -41,6 +41,41 @@ object Ext53 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // X175 SOUNDEX BLOCKING AUDIT: the classic American Soundex
+    // (Census/Knuth, WITH the h/w transparency rule — Ashcraft → A261,
+    // Pfister → P236) as a phonetic blocking key over the corpus +
+    // part-name vocabulary, plus the audit every blocking scheme needs
+    // before a linkage run: words-per-block, occurrence mass, and the
+    // quadratic pair cost n·(n−1)/2 each block contributes to the
+    // downstream scorer (x174). The encoder is a per-row fold with
+    // FIXED 3-long integer state [lastCode, nDigits, packedDigits] —
+    // digits are 1..6 so base-10 packing never has a leading zero, and
+    // rpad handles both the short-word and empty-digit cases in one
+    // spelling. Defined on ^[a-z]+$ words only (filtered upstream; the
+    // encoder's domain is documented, not implicit). Scale shape: one
+    // partial-aggregable vocab count per source table, the encoder
+    // per VOCAB row (never per occurrence), one |keys|-bounded groupBy;
+    // top-20 via TakeOrderedAndProject.
+    "x175_soundex_blocking" -> ((s, d) => {
+      val dw = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val pw = part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("w"))
+      val vocab = dw.unionAll(pw)
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("occ"))
+      vocab.withColumn("sdx", soundexCol)
+        .groupBy(col("sdx"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("occ")).as("n_occurrences"),
+          min(col("w")).as("sample_word"))
+        .select(col("sdx"), col("n_words"), col("n_occurrences"),
+          col("sample_word"),
+          expr("n_words * (n_words - 1L) div 2L").as("pair_cost"))
+        .orderBy(col("n_words").desc, col("sdx"))
+        .limit(20)
+    }),
+
     "x174_jaro_winkler" -> ((s, d) => {
       val docs = documents(s, d)
       val cand = docs.filter(col("doc_id") % 2 === 1)
@@ -133,7 +168,82 @@ object Ext53 {
       .withColumn("jw_ppm",
         expr("jaro_ppm + prefix_l * (1000000L - jaro_ppm) div 10L"))
 
+  /** GraftSoundex over column `w` (must match ^[a-z]+$): classic
+    * American Soundex with the h/w rule — vowels (incl. y) reset the
+    * last code, h/w are transparent (do NOT separate equal codes), the
+    * first letter's own code seeds lastCode (Pfister → P236). Shared by
+    * the catalog entry and the spec's vector harness. */
+  private[graft] def soundexCol: org.apache.spark.sql.Column = {
+    // class of the 1-char string `c`: 0 = vowel/y, -1 = h/w, else 1..6
+    def cls(c: String): String =
+      s"""CASE WHEN $c IN ('a','e','i','o','u','y') THEN 0L
+         |  WHEN $c IN ('h','w') THEN -1L
+         |  ELSE cast(translate($c,
+         |    'bfpvcgjkqszxdtlmnr', '111122222222334556') AS BIGINT)
+         |END""".stripMargin
+    expr(
+      s"""concat(upper(substr(w, 1, 1)), rpad(cast(
+         |  (CASE WHEN length(w) <= 1
+         |    THEN array(0L, 0L, 0L)
+         |    ELSE aggregate(sequence(2, length(w)),
+         |      array(${cls("substr(w, 1, 1)")}, 0L, 0L),
+         |      (s, i) -> CASE
+         |        WHEN ${cls("substr(w, i, 1)")} > 0L THEN array(
+         |          ${cls("substr(w, i, 1)")},
+         |          IF(${cls("substr(w, i, 1)")} != s[0] AND s[1] < 3L,
+         |            s[1] + 1L, s[1]),
+         |          IF(${cls("substr(w, i, 1)")} != s[0] AND s[1] < 3L,
+         |            s[2] * 10L + ${cls("substr(w, i, 1)")}, s[2]))
+         |        WHEN ${cls("substr(w, i, 1)")} = 0L
+         |          THEN array(0L, s[1], s[2])
+         |        ELSE s END)
+         |  END)[2] AS STRING), 3, '0'))""".stripMargin)
+  }
+
   val oracleSql: Map[String, String] = Map(
+
+    "x175_soundex_blocking" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+         |  UNION ALL
+         |  SELECT unnest(string_split(p_name, ' ')) AS w FROM part),
+         |vocab AS (SELECT w, CAST(count(*) AS BIGINT) AS occ FROM tok
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+         |keyed AS (SELECT w, occ,
+         |    upper(substr(w, 1, 1)) || rpad(CAST((
+         |      list_reduce(list_prepend(
+         |        [CASE WHEN substr(w, 1, 1) IN
+         |            ('a','e','i','o','u','y') THEN 0::BIGINT
+         |          WHEN substr(w, 1, 1) IN ('h','w') THEN -1::BIGINT
+         |          ELSE CAST(translate(substr(w, 1, 1),
+         |            'bfpvcgjkqszxdtlmnr', '111122222222334556')
+         |            AS BIGINT) END,
+         |         0::BIGINT, 0::BIGINT],
+         |        list_transform(range(2, len(w) + 1), i ->
+         |          [CASE WHEN substr(w, CAST(i AS INT), 1) IN
+         |              ('a','e','i','o','u','y') THEN 0::BIGINT
+         |            WHEN substr(w, CAST(i AS INT), 1) IN ('h','w')
+         |              THEN -1::BIGINT
+         |            ELSE CAST(translate(substr(w, CAST(i AS INT), 1),
+         |              'bfpvcgjkqszxdtlmnr', '111122222222334556')
+         |              AS BIGINT) END,
+         |           0::BIGINT, 0::BIGINT])),
+         |      (s, cv) -> CASE
+         |        WHEN cv[1] > 0 THEN [cv[1],
+         |          CASE WHEN cv[1] <> s[1] AND s[2] < 3
+         |            THEN s[2] + 1 ELSE s[2] END,
+         |          CASE WHEN cv[1] <> s[1] AND s[2] < 3
+         |            THEN s[3] * 10 + cv[1] ELSE s[3] END]
+         |        WHEN cv[1] = 0 THEN [0::BIGINT, s[2], s[3]]
+         |        ELSE [s[1], s[2], s[3]] END)
+         |    )[3] AS VARCHAR), 3, '0') AS sdx
+         |  FROM vocab)
+         |SELECT sdx, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(occ) AS BIGINT) AS n_occurrences,
+         |  min(w) AS sample_word,
+         |  CAST(count(*) * (count(*) - 1) // 2 AS BIGINT) AS pair_cost
+         |FROM keyed GROUP BY sdx
+         |ORDER BY n_words DESC, sdx LIMIT 20""".stripMargin,
 
     "x174_jaro_winkler" ->
       """WITH pairs AS (SELECT c.doc_id - 1 AS pair_id,

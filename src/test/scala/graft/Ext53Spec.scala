@@ -96,6 +96,81 @@ class Ext53Spec extends AnyFunSuite {
       e.getCause != null && e.getCause.getMessage.contains("bitmask limb"))
   }
 
+  // ---- x175 GraftSoundex ---------------------------------------------
+
+  /** The textbook algorithm (Census/Knuth, WITH h/w transparency). */
+  private def bruteSoundex(w: String): String = {
+    def cls(c: Char): Int =
+      if ("aeiouy".contains(c)) 0
+      else if (c == 'h' || c == 'w') -1
+      else "bfpvcgjkqszxdtlmnr".indexOf(c) match {
+        case i if i < 4  => 1
+        case i if i < 12 => 2
+        case i if i < 14 => 3
+        case 14          => 4
+        case i if i < 17 => 5
+        case _           => 6
+      }
+    var last = cls(w(0))
+    val digits = scala.collection.mutable.ArrayBuffer.empty[Int]
+    for (c <- w.drop(1) if digits.length < 3) {
+      val k = cls(c)
+      if (k > 0) { if (k != last) digits += k; last = k }
+      else if (k == 0) last = 0
+    }
+    w(0).toUpper.toString + digits.mkString.padTo(3, '0')
+  }
+
+  private def engineSoundex(words: Seq[String]): Seq[(String, String)] = {
+    import spark.implicits._
+    words.toDF("w").withColumn("sdx", graft.queries.Ext53.soundexCol)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+  }
+
+  test("x175 classic vectors (h/w rule load-bearing: Ashcraft A261, " +
+    "Pfister P236)") {
+    val vec = Seq("robert" -> "R163", "rupert" -> "R163",
+      "ashcraft" -> "A261", "ashcroft" -> "A261", "tymczak" -> "T522",
+      "pfister" -> "P236", "honeyman" -> "H555", "jackson" -> "J250",
+      "washington" -> "W252", "lee" -> "L000", "gutierrez" -> "G362",
+      "vandeusen" -> "V532", "a" -> "A000", "b" -> "B000")
+    val got = engineSoundex(vec.map(_._1))
+    assert(got == vec)
+    assert(vec.forall { case (w, exp) => bruteSoundex(w) == exp })
+  }
+
+  test("x175 seeded property: engine == brute force over 500 random " +
+    "alpha words") {
+    val rnd = new scala.util.Random(175)
+    val words = (1 to 500).map { _ =>
+      (0 until (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val got = engineSoundex(words)
+    assert(got == words.map(w => (w, bruteSoundex(w))))
+  }
+
+  test("x175 sf0.001 blocking audit == straight-collections replay") {
+    val dw = spark.read.parquet(s"$sf/documents.parquet")
+      .collect().flatMap(_.getAs[String]("text").split(" ", -1))
+    val pw = spark.read.parquet(s"$sf/part.parquet")
+      .collect().flatMap(_.getAs[String]("p_name").split(" ", -1))
+    val vocab = (dw ++ pw).filter(_.matches("^[a-z]+$"))
+      .groupBy(identity).map { case (w, xs) => w -> xs.length.toLong }
+    val exp = vocab.toSeq.map { case (w, occ) => (bruteSoundex(w), w, occ) }
+      .groupBy(_._1).toSeq
+      .map { case (k, xs) =>
+        val n = xs.length.toLong
+        (k, n, xs.map(_._3).sum, xs.map(_._2).min, n * (n - 1) / 2)
+      }
+      .sortBy { case (k, n, _, _, _) => (-n, k) }.take(20)
+    val got = SparkEntry.queries("x175_soundex_blocking")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == exp)
+  }
+
   test("x174 sf0.001 corpus histogram == straight-collections replay") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text").collect()
