@@ -43,11 +43,19 @@ object Ext43 {
 
   /** The shared integer quantization of the embedding table (x137's map
     * of [−1, 1] doubles to [0, 2000] longs): the beam search and the
-    * x146 brute-force audit arm must score in the same integer space. */
+    * x146 brute-force audit arm must score in the same integer space.
+    * One expression string — x177's labeled variant rides the same
+    * spelling (the no-drift rule). */
+  private[graft] val QuantizeSql =
+    "transform(CAST(embedding AS array<double>), x -> CAST(floor((x + 1.0D) * 1000.0D) AS BIGINT))"
+
   private[graft] def quantized(s: SparkSession, d: String): DataFrame =
-    embeddings(s, d).select(col("vec_id"),
-      expr("transform(CAST(embedding AS array<double>), x -> CAST(floor((x + 1.0D) * 1000.0D) AS BIGINT))")
-        .as("q"))
+    embeddings(s, d).select(col("vec_id"), expr(QuantizeSql).as("q"))
+
+  /** Same quantization, keeping the label column (x177 CH index). */
+  private[graft] def quantizedLabeled(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), col("label"),
+      expr(QuantizeSql).as("q"))
 
   // Rank-block kNN edges: block = seq div blk; probe meets its own
   // and the NEXT block (both directions covered after symmetrize);
