@@ -99,7 +99,8 @@ object SparkEntry {
       graft.queries.Ext52.queries ++
       graft.queries.Ext53.queries ++
       graft.queries.Ext54.queries ++
-      graft.queries.Ext55.queries
+      graft.queries.Ext55.queries ++
+      graft.queries.Ext56.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -161,5 +162,6 @@ object SparkEntry {
       graft.queries.Ext52.oracleSql ++
       graft.queries.Ext53.oracleSql ++
       graft.queries.Ext54.oracleSql ++
-      graft.queries.Ext55.oracleSql
+      graft.queries.Ext55.oracleSql ++
+      graft.queries.Ext56.oracleSql
 }
