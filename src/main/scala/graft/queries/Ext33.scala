@@ -17,41 +17,57 @@ object Ext33 {
   /** x117's feature-hashed linear scorer, shared by the AUC (x121) and
     * calibration (x128) evaluators: per doc, (pos = lang='en',
     * sb = shifted per-mille score in [0, 1000]). Pure per-row fold —
-    * no shuffle; callers add their own rollup. */
-  private[queries] def hashedScorePm(s: SparkSession, d: String): DataFrame = {
-    val wArr = array((0 until 64).map(i =>
-      lit((i * 2654435761L) % 1000 - 500)): _*)
+    * no shuffle; callers add their own rollup. The weight fold is
+    * factored per multiplier so x179's SECOND classifier is the same
+    * scorer under a different hash mix, computed in the SAME pass (one
+    * body, never a copy; no join to pair the two predictions). */
+  private[queries] val ScorerMult = 2654435761L
+
+  /** The 64-entry weight table for a multiplier (Spark and DuckDB
+    * spellings both render from this one sequence). */
+  private[queries] def scorerWeights(mult: Long): Seq[Long] =
+    (0 until 64).map(i => (i * mult) % 1000 - 500)
+
+  /** Σ weights over the token array column `w` (Spark side). */
+  private[queries] def sumWCol(mult: Long): org.apache.spark.sql.Column = {
+    val wArr = array(scorerWeights(mult).map(lit(_)): _*)
+    aggregate(
+      transform(col("w"), t =>
+        element_at(wArr,
+          (pmod(TextOps.hash32(t), lit(64L)) + 1L).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** The DuckDB spelling of [[sumWCol]] (expression over column `w`). */
+  private[queries] def duckSumW(mult: Long): String = {
+    val ws = scorerWeights(mult).mkString("[", ", ", "]")
+    s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(w, t -> $ws[
+      |      CAST((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64)
+      |        + 1 AS INT)])), (a, b) -> a + b) AS BIGINT)""".stripMargin
+  }
+
+  private[queries] def hashedScorePm(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .select(col("lang"), TextOps.words(col("text")).as("w"))
       .select((col("lang") === "en").as("pos"),
         size(col("w")).cast("long").as("n_tokens"),
-        aggregate(
-          transform(col("w"), t =>
-            element_at(wArr,
-              (pmod(TextOps.hash32(t), lit(64L)) + 1L).cast("int"))),
-          lit(0L), (acc, x) => acc + x).as("sum_w"))
+        sumWCol(ScorerMult).as("sum_w"))
       .select(col("pos"),
         expr("(sum_w + 500L * n_tokens) * 1000L div n_tokens div 1000L")
           .as("sb"))
-  }
 
   /** The DuckDB spelling of [[hashedScorePm]]: a CTE chain ending in
     * `sb(pos, sb)`. */
-  private[queries] val hashedScorePmSql: String = {
-    val ws = (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
-      .mkString("[", ", ", "]")
+  private[queries] val hashedScorePmSql: String =
     s"""w AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
       |s AS (SELECT (lang = 'en') AS pos,
       |  CAST(len(w) AS BIGINT) AS n_tokens,
-      |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(w, t -> $ws[
-      |      CAST((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64)
-      |        + 1 AS INT)])), (a, b) -> a + b) AS BIGINT) AS sum_w
+      |  ${duckSumW(ScorerMult)} AS sum_w
       |  FROM w),
       |sb AS (SELECT pos,
       |    ((sum_w + 500 * n_tokens) * 1000 // n_tokens) // 1000 AS sb
       |  FROM s)""".stripMargin
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
