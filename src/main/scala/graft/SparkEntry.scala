@@ -101,7 +101,8 @@ object SparkEntry {
       graft.queries.Ext54.queries ++
       graft.queries.Ext55.queries ++
       graft.queries.Ext56.queries ++
-      graft.queries.Ext57.queries
+      graft.queries.Ext57.queries ++
+      graft.queries.Ext58.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -165,5 +166,6 @@ object SparkEntry {
       graft.queries.Ext54.oracleSql ++
       graft.queries.Ext55.oracleSql ++
       graft.queries.Ext56.oracleSql ++
-      graft.queries.Ext57.oracleSql
+      graft.queries.Ext57.oracleSql ++
+      graft.queries.Ext58.oracleSql
 }

@@ -325,7 +325,7 @@ object Ext43 {
        |    (acc, x) -> acc + x)""".stripMargin
   }
 
-  private def idist2Sql(a: String, b: String): String =
+  private[queries] def idist2Sql(a: String, b: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |    list_transform(range(1, 65),
        |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
