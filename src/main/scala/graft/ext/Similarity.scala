@@ -26,6 +26,12 @@ object Similarity {
   def idist2(a: Column, b: Column): Column =
     B.column(graft.functions.GraftIDist2(B.expression(a), B.expression(b)))
 
+  /** Packed Jaro (m << 8) | k counts of two string columns via the
+    * native graft_jaro_mk kernel (x174's hot path; parity with the HOF
+    * fold spec-pinned). */
+  def jaroMk(a: Column, b: Column): Column =
+    B.column(graft.functions.GraftJaroMk(B.expression(a), B.expression(b)))
+
   /** The HOF spelling of [[dot]] — kept for parity testing. */
   def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)

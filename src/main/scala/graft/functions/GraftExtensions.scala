@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         GraftDot(children(0), children(1))))
     ext.injectFunction((
+      new FunctionIdentifier("graft_jaro_mk"),
+      new ExpressionInfo(classOf[GraftJaroMk].getName, "graft_jaro_mk"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        GraftJaroMk(children(0), children(1))))
+    ext.injectFunction((
       new FunctionIdentifier("graft_shingles3_all"),
       new ExpressionInfo(classOf[GraftShingles3All].getName, "graft_shingles3_all"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>

@@ -391,3 +391,34 @@ case class GraftWordGrams(child: Expression, maxN: Int)
   override protected def withNewChildInternal(newChild: Expression): GraftWordGrams =
     copy(child = newChild)
 }
+
+/** Packed Jaro match/transposition counts over two string columns —
+  * (m << 8) | k per HashKernels.jaroMk. The x174 Jaro–Winkler scorer's
+  * hot kernel: the interpreted HOF fold costs O(la·lb) boxed lambda
+  * evaluations per pair (measured 3.07 s at sf0.1 — the chrF-family
+  * interpreted-generator lesson again); this native form keeps the scan
+  * in whole-stage codegen. */
+case class GraftJaroMk(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two string arguments, got ${l.sql}, ${r.sql}")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_jaro_mk"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaroMk(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.jaroMk($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): GraftJaroMk =
+    copy(left = newLeft, right = newRight)
+}

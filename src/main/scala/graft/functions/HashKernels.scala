@@ -372,4 +372,45 @@ object HashKernels {
     }
     n
   }
+
+  /** Jaro match/transposition kernel over two strings (codepoints —
+    * same index space as the SQL fold's substr/ascii spelling): greedy
+    * first-unused in-window matching (w = max(max(la,lb)/2 − 1, 0)),
+    * then k = mismatches between the two matched subsequences in
+    * position order (transpositions t = k/2). Returns (m << 8) | k
+    * (both ≤ string length; the x174 catalog guard caps sides at 62);
+    * 0 when either side is empty or nothing matches. Value-identical
+    * to the interpreted HOF fold in queries/Ext53 (parity
+    * spec-pinned). */
+  def jaroMk(a: UTF8String, b: UTF8String): Long = {
+    val sa = a.toString.codePoints().toArray
+    val sb = b.toString.codePoints().toArray
+    val la = sa.length; val lb = sb.length
+    if (la == 0 || lb == 0) return 0L
+    val w = math.max(math.max(la, lb) / 2 - 1, 0)
+    val used = new Array[Boolean](lb)
+    val mi = new Array[Int](math.min(la, lb))
+    var m = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - w); val hi = math.min(lb - 1, i + w)
+      var j = lo
+      var done = false
+      while (j <= hi && !done) {
+        if (!used(j) && sb(j) == sa(i)) {
+          used(j) = true; mi(m) = i; m += 1; done = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0L
+    var k = 0L; var t = 0; var j2 = 0
+    while (t < m) {
+      while (!used(j2)) j2 += 1
+      if (sb(j2) != sa(mi(t))) k += 1
+      j2 += 1; t += 1
+    }
+    (m.toLong << 8) | k
+  }
 }

@@ -20,6 +20,14 @@ object AbVariants {
 
   def variants: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // x174 interpreted-HOF (m, k) fold (round 10): the pre-native
+    // bitmask-fold spelling — O(la·lb) boxed lambda evaluations per
+    // pair; kept callable as the same-boot cost control for the
+    // graft_jaro_mk codegen kernel adoption (hash-identical output,
+    // parity spec-pinned in Ext53Spec).
+    "x174_jaro_winkler__hoffold" -> ((s, d) =>
+      Ext53.jaroQuery(s, d, nativeMk = false)),
+
     // x143 scheduled form (round 7): the BeamSchedule layered search
     // with scheduleFor(n) knobs on the real corpus — at sf0.1 (n=2000)
     // that is 2 layers like the catalog, but Murmur-hashed layer

@@ -76,32 +76,66 @@ object Ext53 {
         .limit(20)
     }),
 
-    "x174_jaro_winkler" -> ((s, d) => {
-      val docs = documents(s, d)
-      val cand = docs.filter(col("doc_id") % 2 === 1)
-        .select((col("doc_id") - 1L).as("pair_id"),
-          substring(col("text"), 1, 40).as("a"))
-      val ref = docs.filter(col("doc_id") % 2 === 0)
-        .select(col("doc_id").as("pair_id"),
-          substring(col("text"), 1, 40).as("b"))
-      val pairs = cand.join(ref, Seq("pair_id"))
-      val scored = jaroWinkler(pairs)
-      scored
-        .groupBy(expr("jw_ppm div 100000L").as("jw_decile"))
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(col("jw_ppm")).as("sum_jw_ppm"),
-          sum(col("jaro_ppm")).as("sum_jaro_ppm"),
-          sum(col("m")).as("sum_matches"),
-          sum(col("k")).as("sum_half_transpositions"),
-          sum(col("prefix_l")).as("sum_prefix_len"))
-        .orderBy(col("jw_decile"))
-    }))
+    "x174_jaro_winkler" -> ((s, d) => jaroQuery(s, d, nativeMk = true)))
+
+  /** The full x174 body (pair join + scorer + decile rollup) — one
+    * helper shared by the catalog entry and the `__hoffold` AbVariant
+    * (the no-drift rule). */
+  private[graft] def jaroQuery(s: SparkSession, d: String,
+      nativeMk: Boolean): DataFrame = {
+    val docs = documents(s, d)
+    val cand = docs.filter(col("doc_id") % 2 === 1)
+      .select((col("doc_id") - 1L).as("pair_id"),
+        substring(col("text"), 1, 40).as("a"))
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id").as("pair_id"),
+        substring(col("text"), 1, 40).as("b"))
+    val pairs = cand.join(ref, Seq("pair_id"))
+    jaroWinkler(pairs, nativeMk)
+      .groupBy(expr("jw_ppm div 100000L").as("jw_decile"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("jw_ppm")).as("sum_jw_ppm"),
+        sum(col("jaro_ppm")).as("sum_jaro_ppm"),
+        sum(col("m")).as("sum_matches"),
+        sum(col("k")).as("sum_half_transpositions"),
+        sum(col("prefix_l")).as("sum_prefix_len"))
+      .orderBy(col("jw_decile"))
+  }
 
   /** Appends m, k, jaro_ppm, prefix_l, jw_ppm to a frame with string
-    * columns `a`, `b` (each ≤ 62 chars — one bitmask limb per side;
-    * require-guarded below). Shared by the catalog entry and the spec's
-    * planted-classics harness. */
-  private[graft] def jaroWinkler(pairs: DataFrame): DataFrame =
+    * columns `a`, `b` (each ≤ 62 chars — one bitmask limb per side in
+    * the HOF spelling; the domain guard raises on both paths). Shared
+    * by the catalog entry and the spec's planted-classics harness.
+    *
+    * `nativeMk = true` (the catalog path) computes (m, k) with the
+    * native graft_jaro_mk codegen kernel — the interpreted HOF fold
+    * measured 3.07 s at sf0.1 (5th-slowest catalog query), the
+    * chrF-family interpreted-generator lesson; the fold spelling stays
+    * callable as the `x174_jaro_winkler__hoffold` AbVariant and the
+    * parity spec pins value-identity. */
+  private[graft] def jaroWinkler(pairs: DataFrame,
+      nativeMk: Boolean = true): DataFrame =
+    if (nativeMk)
+      jwPrep(pairs)
+        .withColumn("mk", graft.ext.Similarity.jaroMk(col("a"), col("b")))
+        // the domain guard rides the m column (load-bearing on both
+        // paths — a free-standing guard column would be pruned away)
+        .withColumn("m", expr(
+          s"""CASE WHEN la > 62 OR lb > 62 THEN $JwGuardRaise
+             |  ELSE shiftright(mk, 8) END""".stripMargin))
+        .withColumn("k", expr("mk & 255L"))
+        .drop("mk")
+        .transform(jwFinish)
+    else jaroWinklerHof(pairs)
+
+  /** The raise shared by both paths' domain guards (62-char limb). */
+  private val JwGuardRaise: String =
+    """cast(raise_error(concat('x174_jaro_winkler: a side ',
+      |    'exceeds one bitmask limb (62 chars)')) AS BIGINT)""".stripMargin
+
+  /** la/lb + the codepoint arrays (shared: the HOF fold matches on
+    * them; the finish stage's prefix_l reads them on both paths). */
+  private def jwPrep(pairs: DataFrame): DataFrame =
     pairs
       .withColumn("la", length(col("a")).cast("long"))
       .withColumn("lb", length(col("b")).cast("long"))
@@ -113,13 +147,14 @@ object Ext53 {
         """CASE WHEN lb = 0 THEN array()
           |ELSE transform(sequence(1, cast(lb AS INT)),
           |  i -> cast(ascii(substr(b, i, 1)) AS BIGINT)) END""".stripMargin))
+
+  private[graft] def jaroWinklerHof(pairs: DataFrame): DataFrame =
+    jwPrep(pairs)
       // loud path, never silent aliasing: one bitmask limb holds ≤ 62
       // positions (the x155 packed-key guard convention)
       .withColumn("w", expr(
-        """CASE WHEN la > 62 OR lb > 62
-          |  THEN raise_error(concat('x174_jaro_winkler: a side ',
-          |    'exceeds one bitmask limb (62 chars)'))
-          |  ELSE greatest(greatest(la, lb) div 2 - 1, 0L) END"""
+        s"""CASE WHEN la > 62 OR lb > 62 THEN $JwGuardRaise
+           |  ELSE greatest(greatest(la, lb) div 2 - 1, 0L) END"""
           .stripMargin))
       // pass 1: greedy in-window matching; state = [maskB, maskA].
       // The eligible-j window is spelled as a filter over ALL of b's
@@ -156,6 +191,12 @@ object Ext53 {
           |        j -> (shiftright(st[0], j) & 1L) = 1L),
           |      j -> element_at(bcp, j + 1)), t))) AS BIGINT) END"""
           .stripMargin))
+      .transform(jwFinish)
+
+  /** The shared finishing arithmetic over (la, lb, acp, bcp, m, k):
+    * one spelling for both kernel paths. */
+  private def jwFinish(scored: DataFrame): DataFrame =
+    scored
       .withColumn("jaro_ppm", expr(
         """CASE WHEN m = 0 THEN 0L
           |ELSE 1000000L * (2L*m*m*lb + 2L*m*m*la + la*lb*(2L*m - k))

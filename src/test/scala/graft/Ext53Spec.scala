@@ -88,6 +88,16 @@ class Ext53Spec extends AnyFunSuite {
     val got = engine(pairs)
     val exp = pairs.map(p => bruteJw(p._2, p._3))
     assert(got.map(t => (t._2, t._3, t._4, t._5, t._6)) == exp)
+    // kernel parity: the interpreted HOF fold (the __hoffold AbVariant
+    // path) must be value-identical to the native graft_jaro_mk path
+    import spark.implicits._
+    val hof = graft.queries.Ext53
+      .jaroWinklerHof(pairs.toDF("pair_id", "a", "b"))
+      .select("pair_id", "jw_ppm", "jaro_ppm", "m", "k", "prefix_l")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq.sortBy(_._1)
+    assert(hof == got)
   }
 
   test("x174 loud path: a side past one bitmask limb raises") {
