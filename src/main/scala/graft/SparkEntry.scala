@@ -102,7 +102,8 @@ object SparkEntry {
       graft.queries.Ext55.queries ++
       graft.queries.Ext56.queries ++
       graft.queries.Ext57.queries ++
-      graft.queries.Ext58.queries
+      graft.queries.Ext58.queries ++
+      graft.queries.Ext59.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -167,5 +168,6 @@ object SparkEntry {
       graft.queries.Ext55.oracleSql ++
       graft.queries.Ext56.oracleSql ++
       graft.queries.Ext57.oracleSql ++
-      graft.queries.Ext58.oracleSql
+      graft.queries.Ext58.oracleSql ++
+      graft.queries.Ext59.oracleSql
 }

@@ -34,22 +34,7 @@ object Ext28 {
     // over C(n,2) ) all run on the K×|labels| contingency frame in exact
     // integer arithmetic. rand_ppm rides every row via a 1-row broadcast.
     "x106_cluster_purity" -> ((s, d) => {
-      import graft.ext.IvfCentroids.{K, c}
-      val withDots = embeddings(s, d)
-        .select(col("vec_id"), col("label"),
-          col("embedding").cast("array<double>").as("v"))
-        .select(Seq(col("vec_id"), col("label")) ++
-          (0 until K).map(k =>
-            Similarity.dot(col("v"), typedLit(c(k))).as(s"d$k")): _*)
-      val cell = (0 until K).foldRight(lit(K - 1)) { (k, rest) =>
-        if (k == K - 1) rest
-        else when((k + 1 until K).map(j => col(s"d$k") >= col(s"d$j")).reduce(_ && _),
-          lit(k)).otherwise(rest)
-      }
-      val ct = withDots.select(cell.as("cell"), col("label"))
-        .groupBy(col("cell"), col("label"))
-        .agg(count(lit(1)).as("n_cl"))
-        .persistTracked()
+      val ct = cellLabelContingency(s, d)
       val byCell = Window.partitionBy(col("cell"))
       val perCell = ct
         .withColumn("n", sum(col("n_cl")).over(byCell))
@@ -110,24 +95,55 @@ object Ext28 {
         .orderBy(col("source"))
     }))
 
+  /** The x23 Voronoi cell assignment cross-tabulated against the label
+    * column — (cell, label, n_cl), PERSISTED (multiple consumers) —
+    * shared by x106 and x182 (the no-drift rule). The only corpus-scale
+    * work is the partial-aggregable (cell, label) groupBy. */
+  private[graft] def cellLabelContingency(s: SparkSession, d: String)
+      : DataFrame = {
+    import graft.ext.IvfCentroids.{K, c}
+    val withDots = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      .select(Seq(col("vec_id"), col("label")) ++
+        (0 until K).map(k =>
+          Similarity.dot(col("v"), typedLit(c(k))).as(s"d$k")): _*)
+    val cell = (0 until K).foldRight(lit(K - 1)) { (k, rest) =>
+      if (k == K - 1) rest
+      else when((k + 1 until K).map(j => col(s"d$k") >= col(s"d$j")).reduce(_ && _),
+        lit(k)).otherwise(rest)
+    }
+    withDots.select(cell.as("cell"), col("label"))
+      .groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("n_cl"))
+      .persistTracked()
+  }
+
+  /** The DuckDB spelling of [[cellLabelContingency]]: CTEs `anchors`,
+    * `e`, `ed`, `ec`, `ct` — `ct(cell, label, n_cl)`. */
+  private[graft] val cellContingencySql: String = {
+    import graft.ext.IvfCentroids.{K, anchorSqlList}
+    def dot(a: String, b: String) =
+      s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
+    val anchorCols = (0 until K)
+      .map(k => s"${anchorSqlList(k)} AS c$k").mkString(",\n|  ")
+    val dotCols = (0 until K).map(k => s"${dot("v", s"c$k")} AS d$k").mkString(",\n|  ")
+    val cellCase = (0 until K - 1).map(k =>
+      "WHEN " + (k + 1 until K).map(j => s"d$k >= d$j").mkString(" AND ") +
+        s" THEN $k").mkString("CASE ", " ", s" ELSE ${K - 1} END")
+    s"""anchors AS (SELECT
+      |  $anchorCols),
+      |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |ed AS (SELECT vec_id, label, $dotCols FROM e, anchors),
+      |ec AS (SELECT vec_id, label, $cellCase AS cell FROM ed),
+      |ct AS (SELECT cell, label, count(*) AS n_cl FROM ec GROUP BY 1, 2)"""
+      .stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "x106_cluster_purity" -> {
-      import graft.ext.IvfCentroids.{K, anchorSqlList}
-      def dot(a: String, b: String) =
-        s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), i -> $a[i]*$b[i])), (acc,x) -> acc+x)"
-      val anchorCols = (0 until K)
-        .map(k => s"${anchorSqlList(k)} AS c$k").mkString(",\n|  ")
-      val dotCols = (0 until K).map(k => s"${dot("v", s"c$k")} AS d$k").mkString(",\n|  ")
-      val cellCase = (0 until K - 1).map(k =>
-        "WHEN " + (k + 1 until K).map(j => s"d$k >= d$j").mkString(" AND ") +
-          s" THEN $k").mkString("CASE ", " ", s" ELSE ${K - 1} END")
-      s"""WITH anchors AS (SELECT
-        |  $anchorCols),
-        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |ed AS (SELECT vec_id, label, $dotCols FROM e, anchors),
-        |ec AS (SELECT vec_id, label, $cellCase AS cell FROM ed),
-        |ct AS (SELECT cell, label, count(*) AS n_cl FROM ec GROUP BY 1, 2),
+      s"""WITH $cellContingencySql,
         |pc0 AS (SELECT cell, label, n_cl,
         |    CAST(sum(n_cl) OVER (PARTITION BY cell) AS BIGINT) AS n,
         |    row_number() OVER (PARTITION BY cell ORDER BY n_cl DESC, label)

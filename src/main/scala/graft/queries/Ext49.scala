@@ -79,6 +79,35 @@ object Ext49 {
   /** Exact floor(sqrt(x)) for BigInt — the classic monotone Newton
     * descent (b = (a + x/a)/2 strictly decreases until it crosses the
     * root; the last a above the crossing is the floor). */
+  /** The DuckDB spelling of [[isqrt]]: float-seeded Newton descent in
+    * HUGEINT with exact ±1 correction steps (seed error scales with the
+    * result's ulp, so 4 quadratic iterations + the two correction CTEs
+    * land the exact floor; the 2^100 boundary is spec-pinned). One
+    * generator for every oracle that needs an integer sqrt (x160 tau-b,
+    * x180 Cohen's d, x182 Fowlkes–Mallows — the no-drift rule): renders
+    * CTEs `s0_` … `rt3_` reading non-negative HUGEINT `$xCol` from
+    * `$src` and ending in `rt3_` with the floor root as column `r`
+    * (all of `$src`'s columns carried through). */
+  private[graft] def newtonIsqrtCtes(src: String, xCol: String): String =
+    s"""s0_ AS (SELECT *, greatest(
+       |    CAST(ceil(sqrt(CAST($xCol AS DOUBLE))) AS HUGEINT) + 2, 1)
+       |    AS x0 FROM $src),
+       |s1_ AS (SELECT *, greatest((x0 + $xCol // greatest(x0, 1)) // 2, 1)
+       |    AS x1 FROM s0_),
+       |s2_ AS (SELECT *, greatest((x1 + $xCol // greatest(x1, 1)) // 2, 1)
+       |    AS x2 FROM s1_),
+       |s3_ AS (SELECT *, greatest((x2 + $xCol // greatest(x2, 1)) // 2, 1)
+       |    AS x3 FROM s2_),
+       |s4_ AS (SELECT *, greatest((x3 + $xCol // greatest(x3, 1)) // 2, 1)
+       |    AS x4 FROM s3_),
+       |rt_ AS (SELECT *, least(x3, x4) AS r0 FROM s4_),
+       |rt2_ AS (SELECT *,
+       |    CASE WHEN r0 > 0 AND r0 * r0 > $xCol THEN r0 - 1 ELSE r0 END
+       |      AS r1 FROM rt_),
+       |rt3_ AS (SELECT *, CASE WHEN $xCol = 0 THEN 0
+       |    WHEN (r1 + 1) * (r1 + 1) <= $xCol THEN r1 + 1 ELSE r1 END AS r
+       |  FROM rt2_)""".stripMargin
+
   private[graft] def isqrt(x: BigInt): BigInt = {
     require(x >= 0, s"isqrt of negative: $x")
     if (x < 2) x
@@ -575,25 +604,7 @@ object Ext49 {
          |  FROM agg, t1, t2, t3, dd),
          |ab AS (SELECT *, (n0 - t1 - t2 + t3 - 2*d) AS cmd,
          |    (n0 - t1) * (n0 - t2) AS prod FROM b2),
-         |s0 AS (SELECT *, greatest(
-         |    CAST(ceil(sqrt(CAST(prod AS DOUBLE))) AS HUGEINT) + 2, 1)
-         |    AS x0 FROM ab),
-         |s1_ AS (SELECT *, greatest((x0 + prod // greatest(x0, 1)) // 2, 1)
-         |    AS x1 FROM s0),
-         |s2_ AS (SELECT *, greatest((x1 + prod // greatest(x1, 1)) // 2, 1)
-         |    AS x2 FROM s1_),
-         |s3_ AS (SELECT *, greatest((x2 + prod // greatest(x2, 1)) // 2, 1)
-         |    AS x3 FROM s2_),
-         |s4_ AS (SELECT *, greatest((x3 + prod // greatest(x3, 1)) // 2, 1)
-         |    AS x4 FROM s3_),
-         |rt AS (SELECT *, least(x3, x4) AS r0 FROM s4_),
-         |rt2 AS (SELECT *,
-         |    CASE WHEN r0 > 0 AND r0 * r0 > prod THEN r0 - 1 ELSE r0 END
-         |      AS r1 FROM rt),
-         |rt3 AS (SELECT *,
-         |    CASE WHEN prod = 0 THEN 0
-         |         WHEN (r1 + 1) * (r1 + 1) <= prod THEN r1 + 1
-         |         ELSE r1 END AS r FROM rt2)
+         |${newtonIsqrtCtes("ab", "prod")}
          |SELECT n, t1, t2, t3, d AS n_discordant,
          |  CAST(cmd AS BIGINT) AS c_minus_d,
          |  CAST(r AS BIGINT) AS denom_isqrt,
@@ -601,7 +612,7 @@ object Ext49 {
          |       THEN -((-cmd) * 1000000 // greatest(r, 1))
          |       ELSE cmd * 1000000 // greatest(r, 1) END AS BIGINT)
          |    AS tau_b_ppm
-         |FROM rt3""".stripMargin,
+         |FROM rt3_""".stripMargin,
 
     "x161_chrf_pp" ->
       """WITH d AS (SELECT doc_id, source, replace(text, ' ', '') AS t,

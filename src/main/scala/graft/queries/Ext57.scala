@@ -140,7 +140,7 @@ object Ext57 {
          |FROM ag""".stripMargin,
 
     "x180_cohens_d" ->
-      """WITH v AS (SELECT (lang = 'en') AS isa,
+      s"""WITH v AS (SELECT (lang = 'en') AS isa,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
         |  FROM documents),
         |ag AS (SELECT
@@ -159,26 +159,9 @@ object Ext57 {
         |xx AS (SELECT *,
         |    (1000000000000 * dn * dn * (na + nb - 2))
         |      // greatest(na * nb * p, 1) AS x FROM dd),
-        |s0 AS (SELECT *, greatest(
-        |    CAST(ceil(sqrt(CAST(x AS DOUBLE))) AS HUGEINT) + 2, 1) AS x0
-        |  FROM xx),
-        |s1 AS (SELECT *, greatest((x0 + x // greatest(x0, 1)) // 2, 1)
-        |    AS x1 FROM s0),
-        |s2 AS (SELECT *, greatest((x1 + x // greatest(x1, 1)) // 2, 1)
-        |    AS x2 FROM s1),
-        |s3 AS (SELECT *, greatest((x2 + x // greatest(x2, 1)) // 2, 1)
-        |    AS x3 FROM s2),
-        |s4 AS (SELECT *, greatest((x3 + x // greatest(x3, 1)) // 2, 1)
-        |    AS x4 FROM s3),
-        |rt AS (SELECT *, least(x3, x4) AS r0 FROM s4),
-        |rt2 AS (SELECT *,
-        |    CASE WHEN r0 > 0 AND r0 * r0 > x THEN r0 - 1 ELSE r0 END AS r1
-        |  FROM rt),
-        |rt3 AS (SELECT *, CASE WHEN x = 0 THEN 0
-        |    WHEN (r1 + 1) * (r1 + 1) <= x THEN r1 + 1 ELSE r1 END AS r
-        |  FROM rt2)
+        |${Ext49.newtonIsqrtCtes("xx", "x")}
         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |  CAST(dn AS BIGINT) AS mean_diff_num,
         |  CAST(CASE WHEN dn < 0 THEN -r ELSE r END AS BIGINT) AS d_ppm
-        |FROM rt3""".stripMargin)
+        |FROM rt3_""".stripMargin)
 }
