@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.tables.Tables._
+import graft.ingest.GlobalSeq
 
 /** Round-10 batch 9: x182 Adjusted Rand Index + Fowlkes–Mallows — the
   * two standard CHANCE-AWARE partition-agreement scores between the
@@ -54,6 +56,48 @@ object Ext59 {
       Seq((n.toLong, tp.toLong, rowP.toLong, colP.toLong,
         ari.toLong, fm.toLong))
         .toDF("n", "tp_pairs", "rows_p", "cols_p", "ari_ppm", "fm_ppm")
+    }),
+
+    // X183 WILCOXON SIGNED-RANK (1945): the PAIRED-sample location test
+    // next to x164's unpaired Mann–Whitney — is doc 2k+1 systematically
+    // longer than its x152-convention partner doc 2k? Zero diffs drop
+    // (the standard treatment); |diff| ranks are the DETERMINISTIC
+    // total order row_number over (|diff|, pair_id) — the x158 tie
+    // convention, documented, never average ranks. W+ = Σ ranks of
+    // positive diffs; the normal-approximation z rides the exact
+    // identity z² = 3·(4W+ − n(n+1))² / (2n(n+1)(2n+1)) — ONE 1e12
+    // floor + the exact isqrt pair, sign from 4W+ − n(n+1).
+    // Scale shape: the pair equi-join + a GlobalSeq rank (range sort +
+    // O(P) offsets — never a single-task window) + one 1-row agg;
+    // O(1) driver closure. 1e12·3·s² ≤ ~2e27 at sf0.1 —
+    // HUGEINT/BigInt (documented).
+    "x183_wilcoxon_signed_rank" -> ((s, d) => {
+      val v = documents(s, d)
+        .select(col("doc_id"),
+          expr("size(split(text, ' '))").cast("long").as("v"))
+      val p = v.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pair_id"), col("v").as("va"))
+        .join(v.select((col("doc_id") - 1L).as("pair_id"),
+          col("v").as("vb")), Seq("pair_id"))
+        .select(col("pair_id"), (col("vb") - col("va")).as("diff"))
+      val nPairs = p.count()
+      val ranked = GlobalSeq.withSeq(
+          p.filter(col("diff") =!= 0L)
+            .select(col("pair_id"), col("diff"), abs(col("diff")).as("ad")),
+          Seq(col("ad"), col("pair_id")), "z0")
+        .select(col("diff"), (col("z0") + 1L).as("rnk"))
+      val r = ranked.agg(count(lit(1)).as("n"),
+          coalesce(sum(when(col("diff") > 0, col("rnk")).otherwise(0L)),
+            lit(0L)).as("wplus")).head()
+      val n = BigInt(r.getLong(0)); val wplus = BigInt(r.getLong(1))
+      val wminus = n * (n + 1) / 2 - wplus
+      val sgn = 4 * wplus - n * (n + 1)
+      val x = BigInt("1000000000000") * 3 * sgn * sgn /
+        (2 * n * (n + 1) * (2 * n + 1)).max(1)
+      val z = if (sgn < 0) -Ext49.isqrt(x) else Ext49.isqrt(x)
+      import s.implicits._
+      Seq((nPairs, n.toLong, wplus.toLong, wminus.toLong, z.toLong))
+        .toDF("n_pairs", "n_nonzero", "w_plus", "w_minus", "z_ppm")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -82,5 +126,33 @@ object Ext59 {
          |  CAST(CASE WHEN num < 0 THEN -((-num) * 1000000 // den)
          |       ELSE num * 1000000 // den END AS BIGINT) AS ari_ppm,
          |  CAST(r AS BIGINT) AS fm_ppm
+         |FROM rt3_""".stripMargin,
+
+    "x183_wilcoxon_signed_rank" ->
+      s"""WITH v AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+         |  FROM documents),
+         |p AS (SELECT a.doc_id AS pair_id, b.v - a.v AS diff
+         |  FROM v a JOIN v b
+         |    ON a.doc_id % 2 = 0 AND b.doc_id = a.doc_id + 1),
+         |nz AS (SELECT pair_id, diff,
+         |    CAST(row_number() OVER (ORDER BY abs(diff), pair_id)
+         |      AS HUGEINT) AS rnk
+         |  FROM p WHERE diff <> 0),
+         |ag AS (SELECT
+         |    (SELECT CAST(count(*) AS BIGINT) FROM p) AS n_pairs,
+         |    CAST(count(*) AS HUGEINT) AS n,
+         |    CAST(coalesce(sum(CASE WHEN diff > 0 THEN rnk ELSE 0 END),
+         |      0) AS HUGEINT) AS wplus
+         |  FROM nz),
+         |dd AS (SELECT *, n * (n + 1) // 2 - wplus AS wminus,
+         |    4 * wplus - n * (n + 1) AS s FROM ag),
+         |xx AS (SELECT *, (1000000000000 * 3 * s * s)
+         |    // greatest(2 * n * (n + 1) * (2 * n + 1), 1) AS x FROM dd),
+         |${Ext49.newtonIsqrtCtes("xx", "x")}
+         |SELECT n_pairs, CAST(n AS BIGINT) AS n_nonzero,
+         |  CAST(wplus AS BIGINT) AS w_plus,
+         |  CAST(wminus AS BIGINT) AS w_minus,
+         |  CAST(CASE WHEN s < 0 THEN -r ELSE r END AS BIGINT) AS z_ppm
          |FROM rt3_""".stripMargin)
 }
