@@ -98,6 +98,58 @@ object Ext59 {
       import s.implicits._
       Seq((nPairs, n.toLong, wplus.toLong, wminus.toLong, z.toLong))
         .toDF("n_pairs", "n_nonzero", "w_plus", "w_minus", "z_ppm")
+    }),
+
+    // X184 BROWN–FORSYTHE variance-equality test (1974; Levene's test
+    // on |v − group MEDIAN|): do the per-lang token-count SPREADS
+    // differ — the scale-family counterpart to x180's location effect
+    // (a t/d comparison is only calibrated under equal variances; this
+    // is the test that checks it, median-centered so heavy tails don't
+    // inflate it). One-way ANOVA F over z = |v − med_g| rides the x177
+    // scatter identities (B = ΣS_g²/n_g − S²/N, W = Σz² − ΣS_g²/n_g)
+    // with the same per-group ×1e6 floor spelling. The group median is
+    // the nearest-rank LOWER median ((n+1) div 2) computed on the
+    // VALUE-KEYED histogram — the cumulative window orders ≤ |token
+    // domain| rows per lang (the x157/x126 value-bounded convention),
+    // never corpus rows. Corpus work: two scans (histogram, then z
+    // sums against the broadcast 5-row median frame); O(k) driver
+    // BigInt closure.
+    "x184_brown_forsythe" -> ((s, d) => {
+      val v = documents(s, d)
+        .select(col("lang"),
+          expr("size(split(text, ' '))").cast("long").as("v"))
+      val hist = v.groupBy(col("lang"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val byLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      val nG = hist.groupBy(col("lang")).agg(sum(col("cnt")).as("n_g"))
+      val med = hist
+        .withColumn("cum", sum(col("cnt")).over(byLang))
+        .join(broadcast(nG), Seq("lang"))
+        .filter(col("cum") >= expr("(n_g + 1L) div 2L"))
+        .groupBy(col("lang")).agg(min(col("v")).as("m"))
+      val sg = v.join(broadcast(med), Seq("lang"))
+        .select(col("lang"), abs(col("v") - col("m")).as("z"))
+        .groupBy(col("lang"))
+        .agg(sum(col("z")).as("s"), sum(expr("z * z")).as("q"),
+          count(lit(1)).as("n_g"))
+        .collect()
+      val M = BigInt(1000000)
+      val n = sg.map(r => BigInt(r.getLong(3))).sum
+      val k = BigInt(sg.length)
+      val t = sg.map(r => BigInt(r.getLong(2))).sum
+      val a6 = sg.map(r =>
+        BigInt(r.getLong(1)) * r.getLong(1) * M / r.getLong(3)).sum
+      val ss = sg.map(r => BigInt(r.getLong(1))).sum
+      val b6 = a6 - ss * ss * M / n.max(1)
+      val w6 = t * M - a6
+      val f = b6 * (n - k) * M / (w6.max(1) * (k - 1).max(1))
+      import s.implicits._
+      Seq((n.toLong, k.toLong, b6.toLong, w6.toLong, f.toLong))
+        .toDF("n", "k", "b_x1e6", "w_x1e6", "f_ppm")
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -154,5 +206,32 @@ object Ext59 {
          |  CAST(wplus AS BIGINT) AS w_plus,
          |  CAST(wminus AS BIGINT) AS w_minus,
          |  CAST(CASE WHEN s < 0 THEN -r ELSE r END AS BIGINT) AS z_ppm
-         |FROM rt3_""".stripMargin)
+         |FROM rt3_""".stripMargin,
+
+    "x184_brown_forsythe" ->
+      """WITH v AS (SELECT lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |med AS (SELECT lang, v AS m FROM (
+        |    SELECT lang, v,
+        |      row_number() OVER (PARTITION BY lang ORDER BY v) AS rn,
+        |      count(*) OVER (PARTITION BY lang) AS n FROM v)
+        |  WHERE rn = (n + 1) // 2),
+        |z AS (SELECT v.lang, abs(v.v - med.m) AS z FROM v
+        |  JOIN med ON v.lang = med.lang),
+        |sg AS (SELECT lang, CAST(sum(z) AS HUGEINT) AS s,
+        |    CAST(sum(z * z) AS HUGEINT) AS q,
+        |    CAST(count(*) AS HUGEINT) AS n_g
+        |  FROM z GROUP BY lang),
+        |ag AS (SELECT CAST(sum(n_g) AS HUGEINT) AS n,
+        |    CAST(count(*) AS HUGEINT) AS k,
+        |    sum((s * s * 1000000) // n_g) AS a6,
+        |    sum(q) AS t, sum(s) AS ss FROM sg)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+        |  CAST(a6 - (ss * ss * 1000000) // n AS BIGINT) AS b_x1e6,
+        |  CAST(t * 1000000 - a6 AS BIGINT) AS w_x1e6,
+        |  CAST(((a6 - (ss * ss * 1000000) // n) * (n - k) * 1000000)
+        |    // (greatest(t * 1000000 - a6, 1) * greatest(k - 1, 1))
+        |    AS BIGINT) AS f_ppm
+        |FROM ag""".stripMargin)
 }

@@ -78,4 +78,71 @@ class Ext59WilcoxonSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1))).toSeq
     assert(engine(sf) == replay(docs))
   }
+
+  // ---- x184 Brown–Forsythe -------------------------------------------
+
+  private def replayBf(docs: Seq[(String, String)])
+      : (Long, Long, Long, Long, Long) = {
+    val byLang = docs.map { case (lang, t) =>
+      lang -> t.split(" ", -1).length.toLong
+    }.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def medOf(vs: Seq[Long]): Long = {
+      val s = vs.sorted; s(((s.length + 1) / 2 - 1).toInt)
+    }
+    val zs = byLang.map { case (lang, vs) =>
+      val m = medOf(vs); lang -> vs.map(x => math.abs(x - m))
+    }
+    val M = BigInt(1000000)
+    val n = BigInt(zs.values.map(_.length).sum)
+    val k = BigInt(zs.size)
+    val t = zs.values.flatten.map(z => BigInt(z) * z).sum
+    val a6 = zs.values.map { v =>
+      val s = v.map(BigInt(_)).sum; s * s * M / v.length
+    }.sum
+    val ss = zs.values.flatten.map(BigInt(_)).sum
+    val b6 = a6 - ss * ss * M / n.max(1)
+    val w6 = t * M - a6
+    val f = b6 * (n - k) * M / (w6.max(1) * (k - 1).max(1))
+    (n.toLong, k.toLong, b6.toLong, w6.toLong, f.toLong)
+  }
+
+  private def engineBf(dir: String): (Long, Long, Long, Long, Long) = {
+    val r = SparkEntry.queries("x184_brown_forsythe")(spark, dir).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+  }
+
+  private def writeBf(dir: String, docs: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    docs.zipWithIndex.map { case ((lang, text), i) => (i.toLong, lang, text) }
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  test("x184 planted two-group geometry: the per-group ×1e6 floors " +
+    "land exactly; equal-spread groups give B = 0") {
+    val dir = TestSpark.scratchDir("x184a")
+    // A: {10,10,20} → med 10, z {0,0,10}; B: {10,20,30} → med 20,
+    // z {10,0,10}: A6 = 33333333 + 133333333, B6 = 16666666
+    val docs = Seq(("a", toks(10)), ("a", toks(10)), ("a", toks(20)),
+      ("b", toks(10)), ("b", toks(20)), ("b", toks(30)))
+    writeBf(dir, docs)
+    val got = engineBf(dir)
+    assert(got == replayBf(docs))
+    assert(got._3 == 16666666L)
+    val dir2 = TestSpark.scratchDir("x184b")
+    // identical z-profiles → B exactly 0
+    val docs2 = Seq(("a", toks(10)), ("a", toks(20)),
+      ("b", toks(30)), ("b", toks(40)))
+    writeBf(dir2, docs2)
+    val got2 = engineBf(dir2)
+    assert(got2 == replayBf(docs2))
+    assert(got2._3 == 0L && got2._5 == 0L)
+  }
+
+  test("x184 sf0.001 == brute replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(engineBf(sf) == replayBf(docs))
+  }
 }
