@@ -28,6 +28,13 @@ object AbVariants {
     "x174_jaro_winkler__hoffold" -> ((s, d) =>
       Ext53.jaroQuery(s, d, nativeMk = false)),
 
+    // x64 persist-free form (round 10): without the hash-frame persist
+    // the REAL PNG/BMP encode+decode pipeline runs three times (band
+    // explode + both verify joins). Kept callable as the same-boot cost
+    // control for the adopted persist (BENCH_AB_r10_x64persist.json).
+    "x64_image_ahash__nopersist" -> ((s, d) =>
+      Ext11.imageAhash(s, d, persist = false)),
+
     // x143 scheduled form (round 7): the BeamSchedule layered search
     // with scheduleFor(n) knobs on the real corpus — at sf0.1 (n=2000)
     // that is 2 layers like the catalog, but Murmur-hashed layer
