@@ -13,11 +13,10 @@ import graft.GraftCaches.TrackedPersist
   */
 object Ext32 {
 
-  /** The 64-bucket weight table both engines bake as literals: a fixed
-    * integer formula (Knuth multiplicative constant), zero-mean-ish in
-    * [-500, 499]. */
+  /** The 64-bucket weight table both engines bake as literals (the
+    * Ext33 scorer family's table — one formula, never a copy). */
   private val hashedWeights: Seq[Long] =
-    (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
+    Ext33.scorerWeights(Ext33.ScorerMult)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
