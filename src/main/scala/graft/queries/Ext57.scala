@@ -42,6 +42,9 @@ object Ext57 {
     * the oracle renders the same table). */
   val McnemarMultB = 2246822519L
 
+  /** Classifier C's multiplier (x185's third arm; xxHash prime 2). */
+  val CochranMultC = 3266489917L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     "x179_mcnemar" -> ((s, d) => {
@@ -100,6 +103,40 @@ object Ext57 {
       import s.implicits._
       Seq((na.toLong, nb.toLong, dn.toLong, dPpm.toLong))
         .toDF("n_a", "n_b", "mean_diff_num", "d_ppm")
+    }),
+
+    // X185 COCHRAN'S Q (1950): x179's k-classifier generalization — do
+    // THREE classifiers (the shared scorer under three weight mixes,
+    // all computed in ONE per-row pass) have equal accuracy on the same
+    // documents? Q = (k−1)·(k·ΣG_j² − (ΣG_j)²) / (k·ΣL_i − ΣL_i²) over
+    // the per-classifier correct counts G_j and per-doc correct counts
+    // L_i — exact integers end to end, one ppm floor (reduces to
+    // McNemar exactly at k = 2). One corpus scan + a 1-row agg.
+    "x185_cochran_q" -> ((s, d) => {
+      val k = 3L
+      val sc = documents(s, d)
+        .select(col("lang"), TextOps.words(col("text")).as("w"))
+        .select((col("lang") === "en").as("pos"),
+          size(col("w")).cast("long").as("n_tokens"),
+          Ext33.sumWCol(Ext33.ScorerMult).as("sum_0"),
+          Ext33.sumWCol(McnemarMultB).as("sum_1"),
+          Ext33.sumWCol(CochranMultC).as("sum_2"))
+      val ok = (0 to 2).map(j => when(
+        (expr(s"(sum_$j + 500L * n_tokens) * 1000L div n_tokens div 1000L")
+          >= 500L) === col("pos"), 1L).otherwise(0L).as(s"ok_$j"))
+      sc.select(ok: _*)
+        .withColumn("l", expr("ok_0 + ok_1 + ok_2"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("ok_0")).as("g_a"), sum(col("ok_1")).as("g_b"),
+          sum(col("ok_2")).as("g_c"),
+          sum(col("l")).as("sum_l"), sum(expr("l * l")).as("sum_l2"))
+        .select(col("n"), col("g_a"), col("g_b"), col("g_c"),
+          col("sum_l"), col("sum_l2"),
+          expr(s"""1000000L * (${k - 1}L * (${k}L
+                  |  * (g_a*g_a + g_b*g_b + g_c*g_c)
+                  |  - (g_a + g_b + g_c) * (g_a + g_b + g_c)))
+                  | div greatest(${k}L * sum_l - sum_l2, 1L)"""
+            .stripMargin).as("q_ppm"))
     }))
 
   val oracleSql: Map[String, String] = Map(
@@ -163,5 +200,35 @@ object Ext57 {
         |SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |  CAST(dn AS BIGINT) AS mean_diff_num,
         |  CAST(CASE WHEN dn < 0 THEN -r ELSE r END AS BIGINT) AS d_ppm
-        |FROM rt3_""".stripMargin)
+        |FROM rt3_""".stripMargin,
+
+    "x185_cochran_q" -> {
+      val oks = (0 to 2).map(j =>
+        s"""(CASE WHEN (((sum_$j + 500 * n_tokens) * 1000 // n_tokens)
+           |  // 1000 >= 500) = pos THEN 1 ELSE 0 END)""".stripMargin)
+      s"""WITH w AS (SELECT lang, string_split(text, ' ') AS w
+         |  FROM documents),
+         |s AS (SELECT (lang = 'en') AS pos,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  ${Ext33.duckSumW(Ext33.ScorerMult)} AS sum_0,
+         |  ${Ext33.duckSumW(McnemarMultB)} AS sum_1,
+         |  ${Ext33.duckSumW(CochranMultC)} AS sum_2
+         |  FROM w),
+         |o AS (SELECT ${oks.zipWithIndex.map { case (e, j) =>
+              s"$e AS ok_$j" }.mkString(",\n|    ")},
+         |    ${oks.mkString(" + ")} AS l
+         |  FROM s),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(ok_0) AS BIGINT) AS g_a,
+         |    CAST(sum(ok_1) AS BIGINT) AS g_b,
+         |    CAST(sum(ok_2) AS BIGINT) AS g_c,
+         |    CAST(sum(l) AS BIGINT) AS sum_l,
+         |    CAST(sum(l * l) AS BIGINT) AS sum_l2
+         |  FROM o)
+         |SELECT n, g_a, g_b, g_c, sum_l, sum_l2,
+         |  CAST(1000000 * (2 * (3 * (g_a*g_a + g_b*g_b + g_c*g_c)
+         |    - (g_a + g_b + g_c) * (g_a + g_b + g_c)))
+         |    // greatest(3 * sum_l - sum_l2, 1) AS BIGINT) AS q_ppm
+         |FROM ag""".stripMargin
+    })
 }

@@ -128,6 +128,63 @@ class Ext57Spec extends AnyFunSuite {
     assert(got._3 == 0L && got._4 == 0L)
   }
 
+  // ---- x185 Cochran's Q ----------------------------------------------
+
+  import graft.queries.Ext57.CochranMultC
+
+  private def replayQ(docs: Seq[(String, String)])
+      : (Long, Long, Long, Long, Long, Long, Long) = {
+    val mults = Seq(MultA, McnemarMultB, CochranMultC)
+    val oks = docs.map { case (lang, text) =>
+      val pos = lang == "en"
+      mults.map(m => if ((sbOf(text, m) >= 500) == pos) 1L else 0L)
+    }
+    val n = oks.length.toLong
+    val g = (0 to 2).map(j => oks.map(_(j)).sum)
+    val sl = oks.map(_.sum).sum
+    val sl2 = oks.map(o => o.sum * o.sum).sum
+    val num = 2L * (3L * g.map(x => x * x).sum - g.sum * g.sum)
+    val q = 1000000L * num / math.max(3L * sl - sl2, 1L)
+    (n, g(0), g(1), g(2), sl, sl2, q)
+  }
+
+  private def engineQ(dir: String) = {
+    val r = SparkEntry.queries("x185_cochran_q")(spark, dir).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6))
+  }
+
+  test("x185 planted corpus == raw-md5 replay; all-agree classifiers " +
+    "give Q = 0") {
+    val dir = TestSpark.scratchDir("x185a")
+    val rnd = new scala.util.Random(185)
+    val vocab = Vector("spark", "join", "hash", "scan", "merge", "row",
+      "filter", "agg", "sort", "key")
+    val docs = (1 to 50).map { i =>
+      ((if (i % 4 == 0) "en" else "fr"),
+        (0 until 4 + rnd.nextInt(16))
+          .map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    write(dir, docs)
+    assert(engineQ(dir) == replayQ(docs))
+    // degenerate all-equal case: every doc scored right or wrong by all
+    // three identically ⇒ ΣG² term cancels and Q = 0 — use one doc so
+    // L ∈ {0, 3} forces agreement
+    val dir2 = TestSpark.scratchDir("x185b")
+    val one = Seq(("en", "spark join hash"))
+    write(dir2, one)
+    val got2 = engineQ(dir2)
+    assert(got2 == replayQ(one))
+    assert(got2._7 == 0L || got2._5 % 3 != 0)
+  }
+
+  test("x185 sf0.001 == raw-md5 replay") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(engineQ(sf) == replayQ(docs))
+  }
+
   test("x180 sf0.001 == exact-BigInt replay") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("lang", "text").collect()
