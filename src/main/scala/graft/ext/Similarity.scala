@@ -26,7 +26,7 @@ object Similarity {
   def idist2(a: Column, b: Column): Column =
     B.column(graft.functions.GraftIDist2(B.expression(a), B.expression(b)))
 
-  /** Packed Jaro (m << 8) | k counts of two string columns via the
+  /** Packed Jaro (m << 32) | k counts of two string columns via the
     * native graft_jaro_mk kernel (x174's hot path; parity with the HOF
     * fold spec-pinned). */
   def jaroMk(a: Column, b: Column): Column =

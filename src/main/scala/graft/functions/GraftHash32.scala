@@ -393,7 +393,7 @@ case class GraftWordGrams(child: Expression, maxN: Int)
 }
 
 /** Packed Jaro match/transposition counts over two string columns —
-  * (m << 8) | k per HashKernels.jaroMk. The x174 Jaro–Winkler scorer's
+  * (m << 32) | k per HashKernels.jaroMk. The x174 Jaro–Winkler scorer's
   * hot kernel: the interpreted HOF fold costs O(la·lb) boxed lambda
   * evaluations per pair (measured 3.07 s at sf0.1 — the chrF-family
   * interpreted-generator lesson again); this native form keeps the scan

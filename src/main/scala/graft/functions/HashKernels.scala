@@ -377,11 +377,12 @@ object HashKernels {
     * same index space as the SQL fold's substr/ascii spelling): greedy
     * first-unused in-window matching (w = max(max(la,lb)/2 − 1, 0)),
     * then k = mismatches between the two matched subsequences in
-    * position order (transpositions t = k/2). Returns (m << 8) | k
-    * (both ≤ string length; the x174 catalog guard caps sides at 62);
-    * 0 when either side is empty or nothing matches. Value-identical
-    * to the interpreted HOF fold in queries/Ext53 (parity
-    * spec-pinned). */
+    * position order (transpositions t = k/2). Returns (m << 32) | k —
+    * 32 bits each, safe for ANY string lengths (the expression is
+    * SQL-registered, so callers are not bounded by the x174 catalog's
+    * 62-char guard); 0 when either side is empty or nothing matches.
+    * Value-identical to the interpreted HOF fold in queries/Ext53
+    * (parity spec-pinned). */
   def jaroMk(a: UTF8String, b: UTF8String): Long = {
     val sa = a.toString.codePoints().toArray
     val sb = b.toString.codePoints().toArray
@@ -411,6 +412,6 @@ object HashKernels {
       if (sb(j2) != sa(mi(t))) k += 1
       j2 += 1; t += 1
     }
-    (m.toLong << 8) | k
+    (m.toLong << 32) | k
   }
 }

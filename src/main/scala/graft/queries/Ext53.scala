@@ -122,8 +122,8 @@ object Ext53 {
         // paths — a free-standing guard column would be pruned away)
         .withColumn("m", expr(
           s"""CASE WHEN la > 62 OR lb > 62 THEN $JwGuardRaise
-             |  ELSE shiftright(mk, 8) END""".stripMargin))
-        .withColumn("k", expr("mk & 255L"))
+             |  ELSE shiftright(mk, 32) END""".stripMargin))
+        .withColumn("k", expr("mk & 4294967295L"))
         .drop("mk")
         .transform(jwFinish)
     else jaroWinklerHof(pairs)
