@@ -58,6 +58,32 @@ object Ext59 {
         .toDF("n", "tp_pairs", "rows_p", "cols_p", "ari_ppm", "fm_ppm")
     }),
 
+    // X186 B-CUBED PRECISION/RECALL/F (Bagga & Baldwin 1998): the
+    // per-ELEMENT clustering agreement score — unlike the pair-counting
+    // family (x106 Rand, x182 ARI/FM), B³ weights every element's own
+    // neighborhood, the standard for coreference/dedup-cluster eval.
+    // The O(n²) per-element definition collapses to the contingency
+    // identity P = (1/n)Σ_ij n_ij²/a_i, R = (1/n)Σ_ij n_ij²/b_j
+    // (fraction-exact, spec-pinned); spelled with per-group ×1e6
+    // floors (≤ 1 ppm, the x177 convention) + one harmonic floor for
+    // F. Same shared contingency, same O(K·|labels|) driver closure.
+    "x186_bcubed" -> ((s, d) => {
+      val ct = Ext28.cellLabelContingency(s, d).collect()
+      val M = BigInt(1000000)
+      val n = ct.map(r => BigInt(r.getLong(2))).sum
+      def side(group: org.apache.spark.sql.Row => Any): BigInt =
+        ct.groupBy(group).values.map { rs =>
+          val q = rs.map(r => BigInt(r.getLong(2)) * r.getLong(2)).sum
+          q * M / rs.map(r => BigInt(r.getLong(2))).sum
+        }.sum / n.max(1)
+      val p6 = side(_.getInt(0))
+      val r6 = side(_.getInt(1))
+      val f6 = 2 * p6 * r6 / (p6 + r6).max(1)
+      import s.implicits._
+      Seq((n.toLong, p6.toLong, r6.toLong, f6.toLong))
+        .toDF("n", "bcubed_p_ppm", "bcubed_r_ppm", "bcubed_f_ppm")
+    }),
+
     // X183 WILCOXON SIGNED-RANK (1945): the PAIRED-sample location test
     // next to x164's unpaired Mann–Whitney — is doc 2k+1 systematically
     // longer than its x152-convention partner doc 2k? Zero diffs drop
@@ -153,6 +179,23 @@ object Ext59 {
     }))
 
   val oracleSql: Map[String, String] = Map(
+
+    "x186_bcubed" ->
+      s"""WITH ${Ext28.cellContingencySql},
+         |nn AS (SELECT CAST(sum(n_cl) AS HUGEINT) AS n FROM ct),
+         |pc AS (SELECT cell, CAST(sum(n_cl * n_cl) AS HUGEINT) AS q,
+         |    CAST(sum(n_cl) AS HUGEINT) AS a FROM ct GROUP BY cell),
+         |rc AS (SELECT label, CAST(sum(n_cl * n_cl) AS HUGEINT) AS q,
+         |    CAST(sum(n_cl) AS HUGEINT) AS b FROM ct GROUP BY label),
+         |p6 AS (SELECT sum(q * 1000000 // a) // (SELECT n FROM nn) AS p
+         |  FROM pc),
+         |r6 AS (SELECT sum(q * 1000000 // b) // (SELECT n FROM nn) AS r
+         |  FROM rc)
+         |SELECT CAST((SELECT n FROM nn) AS BIGINT) AS n,
+         |  CAST(p AS BIGINT) AS bcubed_p_ppm,
+         |  CAST(r AS BIGINT) AS bcubed_r_ppm,
+         |  CAST(2 * p * r // greatest(p + r, 1) AS BIGINT) AS bcubed_f_ppm
+         |FROM p6, r6""".stripMargin,
 
     "x182_adjusted_rand" ->
       s"""WITH ${Ext28.cellContingencySql},

@@ -87,4 +87,51 @@ class Ext59Spec extends AnyFunSuite {
       .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
     assert(engine(sf) == replay(rows))
   }
+
+  // ---- x186 B-cubed ----------------------------------------------------
+
+  /** Replay from raw assignments (independent of Ext28's frame),
+    * grouped by denominator so the floors match the engine's spelling
+    * exactly; the per-element O(n²) ⇔ contingency-identity equivalence
+    * is Fraction-exact (pinned in the python prototype and by algebra:
+    * Σ_e |cl(e) ∩ cls(e)|/|cl(e)| regroups by (cell, label) cell). */
+  private def replayB3(rows: Seq[(Int, Array[Float])])
+      : (Long, Long, Long, Long) = {
+    val asg = rows.map { case (lab, v) => (cellOf(v), lab) }
+    val n = BigInt(asg.length)
+    val M = BigInt(1000000)
+    // group the per-element fractions by their denominators so the
+    // per-group floors match the engine's spelling exactly
+    def side(keyOf: ((Int, Int)) => Int): BigInt =
+      asg.groupBy(keyOf).values.map { grp =>
+        val q = grp.groupBy(identity).values
+          .map(g => BigInt(g.length) * g.length).sum
+        q * M / grp.length
+      }.sum / n.max(1)
+    val p = side(_._1)
+    val r = side(_._2)
+    (n.toLong, p.toLong, r.toLong, (2 * p * r / (p + r).max(1)).toLong)
+  }
+
+  private def engineB3(dir: String): (Long, Long, Long, Long) = {
+    val r = SparkEntry.queries("x186_bcubed")(spark, dir).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("x186 planted identical partitions: P = R = F = exactly 1e6") {
+    val dir = TestSpark.scratchDir("x186a")
+    def onAnchor(k: Int) = c(k).map(x => (0.5 * x).toFloat).toArray
+    val ident = (0 until 40).map(i => (i % K, onAnchor(i % K)))
+    write(dir, ident)
+    val got = engineB3(dir)
+    assert(got == replayB3(ident))
+    assert(got == ((40L, 1000000L, 1000000L, 1000000L)))
+  }
+
+  test("x186 sf0.001 == per-element brute replay") {
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("label", "embedding").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1).toArray)).toSeq
+    assert(engineB3(sf) == replayB3(rows))
+  }
 }
