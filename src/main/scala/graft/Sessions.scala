@@ -10,6 +10,12 @@ import org.apache.spark.sql.SparkSession
   *   is part of the 100 TB design, so the test plans should run under it too
   * - nanosAsLong: the driver's events.parquet carries TIMESTAMP(NANOS),
   *   which the parquet reader otherwise rejects (see tables/Tables.events)
+  * - ansi.enabled pinned true (the Spark 4 default, made explicit,
+  *   ADVICE r10): several catalog queries ride LongType with documented
+  *   headroom boundaries (e.g. x173's 1e6·(nd·s2 − s²) at ~2e4 docs)
+  *   whose loud-overflow guarantee IS ANSI arithmetic — a deployment
+  *   that flipped ansi off would silently wrap and diverge from the
+  *   DuckDB oracle's overflow error
   */
 object Sessions {
   def local(appName: String): SparkSession = {
@@ -20,6 +26,7 @@ object Sessions {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")

@@ -103,7 +103,9 @@ object SparkEntry {
       graft.queries.Ext56.queries ++
       graft.queries.Ext57.queries ++
       graft.queries.Ext58.queries ++
-      graft.queries.Ext59.queries
+      graft.queries.Ext59.queries ++
+      graft.queries.Ext60.queries ++
+      graft.queries.Ext61.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -169,5 +171,7 @@ object SparkEntry {
       graft.queries.Ext56.oracleSql ++
       graft.queries.Ext57.oracleSql ++
       graft.queries.Ext58.oracleSql ++
-      graft.queries.Ext59.oracleSql
+      graft.queries.Ext59.oracleSql ++
+      graft.queries.Ext60.oracleSql ++
+      graft.queries.Ext61.oracleSql
 }

@@ -75,8 +75,9 @@ object Ext32 {
     // weight sum, and acceptance is its sign. JOINLESS AND SHUFFLE-FREE
     // before the output sort: one fold per row, the hashing and lookup
     // inside the scan projection. The shifted per-mille score keeps every
-    // division operand positive (Spark div truncates toward zero, DuckDB
-    // // floors — they only agree on non-negatives).
+    // division operand positive (both Spark div and DuckDB // truncate
+    // toward zero — verified round 11 — so this is the defensive parity
+    // convention, not a semantic necessity).
     "x117_hashed_classifier" -> ((s, d) => {
       val wArr = array(hashedWeights.map(lit(_)): _*)
       documents(s, d)

@@ -29,8 +29,10 @@ object Ext35 {
     // (sum div n), distances are exact Long squared distances, and the
     // per-point score is an exact ppm ratio: s = (b²−a²)/max(a²,b²) with
     // a = own centroid, b = nearest other centroid. Sign is computed
-    // separately so integer division only ever sees positives (Spark
-    // `div` truncates, DuckDB `//` floors — they only agree ≥0).
+    // separately so integer division only ever sees positives (both
+    // Spark `div` and DuckDB `//` truncate toward zero — verified
+    // round 11, −7 // 2 = −3 — so this is the family's defensive
+    // parity convention, not a semantic necessity).
     // Shuffles: one posexplode rollup for centroids (K·D rows), one
     // broadcast of K centroid rows, one keyed rollup — the corpus
     // never self-joins. Long bounds: q ∈ [0, 2000] ⇒ dist² ≤ 64·2000²

@@ -22,8 +22,9 @@ object Ext44 {
     // kappa = (pₒ − pₑ)/(1 − pₑ) in EXACT integer arithmetic:
     // numerator n·(n11+n00) − (nA1·nB1 + nA0·nB0), denominator
     // n² − (nA1·nB1 + nA0·nB0); the ppm value is a sign-split two-step
-    // floor (Spark div truncates toward zero while DuckDB // floors, so
-    // negatives route through |·| and a sign factor — x127's rule).
+    // floor (both Spark div and DuckDB // truncate toward zero —
+    // verified round 11 — so routing negatives through |·| and a sign
+    // factor is the family's defensive parity convention).
     // One corpus scan, one partial-aggregable rollup to a single row —
     // per-row expression work and a 5-long aggregate at any scale.
     "x144_cohens_kappa" -> ((s, d) => {

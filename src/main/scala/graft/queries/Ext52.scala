@@ -46,7 +46,11 @@ import graft.ingest.GlobalSeq
   *     needs mass·1e6 to fit (bucket mass ≤ ~9.2e12 tokens); x173 needs
   *     1e6·N·S2 to fit — at this corpus's sf0.1 (N = 5e3, S2 ≤ 4.9e7)
   *     headroom is ~37×; past ~2e4 docs of this shape the spelling
-  *     shifts to decimal(38,0) / HUGEINT.
+  *     shifts to decimal(38,0) / HUGEINT. The loud-failure guarantee at
+  *     that boundary is ANSI arithmetic, which Sessions.local now PINS
+  *     (spark.sql.ansi.enabled=true, ADVICE r10) — a non-ANSI
+  *     deployment would otherwise wrap silently and diverge from the
+  *     DuckDB oracle's overflow error.
   */
 object Ext52 {
 

@@ -21,8 +21,12 @@ import graft.ingest.GlobalSeq
   *   FM  = TP / sqrt(RowP·ColP)
   *
   * — ARI exact rational in ONE signed ppm floor (sign handled
-  * explicitly: BigInt / truncates toward zero while DuckDB // floors,
-  * so negatives take the x160 −((−num)·1e6 div den) spelling); FM via
+  * explicitly via the x160 −((−num)·1e6 div den) spelling; verified
+  * round 11: DuckDB's // ALSO truncates toward zero (−7 // 2 = −3,
+  * HUGEINT included), so the sign-split is not semantically required
+  * — it is kept only as the family's defensive parity convention so
+  * no query's correctness ever rests on an engine's division
+  * rounding); FM via
   * one 1e12-space floor + the exact integer sqrt pair (driver BigInt
   * Newton / the shared [[Ext49.newtonIsqrtCtes]] HUGEINT chain).
   *
@@ -98,14 +102,19 @@ object Ext59 {
     // O(1) driver closure. 1e12·3·s² ≤ ~2e27 at sf0.1 —
     // HUGEINT/BigInt (documented).
     "x183_wilcoxon_signed_rank" -> ((s, d) => {
+      import graft.GraftCaches.TrackedPersist
       val v = documents(s, d)
         .select(col("doc_id"),
           expr("size(split(text, ' '))").cast("long").as("v"))
+      // persisted: nPairs is a separate action from the ranked agg, and
+      // without the persist the scan + pair equi-join ran twice per
+      // query (ADVICE r10)
       val p = v.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("pair_id"), col("v").as("va"))
         .join(v.select((col("doc_id") - 1L).as("pair_id"),
           col("v").as("vb")), Seq("pair_id"))
         .select(col("pair_id"), (col("vb") - col("va")).as("diff"))
+        .persistTracked()
       val nPairs = p.count()
       val ranked = GlobalSeq.withSeq(
           p.filter(col("diff") =!= 0L)
