@@ -28,6 +28,15 @@ object AbVariants {
     "x174_jaro_winkler__hoffold" -> ((s, d) =>
       Ext53.jaroQuery(s, d, nativeMk = false)),
 
+    // x178 phonetic-key blocking (round 11, VERDICT r10 #5): the same
+    // Fellegi-Sunter EM over pairs blocked on x175's Soundex of the
+    // first token instead of exact token count — the scale lever the
+    // scaladoc names. Kept callable so the cross-blocking parameter
+    // comparison (Ext56Spec) stays reproducible; NOT an oracle entry
+    // (different pair population by design).
+    "x178_fellegi_sunter__sdxblock" -> ((s, d) =>
+      Ext56.fellegiSunter(s, d, sdxBlock = true)),
+
     // x64 persist-free form (round 10): without the hash-frame persist
     // the REAL PNG/BMP encode+decode pipeline runs three times (band
     // explode + both verify joins). Kept callable as the same-boot cost
