@@ -37,6 +37,14 @@ object AbVariants {
     "x178_fellegi_sunter__sdxblock" -> ((s, d) =>
       Ext56.fellegiSunter(s, d, sdxBlock = true)),
 
+    // x183 persist-free form (round 11, ADVICE r10): without the pair
+    // persist the nPairs count re-runs the documents scan + pair
+    // equi-join before the ranked aggregation. Kept callable as the
+    // same-boot cost control for the adopted persist
+    // (BENCH_AB_r11_x183persist.json).
+    "x183_wilcoxon_signed_rank__nopersist" -> ((s, d) =>
+      Ext59.wilcoxon(s, d, persist = false)),
+
     // x64 persist-free form (round 10): without the hash-frame persist
     // the REAL PNG/BMP encode+decode pipeline runs three times (band
     // explode + both verify joins). Kept callable as the same-boot cost

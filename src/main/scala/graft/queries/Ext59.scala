@@ -37,7 +37,11 @@ import graft.ingest.GlobalSeq
   */
 object Ext59 {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries1 ++ queries2
+
+  private val queries1: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
 
     "x182_adjusted_rand" -> ((s, d) => {
       val ct = Ext28.cellLabelContingency(s, d).collect()
@@ -101,20 +105,26 @@ object Ext59 {
     // O(P) offsets — never a single-task window) + one 1-row agg;
     // O(1) driver closure. 1e12·3·s² ≤ ~2e27 at sf0.1 —
     // HUGEINT/BigInt (documented).
-    "x183_wilcoxon_signed_rank" -> ((s, d) => {
+    "x183_wilcoxon_signed_rank" -> ((s, d) => wilcoxon(s, d,
+      persist = true)))
+
+  /** x183 body — ONE spelling for the catalog entry (persist = true:
+    * nPairs is a separate action from the ranked agg, and without the
+    * persist the scan + pair equi-join ran twice per query — ADVICE
+    * r10) and the AbVariants multiscan control (persist = false;
+    * value-identical). The splitHistogram/wasserstein factoring rule. */
+  private[graft] def wilcoxon(s: SparkSession, d: String,
+      persist: Boolean): DataFrame = {
       import graft.GraftCaches.TrackedPersist
       val v = documents(s, d)
         .select(col("doc_id"),
           expr("size(split(text, ' '))").cast("long").as("v"))
-      // persisted: nPairs is a separate action from the ranked agg, and
-      // without the persist the scan + pair equi-join ran twice per
-      // query (ADVICE r10)
-      val p = v.filter(col("doc_id") % 2 === 0)
+      val p0 = v.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("pair_id"), col("v").as("va"))
         .join(v.select((col("doc_id") - 1L).as("pair_id"),
           col("v").as("vb")), Seq("pair_id"))
         .select(col("pair_id"), (col("vb") - col("va")).as("diff"))
-        .persistTracked()
+      val p = if (persist) p0.persistTracked() else p0
       val nPairs = p.count()
       val ranked = GlobalSeq.withSeq(
           p.filter(col("diff") =!= 0L)
@@ -133,7 +143,10 @@ object Ext59 {
       import s.implicits._
       Seq((nPairs, n.toLong, wplus.toLong, wminus.toLong, z.toLong))
         .toDF("n_pairs", "n_nonzero", "w_plus", "w_minus", "z_ppm")
-    }),
+  }
+
+  private val queries2: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
 
     // X184 BROWN–FORSYTHE variance-equality test (1974; Levene's test
     // on |v − group MEDIAN|): do the per-lang token-count SPREADS
