@@ -107,9 +107,33 @@ object SparkEntry {
       graft.queries.Ext60.queries ++
       graft.queries.Ext61.queries
 
+  /** Oracles where FULL-CTE materialization measured ≥ ~2× faster at
+    * sf0.1 (ORACLE_MAT_PROFILE.json, round 11 — DuckDB 1.x re-inlines a
+    * CTE at every reference, so multi-consumer CTE chains re-execute):
+    * applied as a rendering transform so the source SQL keeps the
+    * readable inlined spelling. NOT blanket-applied — the same profile
+    * measured j9_interval_join 10.7× SLOWER materialized (it defeats a
+    * pushdown), x176/a5 2–4× slower; the allowlist is the measurement.
+    * The injection regex is the profiler's (`name AS (` → `name AS
+    * MATERIALIZED (`), which ran clean across all 273 oracles. */
+  private val materializeAll: Set[String] = Set(
+    "x94_semantic_dedup", "x17_dedup_groups", "x58_cluster_merge",
+    "x118_pair_transitivity", "x102_containment", "x66_triangle_count",
+    "x138_label_propagation", "x81_minhash_decontam", "x76_nfd_pack",
+    "x132_threshold_sweep", "x44_sketch_accuracy", "x78_ffd_pack",
+    "x61_seq_pack", "x60_bpe_merges")
+
+  private def injectMat(sql: String): String =
+    sql.replaceAll("""\b([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""",
+      "$1 MATERIALIZED (")
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] =
+  def oracleSql: Map[String, String] = oracleSqlRaw.map { case (k, v) =>
+    k -> (if (materializeAll(k)) injectMat(v) else v)
+  }
+
+  private def oracleSqlRaw: Map[String, String] =
     graft.queries.Core.oracleSql ++
       graft.queries.Windows.oracleSql ++
       graft.queries.Relational.oracleSql ++
