@@ -45,6 +45,16 @@ object AbVariants {
     "x183_wilcoxon_signed_rank__nopersist" -> ((s, d) =>
       Ext59.wilcoxon(s, d, persist = false)),
 
+    // x187/x189 persist-free forms (round 11): the new operators ship
+    // with their multi-consumer frames persisted (the splitHistogram
+    // rule — at 100 TB a re-run is a corpus re-scan); these controls
+    // record the toy-scale cost of that choice
+    // (BENCH_AB_r11_newpersists.json).
+    "x187_kruskal_wallis__nopersist" -> ((s, d) =>
+      Ext60.kruskalWallis(s, d, persist = false)),
+    "x189_meteor_lite__nopersist" -> ((s, d) =>
+      Ext61.meteorLite(s, d, persist = false)),
+
     // x64 persist-free form (round 10): without the hash-frame persist
     // the REAL PNG/BMP encode+decode pipeline runs three times (band
     // explode + both verify joins). Kept callable as the same-boot cost

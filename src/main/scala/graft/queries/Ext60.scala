@@ -65,22 +65,34 @@ import graft.GraftCaches.TrackedPersist
   */
 object Ext60 {
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queries1 ++ queries2
 
-    "x187_kruskal_wallis" -> ((s, d) => {
+  private val queries1: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
+
+    "x187_kruskal_wallis" -> ((s, d) => kruskalWallis(s, d,
+      persist = true)))
+
+  /** x187 body — ONE spelling for the catalog entry (persist = true:
+    * hist feeds both the value marginal and the rank join, cum feeds
+    * both the tie-cube action and the join — without the persists the
+    * corpus scan re-runs per consumer) and the AbVariants multiscan
+    * control (persist = false; value-identical). */
+  private[graft] def kruskalWallis(s: SparkSession, d: String,
+      persist: Boolean): DataFrame = {
       val v = documents(s, d)
         .select(col("lang"),
           expr("size(split(text, ' '))").cast("long").as("v"))
-      // persisted: consumed by both the value marginal and the rank join
-      val hist = v.groupBy(col("lang"), col("v"))
+      val hist0 = v.groupBy(col("lang"), col("v"))
         .agg(count(lit(1)).as("cnt"))
-        .persistTracked()
+      val hist = if (persist) hist0.persistTracked() else hist0
       val byV = hist.groupBy(col("v")).agg(sum(col("cnt")).as("tv"))
       val wLess = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = byV.select(col("v"), col("tv"),
+      val cum0 = byV.select(col("v"), col("tv"),
         coalesce(sum(col("tv")).over(wLess), lit(0L)).as("cl"))
-        .persistTracked()
+      val cum = if (persist) cum0.persistTracked() else cum0
       val tieT = BigInt(cum.agg(coalesce(sum(
           expr("cast(tv as decimal(38,0)) * tv * tv - tv")),
           expr("cast(0 as decimal(38,0))")).as("t"))
@@ -109,7 +121,10 @@ object Ext60 {
       import s.implicits._
       Seq((n.toLong, k.toLong, tieT.toLong, hUnc.toLong, h.toLong))
         .toDF("n", "k", "tie_t", "h_unc_ppm", "h_ppm")
-    }),
+  }
+
+  private val queries2: Map[String, (SparkSession, String) => DataFrame] =
+    Map(
 
     "x188_friedman" -> ((s, d) => {
       val sc = documents(s, d)

@@ -80,7 +80,18 @@ object Ext61 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "x189_meteor_lite" -> ((s, d) => {
+    "x189_meteor_lite" -> ((s, d) => meteorLite(s, d, persist = true)))
+
+  /** x189 body — ONE spelling for the catalog entry (persist = true:
+    * pairs feeds both explodes + the length rollup, ct/rt each feed
+    * the stage-1 join + their residual anti-join, m1 feeds both
+    * anti-joins + the union — without the persists the pair join and
+    * explodes re-run per consumer) and the AbVariants multiscan
+    * control (persist = false; value-identical). */
+  private[graft] def meteorLite(s: SparkSession, d: String,
+      persist: Boolean): DataFrame = {
+      def p(df: DataFrame): DataFrame = if (persist) df.persistTracked()
+        else df
       val docs = documents(s, d)
         .select(col("doc_id"), col("source"),
           TextOps.words(col("text")).as("w"))
@@ -88,23 +99,20 @@ object Ext61 {
         .select(col("doc_id").as("pair_id"), col("source"), col("w"))
       val ref = docs.filter(col("doc_id") % 2 === 0)
         .select((col("doc_id") + 1L).as("pair_id"), col("w").as("rw"))
-      val pairs = cand.join(ref, Seq("pair_id")).persistTracked()
+      val pairs = p(cand.join(ref, Seq("pair_id")))
 
       def occIdx(df: DataFrame, posCol: String, keyCol: String) =
         df.withColumn("occ", row_number().over(Window
           .partitionBy(col("pair_id"), col(keyCol))
           .orderBy(col(posCol))).cast("long"))
 
-      val ct = occIdx(pairs.select(col("pair_id"),
-          posexplode(col("w")).as(Seq("cpos", "tok"))), "cpos", "tok")
-        .persistTracked()
-      val rt = occIdx(pairs.select(col("pair_id"),
-          posexplode(col("rw")).as(Seq("rpos", "tok"))), "rpos", "tok")
-        .persistTracked()
+      val ct = p(occIdx(pairs.select(col("pair_id"),
+          posexplode(col("w")).as(Seq("cpos", "tok"))), "cpos", "tok"))
+      val rt = p(occIdx(pairs.select(col("pair_id"),
+          posexplode(col("rw")).as(Seq("rpos", "tok"))), "rpos", "tok"))
 
-      val m1 = ct.join(rt, Seq("pair_id", "tok", "occ"))
-        .select(col("pair_id"), col("cpos"), col("rpos"))
-        .persistTracked()
+      val m1 = p(ct.join(rt, Seq("pair_id", "tok", "occ"))
+        .select(col("pair_id"), col("cpos"), col("rpos")))
 
       def residual(tf: DataFrame, posCol: String) =
         occIdx(
@@ -157,7 +165,7 @@ object Ext61 {
           sum(col("nr")).as("ref_len"),
           expr("sum(score_ppm) div count(1)").as("meteor_mean_ppm"))
         .orderBy(col("source"))
-    }))
+  }
 
   val oracleSql: Map[String, String] = Map(
 
