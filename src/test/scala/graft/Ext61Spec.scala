@@ -160,6 +160,26 @@ class Ext61Spec extends AnyFunSuite {
     assert(got("s2")._2 == 2L) // m_exact clipped to ref count
   }
 
+  test("x189 seeded property: 150 random pairs on a tiny colliding " +
+    "vocab (repeats, stem conflations, shared suffixes) == replay") {
+    val rnd = new scala.util.Random(18911)
+    // vocab engineered to force multiset clipping, stem-stage matches
+    // (cats/cat, walking/walked/walks), the ss/sses guards, and
+    // sub-4-char 's' words
+    val vocab = Vector("a", "as", "cat", "cats", "walk", "walks",
+      "walking", "walked", "pass", "passes", "cities", "city", "x",
+      "quickly", "quick", "its")
+    val docs = (0 until 300).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      (i.toLong, s"s${i % 3}",
+        (1 to n).map(_ => vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+    }
+    val dir = TestSpark.scratchDir("x189prop")
+    write(dir, docs)
+    assert(engine(dir) == replay(docs))
+  }
+
   test("x189 sf0.001 == brute replay") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "source", "text").collect()
