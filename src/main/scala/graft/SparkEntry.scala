@@ -121,7 +121,14 @@ object SparkEntry {
     "x118_pair_transitivity", "x102_containment", "x66_triangle_count",
     "x138_label_propagation", "x81_minhash_decontam", "x76_nfd_pack",
     "x132_threshold_sweep", "x44_sketch_accuracy", "x78_ffd_pack",
-    "x61_seq_pack", "x60_bpe_merges")
+    "x61_seq_pack", "x60_bpe_merges",
+    // second adoption pass — the >0.5 s-absolute measured wins the
+    // first ≥2×-ratio cut left on the table (x4 alone is 15.6 s, the
+    // largest single win in the profile; x156 re-gated on the k-limb
+    // corpus after adoption)
+    "x4_ngram_jaccard", "x156_wer", "x145_video_neardup",
+    "x22_simhash_neardup", "x57_source_overlap", "x3_minhash_lsh",
+    "x52_incremental_dedup")
 
   private def injectMat(sql: String): String =
     sql.replaceAll("""\b([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""",
