@@ -116,7 +116,7 @@ object SparkEntry {
     * pushdown), x176/a5 2–4× slower; the allowlist is the measurement.
     * The injection regex is the profiler's (`name AS (` → `name AS
     * MATERIALIZED (`), which ran clean across all 273 oracles. */
-  private val materializeAll: Set[String] = Set(
+  private[graft] val materializeAll: Set[String] = Set(
     "x94_semantic_dedup", "x17_dedup_groups", "x58_cluster_merge",
     "x118_pair_transitivity", "x102_containment", "x66_triangle_count",
     "x138_label_propagation", "x81_minhash_decontam", "x76_nfd_pack",
@@ -130,7 +130,7 @@ object SparkEntry {
     "x22_simhash_neardup", "x57_source_overlap", "x3_minhash_lsh",
     "x52_incremental_dedup")
 
-  private def injectMat(sql: String): String =
+  private[graft] def injectMat(sql: String): String =
     sql.replaceAll("""\b([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""",
       "$1 MATERIALIZED (")
 

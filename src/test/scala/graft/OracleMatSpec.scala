@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The oracle-materialization render transform is load-bearing (a bad
+  * injection would corrupt 21 oracles' SQL at the driver boundary):
+  * pin the regex's behavior on the exact hazard shapes, and the
+  * allowlist's structural invariants against the live catalog. */
+class OracleMatSpec extends AnyFunSuite {
+
+  test("injectMat rewrites CTE heads and ONLY CTE heads") {
+    assert(SparkEntry.injectMat("WITH a AS (SELECT 1) SELECT * FROM a")
+      == "WITH a AS MATERIALIZED (SELECT 1) SELECT * FROM a")
+    // CAST's AS is followed by a type, never '(' — untouched
+    assert(SparkEntry.injectMat("SELECT CAST(x AS BIGINT) FROM t")
+      == "SELECT CAST(x AS BIGINT) FROM t")
+    // column aliases (ident AS name) — untouched
+    assert(SparkEntry.injectMat("SELECT sum(x) AS s FROM t")
+      == "SELECT sum(x) AS s FROM t")
+    // derived-table alias with a column list: ') AS t(c)' has no
+    // identifier before AS — untouched
+    assert(SparkEntry.injectMat("FROM (SELECT 1) AS t(c)")
+      == "FROM (SELECT 1) AS t(c)")
+    // already-materialized heads are NOT double-injected ('AS
+    // MATERIALIZED (' contains no 'AS (' for the regex)
+    val once = "WITH a AS MATERIALIZED (SELECT 1) SELECT * FROM a"
+    assert(SparkEntry.injectMat(once) == once)
+    // multi-CTE chains: every head rewritten
+    assert(SparkEntry.injectMat("WITH a AS (SELECT 1), b2 AS (SELECT 2)x")
+      == "WITH a AS MATERIALIZED (SELECT 1), b2 AS MATERIALIZED " +
+        "(SELECT 2)x")
+  }
+
+  test("allowlist invariants against the live catalog") {
+    val oracles = SparkEntry.oracleSql
+    // every allowlisted name is a real oracle
+    assert(SparkEntry.materializeAll.subsetOf(oracles.keySet))
+    for (name <- SparkEntry.materializeAll) {
+      val sql = oracles(name)
+      // the rendered SQL actually carries the injection
+      assert(sql.contains("AS MATERIALIZED ("),
+        s"$name: allowlisted but no MATERIALIZED in rendered SQL")
+      // the WINDOW-clause hazard the profiler skips can never be
+      // allowlisted (the regex would corrupt 'WINDOW w AS (...)')
+      assert(!"""(?i)\bWINDOW\s+\w+\s+AS\s*\(""".r
+        .findFirstIn(sql.replace("AS MATERIALIZED (", "AS (")).isDefined,
+        s"$name: WINDOW clause inside an allowlisted oracle")
+    }
+  }
+}
