@@ -131,7 +131,10 @@ object SparkEntry {
     "x52_incremental_dedup")
 
   private[graft] def injectMat(sql: String): String =
-    sql.replaceAll("""\b([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""",
+    // (?i) matches the profiler's CTE_HEAD regex (case-insensitive) so
+    // a lowercase/mixed-case CTE head can't be measured materialized by
+    // the profile yet ship un-materialized.
+    sql.replaceAll("""(?i)\b([A-Za-z_][A-Za-z0-9_]*\s+AS)\s*\(""",
       "$1 MATERIALIZED (")
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

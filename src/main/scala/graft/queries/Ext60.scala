@@ -119,7 +119,11 @@ object Ext60 {
       val hUnc = sdiv(num, d1)
       val h = sdiv(num * nn3, d1 * corr)
       import s.implicits._
-      Seq((n.toLong, k.toLong, tieT.toLong, hUnc.toLong, h.toLong))
+      // longValueExact, not toLong: past the ~2.1e6-row tie-group
+      // boundary the oracle's CAST(... AS BIGINT) errors loudly;
+      // silent BigInt wrap-around here would diverge quietly instead.
+      def exact(b: BigInt): Long = b.bigInteger.longValueExact()
+      Seq((exact(n), exact(k), exact(tieT), exact(hUnc), exact(h)))
         .toDF("n", "k", "tie_t", "h_unc_ppm", "h_ppm")
   }
 

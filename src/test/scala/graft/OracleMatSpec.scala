@@ -29,6 +29,31 @@ class OracleMatSpec extends AnyFunSuite {
     assert(SparkEntry.injectMat("WITH a AS (SELECT 1), b2 AS (SELECT 2)x")
       == "WITH a AS MATERIALIZED (SELECT 1), b2 AS MATERIALIZED " +
         "(SELECT 2)x")
+    // case-insensitive like the profiler's CTE_HEAD: a lowercase or
+    // mixed-case head must not ship un-materialized
+    assert(SparkEntry.injectMat("WITH a as (SELECT 1) SELECT * FROM a")
+      == "WITH a as MATERIALIZED (SELECT 1) SELECT * FROM a")
+    assert(SparkEntry.injectMat("WITH a As (SELECT 1) SELECT * FROM a")
+      == "WITH a As MATERIALIZED (SELECT 1) SELECT * FROM a")
+    // lowercase already-materialized heads: no double injection
+    val lcOnce = "WITH a as MATERIALIZED (SELECT 1) SELECT * FROM a"
+    assert(SparkEntry.injectMat(lcOnce) == lcOnce)
+  }
+
+  test("no bare CTE heads survive in allowlisted rendered SQL") {
+    // belt-and-braces for the (?i) fix: a partial no-op injection
+    // (some heads rewritten, some left bare) must fail loudly, not
+    // ship as silent perf drift.
+    val bareHead = """(?i)\b[A-Za-z_][A-Za-z0-9_]*\s+AS\s*\(""".r
+    for (name <- SparkEntry.materializeAll) {
+      val sql = SparkEntry.oracleSql(name)
+      val bare = bareHead.findAllIn(sql)
+        .filterNot(_.toUpperCase.contains("MATERIALIZED")).toList
+      // every regex-matchable head in an allowlisted oracle must have
+      // been rewritten (WINDOW clauses are barred by the test above)
+      assert(bare.isEmpty,
+        s"$name: bare CTE heads left un-materialized: $bare")
+    }
   }
 
   test("allowlist invariants against the live catalog") {

@@ -46,10 +46,19 @@ def strip_materialized(sql: str) -> str:
 
 
 def timed(con, sql):
+    # done-flag set/read under a lock so a racing Timer can never fire
+    # con.interrupt() after the next statement on this connection has
+    # started; timeouts are classified by exception TYPE (duckdb's
+    # interrupt error), not by wall-clock proximity to the deadline, so
+    # a genuine query error near the deadline is recorded as an error.
+    lock = threading.Lock()
     done = [False]
+    interrupted = [False]
     def interrupt():
-        if not done[0]:
-            con.interrupt()
+        with lock:
+            if not done[0]:
+                interrupted[0] = True
+                con.interrupt()
     t = threading.Timer(TIMEOUT, interrupt)
     t.start()
     t0 = time.time()
@@ -59,10 +68,13 @@ def timed(con, sql):
         return dt, "ok"
     except Exception as e:
         dt = time.time() - t0
-        kind = "timeout" if dt >= TIMEOUT - 1 else f"err:{type(e).__name__}"
+        is_interrupt = (isinstance(e, getattr(duckdb, "InterruptException",
+                                              ())) or interrupted[0])
+        kind = "timeout" if is_interrupt else f"err:{type(e).__name__}"
         return dt, kind
     finally:
-        done[0] = True
+        with lock:
+            done[0] = True
         t.cancel()
 
 
