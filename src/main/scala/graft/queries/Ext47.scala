@@ -158,7 +158,21 @@ object Ext47 {
     * limbs); Ext47Spec re-pins with a third pure-Scala spelling. */
   private def myersStep(d: Dia, eqHi: String, eqLo: String,
       st: String => String,
-      pack: (String, String, String, String, String) => String): String = {
+      pack: (String, String, String, String, String) => String): String =
+    myersStepLet(d, eqHi, eqLo, st, pack, (_, bv, k) => k(bv))
+
+  /** The Myers step algebra, ONCE, with a pluggable let-binder for the
+    * shared intermediates (eq, the carry add, Xh, Xv, Ph, Mh and the
+    * two shifts). Both current callers pass the inline binder
+    * (substitute each intermediate's text at every use site): Spark
+    * codegen CSEs the tree, and in DuckDB the duplicated scalar ops
+    * measured CHEAPER than [hi,lo]-list-payload lets (see the
+    * werFold2DuckOver note). The hook is kept so a binder experiment
+    * stays a one-line change instead of a second step spelling. */
+  private def myersStepLet(d: Dia, eqHi: String, eqLo: String,
+      st: String => String,
+      pack: (String, String, String, String, String) => String,
+      let2: (String, BV, BV => String) => String): String = {
     def and(x: BV, y: BV) = BV(s"(${x.hi} & ${y.hi})", s"(${x.lo} & ${y.lo})")
     def or(x: BV, y: BV) = BV(s"(${x.hi} | ${y.hi})", s"(${x.lo} | ${y.lo})")
     def xr(x: BV, y: BV) = BV(d.xor(x.hi, y.hi), d.xor(x.lo, y.lo))
@@ -172,17 +186,21 @@ object Ext47 {
     def top(x: BV) =
       s"(CASE WHEN m <= 62 THEN (${d.shr(x.lo, "CAST(greatest(m - 1, 0) AS INT)")} & ${d.lng(1)})" +
         s" ELSE (${d.shr(x.hi, "CAST(m - 63 AS INT)")} & ${d.lng(1)}) END)"
-    val eq = BV(eqHi, eqLo)
     val pv = BV(st("pvh"), st("pvl")); val mv = BV(st("mvh"), st("mvl"))
-    val xv = or(eq, mv)
-    val xh = or(xr(add(and(eq, pv), pv), pv), eq)
-    val ph = or(mv, not(or(xh, pv)))
-    val mh = and(pv, xh)
-    val phs = shl1(ph, d.lng(1)); val mhs = shl1(mh, d.lng(0))
-    val pv2 = or(mhs, not(or(xv, phs)))
-    val mv2 = and(phs, xv)
-    val sc2 = s"((${st("sc")} + ${top(ph)}) - ${top(mh)})"
-    pack(pv2.hi, pv2.lo, mv2.hi, mv2.lo, sc2)
+    let2("leq", BV(eqHi, eqLo), eq =>
+      let2("lad", add(and(eq, pv), pv), ad =>
+        let2("lxh", or(xr(ad, pv), eq), xh =>
+          let2("lxv", or(eq, mv), xv =>
+            let2("lph", or(mv, not(or(xh, pv))), ph =>
+              let2("lmh", and(pv, xh), mh =>
+                let2("lps", shl1(ph, d.lng(1)), phs =>
+                  let2("lms", shl1(mh, d.lng(0)), mhs => {
+                    val pv2 = or(mhs, not(or(xv, phs)))
+                    val mv2 = and(phs, xv)
+                    val sc2 =
+                      s"((${st("sc")} + ${top(ph)}) - ${top(mh)})"
+                    pack(pv2.hi, pv2.lo, mv2.hi, mv2.lo, sc2)
+                  }))))))))
   }
 
   /** The full Spark-side Myers fold over pair columns cw/rw/m/bmh/bml. */
@@ -202,6 +220,52 @@ object Ext47 {
   // could only rot silently. Its DuckDB-1.0.0 quirk notes — LIST
   // state because list_reduce miscomputes STRUCT accumulators,
   // list_prepend'ed init — live on in the k-limb section header.)
+
+  /** Round-12 resurrection WITH a live caller: x170's oracle scores
+    * its unnested candidates through this fold for nl <= 2 pairs (the
+    * DuckDB CASE dispatch in Ext50 — lazy per selection vector, so the
+    * k-limb branch pays nothing when no pair needs it). Same
+    * [[myersStep]] generator as the Spark two-limb fold, so the step
+    * math cannot drift; state rides LIST(BIGINT)
+    * [pvh, pvl, mvh, mvl, sc] (the struct-accumulator quirk), and the
+    * mask stream is the SAME per-token nl-limb arrays the k-limb fold
+    * reads — limb 1 = lo, limb 2 = hi (absent at nl = 1 ⇒ coalesced 0).
+    * Caller scope must provide columns m, bmh, bml (the least() guard
+    * on bmh matters: DuckDB errors on shifts > 63, and the dispatch
+    * also EVALUATES bmh for nl > 2 rows before the CASE gates them).
+    */
+  private val DuckDia = Dia(
+    (x, n) => s"($x << $n)", (x, n) => s"($x >> $n)",
+    (a, b) => s"xor($a, $b)", v => s"CAST($v AS BIGINT)")
+
+  private[queries] val bml2DuckSql: String =
+    "((CAST(1 AS BIGINT) << CAST(least(m, 62) AS INT)) - 1)"
+  private[queries] val bmh2DuckSql: String =
+    "((CAST(1 AS BIGINT) << CAST(least(greatest(m - 62, 0), 62) AS INT))" +
+      " - 1)"
+
+  private[queries] def werFold2DuckOver(items: String): String = {
+    val eqLo = "mk[1]"
+    val eqHi = "coalesce(mk[CAST(2 AS INT)], CAST(0 AS BIGINT))"
+    val st: String => String = {
+      case "pvh" => "v[1]"; case "pvl" => "v[2]"
+      case "mvh" => "v[3]"; case "mvl" => "v[4]"; case "sc" => "v[5]"
+    }
+    // Inline binder, NOT the [hi,lo]-list let trick: measured 4.6×
+    // SLOWER with list-payload lets (sf0.01 oracle 4.1 s → 19.0 s) —
+    // a list allocation per binding per step costs far more than the
+    // duplicated vectorized scalar ops it saves. The textual blowup is
+    // benign here because every duplicated node is a scalar BIGINT op.
+    val step = myersStepLet(DuckDia, eqHi, eqLo, st,
+      (a, b, c, dd, e) => s"[$a, $b, $c, $dd, $e]", (_, bv, k) => k(bv))
+    s"""list_reduce(list_prepend(
+       |  [bmh, bml, CAST(0 AS BIGINT), CAST(0 AS BIGINT), m],
+       |  $items),
+       |  (v, mk) -> $step)""".stripMargin
+  }
+
+  private[queries] def werSc2Duck(foldExpr: String): String =
+    s"($foldExpr)[CAST(5 AS INT)]"
 
   // ---- round 9: k-limb array state (the LcsCap lift) ----------------------
   //

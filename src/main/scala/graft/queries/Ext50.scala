@@ -273,9 +273,24 @@ object Ext50 {
   }
 
   /** The DuckDB oracle: identical rounds as chained MATERIALIZED CTEs
-    * (each round = cands CTE → best CTE → apply CTE; materialization
-    * pins single evaluation — without it DuckDB re-inlines the chain
-    * exponentially, the round-10 span-family finding). */
+    * (each round = cands CTE → scored-min CTE → best CTE → apply CTE;
+    * materialization pins single evaluation — without it DuckDB
+    * re-inlines the chain exponentially, the round-10 span-family
+    * finding).
+    *
+    * Round-12 restructure (the r11 oracle-wall item): scoring moved
+    * from a per-pair `list_transform(cnds, tpk -> fold)` lambda into
+    * an UNNEST-to-rows subquery (u$r) — one candidate per row, the
+    * SAME fold text (arrWerFoldOver over the SAME moveSql) as a
+    * top-level column, re-aggregated with min() GROUP BY pair_id.
+    * min over the identical scored-key set ⇒ identical bst (the
+    * packed key already encodes the full tie-break); pairs with no
+    * candidates get bst NULL from the LEFT JOIN exactly as
+    * list_aggregate([], 'min') did. DuckDB executes a fold nested
+    * inside another list lambda element-at-a-time; the same fold as a
+    * top-level projection runs vectorized across the unnested rows —
+    * measured ~6× on the b$r stage at sf0.01 (35.5 s → see
+    * ORACLE_MAT_PROFILE.md round-12 note), rows hash-identical. */
   val oracleSql: Map[String, String] = Map(
     "x170_ter" -> {
       val t = DuckT
@@ -284,12 +299,31 @@ object Ext50 {
       val rounds = (1 to TerRounds).map { r =>
         val p = if (r == 1) "p2" else s"r${r - 1}"
         val upd = applySql(t).toMap
+        val moved = moveSql(t, "mv", "tci", "tcl", "tcj")
+        val tscK = arrWerSc(t.a, arrWerFoldOver(t.a, moved))
+        val tsc2 = Ext47.werSc2Duck(Ext47.werFold2DuckOver(moved))
+        // nl <= 2 pairs (m <= 124 — every pair on the driver corpus)
+        // score through the two-limb scalar fold; longer pairs keep the
+        // exact k-limb fold. Both are exact unit-cost Levenshtein, so
+        // the dispatch cannot change a value; DuckDB's CASE is lazy per
+        // selection vector, so the untaken branch costs nothing.
+        val tsc = s"(CASE WHEN nl <= 2 THEN ($tsc2) ELSE ($tscK) END)"
         s"""c$r AS MATERIALIZED (SELECT *, ${candsSql(t)} AS cnds
            |  FROM $p),
+           |u$r AS MATERIALIZED (SELECT pair_id,
+           |    min(((($tsc) * 4096 + tci) * 16
+           |      + ($TerLen - tcl)) * 4096 + tcj) AS bst
+           |  FROM (SELECT pair_id, n, m, nl, mv,
+           |      ${Ext47.bml2DuckSql} AS bml, ${Ext47.bmh2DuckSql} AS bmh,
+           |      (tpk // 4096) % 4096 AS tci,
+           |      $TerLen - (tpk // 16777216) AS tcl,
+           |      tpk % 4096 AS tcj
+           |    FROM c$r, UNNEST(${t.sl("cnds", "1", TerCands.toString)})
+           |      AS _cu(tpk))
+           |  GROUP BY pair_id),
            |b$r AS MATERIALIZED (SELECT $stateCols, cw, mv, d, ns, done,
-           |    ccp, CAST(len(cnds) AS BIGINT) AS ncand,
-           |    ${bestSql(t)} AS bst
-           |  FROM c$r),
+           |    ccp, CAST(len(cnds) AS BIGINT) AS ncand, u$r.bst AS bst
+           |  FROM c$r LEFT JOIN u$r USING (pair_id)),
            |r$r AS MATERIALIZED (SELECT $stateCols,
            |    ${upd("cw")} AS cw, ${upd("mv")} AS mv,
            |    ${upd("d")} AS d, ${upd("ns")} AS ns,
@@ -309,11 +343,14 @@ object Ext50 {
          |  JOIN (SELECT doc_id + 1 AS pair_id, w[1:$LcsCap] AS rw,
          |      len(w) > $LcsCap AS rcap FROM t WHERE doc_id % 2 = 0) r
          |    USING (pair_id)),
-         |p1 AS MATERIALIZED (SELECT *, ${rgsSql(t)} AS rgs,
+         |p1 AS MATERIALIZED (SELECT *, ${Ext47.bml2DuckSql} AS bml,
+         |    ${Ext47.bmh2DuckSql} AS bmh, ${rgsSql(t)} AS rgs,
          |    $arrMasksDuckSql AS mv
          |  FROM p0),
          |p2 AS MATERIALIZED (SELECT *,
-         |    CASE WHEN m = 0 THEN n ELSE
+         |    CASE WHEN m = 0 THEN n WHEN nl <= 2 THEN
+         |      ${Ext47.werSc2Duck(Ext47.werFold2DuckOver("mv"))}
+         |    ELSE
          |      ${arrWerSc(DuckA, arrWerFoldOver(DuckA, "mv"))}
          |    END AS d,
          |    CAST(0 AS BIGINT) AS ns, false AS done, false AS ccp
