@@ -102,11 +102,17 @@ object Core {
 
     // VERDICT r7 #4: the SQL-expressible projection of the flagship output
     // gains a REAL DuckDB oracle (shrinks the rows-only set 5 → 4). The
-    // columns here avoid the pyTitle/accent/dedup UDF name fields; the
-    // oracle re-derives them from the EMBEDDED fixture feed in pure SQL
-    // (regexp entity split + per-field extraction) — an independent
-    // spelling, not a replay of the Spark plan. The e2e golden spec still
-    // pins every cell of the full 28-column frame.
+    // oracle re-derives every column from the EMBEDDED fixture feed in
+    // pure SQL (regexp entity split + per-field extraction) — an
+    // independent spelling, not a replay of the Spark plan. The e2e
+    // golden spec still pins every cell of the full 28-column frame.
+    // Round 12 (VERDICT r11 #4) widened the twin by GENDER (the D1/D2
+    // cascade with the forced-male patterns and the bundled female-name
+    // dictionary rendered as SQL literals), ALIAS (F10: Latin gate +
+    // selected-name exclusion + pyTitle clean) and ADDRESS (F9: the
+    // fixed-order per-address concat over P1 validity) — all under the
+    // fixture-ASCII parity guard (PipelineSpec), which round 12 extended
+    // to gate-passing wholeNames, gender attributes and address fields.
     // PLAN: the selected columns depend only on the XML parse + enrich
     // branch, so this entry runs exactly that — the PDF text extraction,
     // match index, and two-pass fill that runFixture would also execute
@@ -120,8 +126,9 @@ object Core {
       val entities = graft.ingest.XmlEntities.fromXmlStrings(
         Seq(fixtureFeedXml).toDF("value"))
       graft.enrich.Fields.enrich(entities.repartition(col("entity_seq")))
-        .select(col("entity_seq"), col("CATEGORY"), col("DOB"),
-          col("NATIONALITIES"), col("ADD_COUNTRY"), col("REM1"),
+        .select(col("entity_seq"), col("CATEGORY"), col("GENDER"),
+          col("DOB"), col("NATIONALITIES"), col("ADD_COUNTRY"),
+          col("ADDRESS"), col("ALIAS"), col("REM1"),
           lit(graft.Pipeline.DefaultWebLink).as("WEB_LINK"),
           lit(graft.Pipeline.DefaultSource).as("SOURCE"),
           col("flag_name_missing"), col("flag_category_missing"))
@@ -298,6 +305,51 @@ object Core {
     val feedLit = fixtureFeedXml.replace("'", "''")
     // Latin-name predicate (P2, main.py:356–369): '' already doubled for SQL
     val latin = """[\p{Latin}0-9 .,''\-()]+"""
+    // F1 clean_name under the fixture-ASCII guard: collapse runs of
+    // whitespace, trim, Python title() (main.py:364–366)
+    def cleanSql(x: String): String =
+      pyTitleSql(s"trim(regexp_replace($x, '\\s+', ' ', 'g'))")
+    // D1 forced-male substring set (main.py:369–390) as one RE2
+    // alternation over the lowercased selected name — the terms are
+    // lowercase ASCII with no regex metacharacters (PyText.MaleTitles ++
+    // MaleNamePatterns verbatim, so the two spellings cannot drift)
+    val forcedMale = (graft.norm.PyText.MaleTitles ++
+      graft.norm.PyText.MaleNamePatterns).mkString("|")
+    // D2 female-first-name dictionary (H6) rendered from the SAME bundled
+    // resource the engine loads — data, not logic, exactly like the feed
+    // literal above (entries are lowercase; 3 are non-ASCII and can never
+    // match a guard-checked ASCII first token, harmless as literals)
+    val femaleLit = graft.norm.Normalize.femaleFirstNames.toSeq.sorted
+      .map(n => "'" + n.replace("'", "''") + "'").mkString("[", ",", "]")
+    // F9 address-part cleaner: ',' -> ' ', collapse, strip (main.py:726–755)
+    def cleanAddrSql(x: String): String =
+      s"trim(regexp_replace(replace($x, ',', ' '), '\\s+', ' ', 'g'))"
+    // P1 validity on an attribute extraction ('' both when absent and
+    // when blank — the engine's null field fails the same test)
+    def validSql(x: String): String =
+      s"(trim($x) <> '' AND upper(trim($x)) <> 'UNKNOWN')"
+    def attrSql(tag: String, attr: String): String =
+      s"""regexp_extract($tag, '$attr="([^"]*)"', 1)"""
+    // one ADDRESS entry per <address> tag: countryDescription title-cased
+    // first, then city/street/region/place cleaned, zip last — parts are
+    // kept EVEN WHEN they clean to '' (the engine appends clean(f) for
+    // every valid field, so degenerate all-punctuation fields contribute
+    // empty strings to the ' ' join exactly like Python's)
+    val addrEntry = {
+      def part(attr: String, expr: String => String): String =
+        s"CASE WHEN ${validSql(attrSql("a", attr))} " +
+          s"THEN [${expr(cleanAddrSql(attrSql("a", attr)))}] " +
+          "ELSE []::VARCHAR[] END"
+      val parts = Seq(
+        part("countryDescription", pyTitleSql),
+        part("city", identity), part("street", identity),
+        part("region", identity), part("place", identity),
+        part("zipCode", identity)).mkString("[", ",\n        ", "]")
+      s"""(list_transform([flatten($parts)], ps ->
+         |      CASE WHEN len(ps) > 0
+         |           THEN list_aggregate(ps, 'string_agg', ' ') END))[1]"""
+        .stripMargin
+    }
     "WITH feed AS (SELECT '" + feedLit + "' AS c),\n" +
       s"""lst AS (SELECT regexp_extract_all(c, '(?s)<sanctionEntity>(.*?)</sanctionEntity>', 1) AS es FROM feed),
          |ents AS (SELECT unnest(range(len(es))) AS entity_seq, unnest(es) AS e FROM lst),
@@ -308,14 +360,44 @@ object Core {
          |  regexp_extract_all(e, '<address[^>]*>', 0) AS addrs,
          |  regexp_extract_all(e, 'birthdate="([^"]*)"', 1) AS bds
          |FROM ents),
-         |d1 AS (SELECT entity_seq, cc,
+         |d1 AS (SELECT entity_seq, cc, addrs,
          |  list_transform(aliases, a -> regexp_extract(a, 'wholeName="([^"]*)"', 1)) AS wns,
+         |  list_transform(aliases, a -> CASE WHEN regexp_matches(a, 'gender="')
+         |    THEN regexp_extract(a, 'gender="([^"]*)"', 1) END) AS gl,
          |  list_filter(list_transform(aliases, a -> regexp_extract(a, 'function="([^"]*)"', 1)), f -> f <> '') AS fns,
          |  regexp_extract(cits[1], 'countryDescription="([^"]*)"', 1) AS c1,
          |  regexp_extract(addrs[1], 'countryDescription="([^"]*)"', 1) AS a1,
          |  trim(list_filter(bds, v -> trim(v) <> '')[1]) AS fbd
          |FROM base),
+         |ds1 AS (SELECT *,
+         |  (list_filter(list_transform(range(1, len(wns) + 1), si ->
+         |     CASE WHEN wns[CAST(si AS INT)] <> ''
+         |          AND regexp_full_match(trim(wns[CAST(si AS INT)]), '$latin')
+         |          THEN si END), sx -> sx IS NOT NULL))[1] AS sel_idx
+         |FROM d1),
+         |ds2 AS (SELECT *,
+         |  CASE WHEN sel_idx IS NOT NULL
+         |       THEN ${cleanSql("wns[CAST(sel_idx AS INT)]")} END AS sel,
+         |  (list_filter(gl[1:CAST(coalesce(sel_idx, len(gl)) AS INT)],
+         |     g -> g IS NOT NULL))[-1] AS xmlg
+         |FROM ds1),
          |d2 AS (SELECT entity_seq,
+         |  CASE WHEN xmlg IS NOT NULL AND xmlg <> ''
+         |       THEN CASE WHEN upper(xmlg) = 'F' THEN 'Female' ELSE 'Male' END
+         |       WHEN sel IS NOT NULL AND regexp_matches(lower(sel), '$forcedMale')
+         |       THEN 'Male'
+         |       WHEN sel IS NOT NULL AND
+         |            list_contains($femaleLit, lower(string_split(sel, ' ')[1]))
+         |       THEN 'Female'
+         |       ELSE 'Male' END AS gender,
+         |  coalesce(list_aggregate(list_transform(
+         |    list_filter(wns, wn -> wn <> ''
+         |      AND (sel IS NULL OR lower(trim(wn)) <> lower(sel))
+         |      AND regexp_full_match(trim(wn), '$latin')),
+         |    wn -> ${cleanSql("wn")}), 'string_agg', '; '), '') AS alias_t,
+         |  coalesce(list_aggregate(list_filter(
+         |    list_transform(addrs, a -> $addrEntry),
+         |    e -> e IS NOT NULL), 'string_agg', '; '), '') AS address_t,
          |  CASE WHEN cc = '' THEN 'UNKNOWN' ELSE cc END AS category,
          |  cc = '' AS flag_category_missing,
          |  len(list_filter(wns, wn -> wn <> '' AND regexp_full_match(trim(wn), '$latin'))) = 0 AS flag_name_missing,
@@ -336,10 +418,12 @@ object Core {
          |                            p -> trim(p) <> ''),
          |                p -> regexp_replace(trim(p), '^,+|,+${"$"}', '', 'g'))
          |         ELSE [trim(f)] END)) AS proc_fns
-         |FROM d1)
+         |FROM ds2)
          |SELECT CAST(entity_seq AS BIGINT) AS entity_seq,
-         |  category AS "CATEGORY", dob AS "DOB", nationalities AS "NATIONALITIES",
-         |  add_country AS "ADD_COUNTRY",
+         |  category AS "CATEGORY", gender AS "GENDER", dob AS "DOB",
+         |  nationalities AS "NATIONALITIES",
+         |  add_country AS "ADD_COUNTRY", address_t AS "ADDRESS",
+         |  alias_t AS "ALIAS",
          |  CASE WHEN len(proc_fns) > 0
          |       THEN 'Designation: ' || list_aggregate(proc_fns, 'string_agg', '; ')
          |       ELSE '' END AS "REM1",

@@ -129,5 +129,25 @@ class PipelineSpec extends AnyFunSuite {
       assert(v.forall(_ < 128.toChar),
         s"non-ASCII countryDescription '$v' — the oracle's ASCII " +
           "pyTitle would diverge from the engine's ICU title-casing")
+    // Round-12 widened twin (GENDER/ALIAS/ADDRESS): gate-PASSING
+    // wholeNames must be pure ASCII (the oracle applies its ASCII
+    // pyTitle and lower() to them for ALIAS and the gender dictionary
+    // lookup; gate-failing names — e.g. the two Cyrillic fixtures —
+    // are never cleaned, only lower()-compared, where both engines
+    // agree on inequality against an ASCII selected name)
+    for (v <- names if graft.norm.PyText.isLatinName(v))
+      assert(v.forall(_ < 128.toChar),
+        s"non-ASCII Latin-gate-passing wholeName '$v' — the oracle's " +
+          "ASCII pyTitle/lower would diverge on ALIAS/GENDER")
+    // gender attributes feed upper(x) = 'F': ASCII required
+    for (v <- """gender="([^"]*)"""".r.findAllMatchIn(xml).map(_.group(1)))
+      assert(v.forall(_ < 128.toChar), s"non-ASCII gender attr '$v'")
+    // ADDRESS reads these attributes through clean (',' -> ' ', collapse,
+    // strip): ASCII with only plain-space whitespace keeps the oracle's
+    // trim/regexp spelling equal to the engine's pyStrip/collapseWs
+    for (attr <- Seq("city", "street", "region", "place", "zipCode");
+         v <- (attr + "=\"([^\"]*)\"").r.findAllMatchIn(xml).map(_.group(1)))
+      assert(v.forall(c => c == ' ' || (c < 128.toChar && !c.isWhitespace)),
+        s"address $attr '$v' breaks the ASCII/plain-space parity guard")
   }
 }
