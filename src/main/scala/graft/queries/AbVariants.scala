@@ -326,12 +326,31 @@ object AbVariants {
     "x143_beam_ann__oneband" -> ((s, d) =>
       Ext43.beamAnn(s, d, twoBands = false)),
 
-    // x143 candidate: no coarse layer (flat NSW, 4 hops, stride entries
-    // from the full rank) — A/B for recall+time
-    "x143_beam_ann__flat" -> ((s, d) =>
-      Ext43.beamAnn(s, d, twoBands = true, coarseLayer = false)),
+    // x143 round-12 ADOPTION control (VERDICT r11 #2): the two-layer
+    // coarse-descent form that WAS the catalog through round 11 —
+    // same-boot min-of-5 12.38 s vs the adopted flat form's 7.78 s at
+    // sf0.1 with IDENTICAL held-out recall@3 at all 3 SFs
+    // (0.950/1.000/1.000, RecallProbe; BENCH_AB_r12_x143cost.json).
+    // Layered navigation re-enters at real scale via BeamSchedule
+    // (__scheduled below), where log n layers earn their construction.
+    "x143_beam_ann__coarse" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = true, coarseLayer = true)),
     "x143_beam_ann__flat1" -> ((s, d) =>
       Ext43.beamAnn(s, d, twoBands = false, coarseLayer = false)),
+
+    // x143 round-12 cost-decision candidates (VERDICT r11 #2): cheaper
+    // graph construction — rank blocks of 32/64 instead of 128 (the
+    // candidate-pair count scales with blk). REJECTED: blk 32/64
+    // regress held-out recall@3 to 0.833/0.908 at sf0.1 (catalog
+    // 0.950) for ≤ 0.5 s over the adopted flat form; the record is
+    // BENCH_AB_r12_x143cost.json + the RecallProbe round-12 sweep.
+    "x143_beam_ann__blk32" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = true, blkFull = 32)),
+    "x143_beam_ann__blk64" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = true, blkFull = 64)),
+    "x143_beam_ann__flatblk32" -> ((s, d) =>
+      Ext43.beamAnn(s, d, twoBands = true, coarseLayer = false,
+        blkFull = 32)),
 
     // x143 narrow-shuffle construction (ids-only block join, q attached
     // by key): the 100 TB spelling, but MEASURED SLOWER at sf0.1 (21 s

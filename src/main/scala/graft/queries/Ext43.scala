@@ -285,7 +285,23 @@ object Ext43 {
       narrowShuffles = false, narrowRank = true)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x143_beam_ann" -> ((s, d) => beamAnn(s, d, twoBands = true)),
+    // Round-12 cost decision (VERDICT r11 #2): the catalog search is
+    // the FLAT NSW form — no coarse layer, 4 full-layer hops. At this
+    // corpus (n = 2k vectors, 16 stride entries) the flat walk reaches
+    // the same neighborhoods: held-out recall@3 is IDENTICAL to the
+    // two-layer form at all 3 SFs (0.950/1.000/1.000, RecallProbe
+    // round-12 sweep) while the coarse layer's construction (an extra
+    // GlobalSeq rank sort + block join + 2 hops on edges1) was ~37% of
+    // the query: same-boot min-of-5 7.78 s flat vs 12.38 s two-layer
+    // (BENCH_AB_r12_x143cost.json; controls x9/x40/x3 flat). The
+    // layered descent is a log-n NAVIGATION accelerator — at this n it
+    // buys nothing; at real scale layers return via BeamSchedule
+    // .scheduleFor(n) (the recall-at-scale contract, kept callable as
+    // x143_beam_ann__scheduled with its 30k-vector spec). blk 32/64
+    // also measured: cheaper graphs REGRESS recall (0.833/0.908 at
+    // sf0.1) — rejected, recorded in the same A/B.
+    "x143_beam_ann" -> ((s, d) => beamAnn(s, d, twoBands = true,
+      coarseLayer = false)),
 
     // X3k HELD-OUT RECALL AUDIT for the beam ANN (x90's contract):
     // score the graph search against brute-force ground truth for
@@ -306,7 +322,8 @@ object Ext43 {
           Window.partitionBy(col("q_id"))
             .orderBy(col("dist2"), col("vec_id"))))
         .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
-      val beam3 = beamAnn(s, d, twoBands = true, perturbQueries = true)
+      val beam3 = beamAnn(s, d, twoBands = true, coarseLayer = false,
+        perturbQueries = true)
         .select(col("q_id"), col("vec_id"))
       val hits = beam3.join(gt, Seq("q_id", "vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))
@@ -363,16 +380,19 @@ object Ext43 {
        |  FROM s$i) WHERE rn <= $b)""".stripMargin
 
   /** The WITH-body of the whole beam search — quantization, two ranked
-    * bands, both edge layers, entries, the given qs CTE, entry scoring
-    * and all five hops — through `fin` (the exact-rescored final beam).
-    * x143 and x146 differ only in the qs CTE and the final SELECT. */
+    * bands, the full-layer edges, stride entries over the s0 rank, the
+    * given qs CTE, entry scoring and the four flat hops — through `fin`
+    * (the exact-rescored final beam). x143 and x146 differ only in the
+    * qs CTE and the final SELECT. Round 12: the coarse layer (e1 /
+    * edges1 / 2 width-12 hops) left the oracle together with the
+    * engine's (the flat-form adoption, BENCH_AB_r12_x143cost.json). */
   private def beamSearchCtes(qsSql: String): String = {
     val code = (0 until 16)
       .map(p => s"(CASE WHEN ${iprojSql(p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString(" + ")
     val hops = Seq(
-      (1, "b0", "edges1", 12), (2, "b1", "edges1", 12),
-      (3, "b2", "edges0", 32), (4, "b3", "edges0", 32), (5, "b4", "edges0", 32))
+      (1, "b0", "edges0", 32), (2, "b1", "edges0", 32),
+      (3, "b2", "edges0", 32), (4, "b3", "edges0", 32))
       .map { case (i, p, ed, b) => hopCtes(i, p, ed, b) }
       .mkString(",\n|")
     s"""e00 AS (SELECT vec_id,
@@ -385,13 +405,9 @@ object Ext43 {
       |e AS (SELECT vec_id, q, b1, b2, p0, p1,
       |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS s0,
       |  row_number() OVER (ORDER BY b2, p1, vec_id) - 1 AS s1 FROM e0),
-      |e1 AS (SELECT vec_id, q, b1, p0,
-      |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS sc
-      |  FROM e WHERE vec_id % 8 = 0),
       |${edgesCte("edges0", "e", Seq("s0", "s1"), 128, 16)},
-      |${edgesCte("edges1", "e1", Seq("sc"), 16, 6)},
-      |ent AS (SELECT vec_id AS id FROM e1
-      |  WHERE sc % greatest((SELECT count(*) FROM e1) // 16, 1) = 0),
+      |ent AS (SELECT vec_id AS id FROM e
+      |  WHERE s0 % greatest((SELECT count(*) FROM e) // 16, 1) = 0),
       |$qsSql,
       |s0q AS (SELECT q_id, id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
       |  FROM qs CROSS JOIN ent JOIN e ev ON ev.vec_id = ent.id),
@@ -399,8 +415,8 @@ object Ext43 {
       |    row_number() OVER (PARTITION BY q_id ORDER BY dist2, id) AS rn
       |  FROM s0q) WHERE rn <= 8),
       |$hops,
-      |fin AS (SELECT b5.q_id, b5.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
-      |  FROM b5 JOIN e ev ON ev.vec_id = b5.id JOIN qs ON qs.q_id = b5.q_id)"""
+      |fin AS (SELECT b4.q_id, b4.id, ${idist2Sql("qs.qq", "ev.q")} AS dist2
+      |  FROM b4 JOIN e ev ON ev.vec_id = b4.id JOIN qs ON qs.q_id = b4.q_id)"""
       .stripMargin
   }
 

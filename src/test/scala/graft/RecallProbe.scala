@@ -36,21 +36,26 @@ object RecallProbe {
         GraftCaches.releasePrior()
       }
       def ba(nE: Int, ch: Int, fh: Int, bF: Int, bC: Int, bE: Int,
-          blk: Int = 64, m: Int = 12, b3: Boolean = false) =
+          blk: Int = 64, m: Int = 12, b3: Boolean = false,
+          coarse: Boolean = true) =
         graft.queries.Ext43.beamAnn(spark, d, twoBands = true,
+          coarseLayer = coarse,
           nEntries = nE, coarseHops = ch, fullHops = fh, bFull = bF,
           bCoarse = bC, bEntry = bE, blkFull = blk, mFull = m,
           bands3 = b3, perturbQueries = true)
-      recall("blk128m16(16,2,3,24,10,8)")(
-        ba(16, 2, 3, 24, 10, 8, blk = 128, m = 16))
-      recall("blk128m16w32(16,2,3,32,12,8)")(
+      // round-12 cost-decision sweep (VERDICT r11 #2): the catalog
+      // setting vs the two ROUND_NOTES levers (flat form, block 32)
+      // and their combination, plus blk 64 as the midpoint
+      recall("CATALOG blk128m16 coarse w32/12/8")(
         ba(16, 2, 3, 32, 12, 8, blk = 128, m = 16))
-      recall("blk128m20(16,2,3,24,10,8)")(
-        ba(16, 2, 3, 24, 10, 8, blk = 128, m = 20))
-      recall("blk128m16b3(16,2,3,24,10,8)")(
-        ba(16, 2, 3, 24, 10, 8, blk = 128, m = 16, b3 = true))
-      recall("blk192m16(16,2,3,24,10,8)")(
-        ba(16, 2, 3, 24, 10, 8, blk = 192, m = 16))
+      recall("flat blk128m16 (4 full hops)")(
+        ba(16, 2, 3, 32, 12, 8, blk = 128, m = 16, coarse = false))
+      recall("blk32m16 coarse w32/12/8")(
+        ba(16, 2, 3, 32, 12, 8, blk = 32, m = 16))
+      recall("blk64m16 coarse w32/12/8")(
+        ba(16, 2, 3, 32, 12, 8, blk = 64, m = 16))
+      recall("flat blk32m16")(
+        ba(16, 2, 3, 32, 12, 8, blk = 32, m = 16, coarse = false))
       e0.unpersist()
     }
     spark.stop()
