@@ -126,8 +126,16 @@ object Core {
       val entities = graft.ingest.XmlEntities.fromXmlStrings(
         Seq(fixtureFeedXml).toDF("value"))
       graft.enrich.Fields.enrich(entities.repartition(col("entity_seq")))
-        .select(col("entity_seq"), col("CATEGORY"), col("GENDER"),
-          col("DOB"), col("NATIONALITIES"), col("ADD_COUNTRY"),
+        .select(col("entity_seq"),
+          // the flagship's final FULL_NAME pass (Pipeline.run mirrors
+          // main.py:1042–1046): UNKNOWN passes through, everything
+          // else gets the F6 final scrub
+          when(col("full_name") =!= "UNKNOWN",
+            graft.norm.Normalize.cleanFullnameFinalUdf(col("full_name")))
+            .otherwise(col("full_name")).as("FULL_NAME"),
+          col("CATEGORY"), col("GENDER"),
+          col("DOB"), col("ADD_CITY"), col("NATIONALITIES"),
+          col("ADD_COUNTRY"), col("STATE"),
           col("ADDRESS"), col("ALIAS"), col("REM1"),
           lit(graft.Pipeline.DefaultWebLink).as("WEB_LINK"),
           lit(graft.Pipeline.DefaultSource).as("SOURCE"),
@@ -330,6 +338,40 @@ object Core {
       s"(trim($x) <> '' AND upper(trim($x)) <> 'UNKNOWN')"
     def attrSql(tag: String, attr: String): String =
       s"""regexp_extract($tag, '$attr="([^"]*)"', 1)"""
+    // F8 place-token scrub (main.py:651–680): whitespace split, per-token
+    // `,.;:-` removal, 'province' pops the previous kept token, 'city'
+    // drops itself, order-preserving ci dedup. The fold's pass-through
+    // branches return list_concat(acc, []) — a COPY — because DuckDB's
+    // list_reduce corrupts an accumulator returned unchanged after an
+    // earlier slice (prototype: [xy,z,province,city,A] without the copy
+    // lost 'xy'; the same implementation quirk family as the STRUCT
+    // accumulator note in Ext47). coalesce('') because
+    // array_to_string([], ' ') is NULL, the engine's '' case.
+    def scrubPlaceSql(f: String): String = {
+      val kept =
+        s"""list_reduce(list_prepend([]::VARCHAR[],
+           |      list_transform(list_filter(string_split_regex($f, '\\s+'),
+           |          sw -> sw <> ''),
+           |        sw -> [regexp_replace(sw, '[,.\\-;:]', '', 'g')])),
+           |      (acc, swl) -> CASE
+           |        WHEN lower(swl[1]) = 'province'
+           |          THEN acc[1:greatest(CAST(len(acc) AS INT) - 1, 0)]
+           |        WHEN lower(swl[1]) = 'city' OR swl[1] = ''
+           |          THEN list_concat(acc, []::VARCHAR[])
+           |        ELSE list_append(acc, swl[1]) END)""".stripMargin
+      s"""coalesce((list_transform([$kept], spk ->
+         |      trim(array_to_string(list_transform(
+         |        list_filter(range(1, len(spk) + 1), si ->
+         |          list_position(list_transform(spk, sx -> lower(sx)),
+         |            lower(spk[CAST(si AS INT)])) = si),
+         |        si -> spk[CAST(si AS INT)]), ' '))))[1], '')""".stripMargin
+    }
+    // F6 final FULL_NAME scrub under the fixture-ASCII guard: the NFKD
+    // strip and typographic map are identities on ASCII, leaving the
+    // character filter + collapse + strip + Python title()
+    def finalScrubSql(x: String): String =
+      pyTitleSql("trim(regexp_replace(regexp_replace(" +
+        s"$x, '[^A-Za-z0-9 .,''()\\-]', '', 'g'), '\\s+', ' ', 'g'))")
     // one ADDRESS entry per <address> tag: countryDescription title-cased
     // first, then city/street/region/place cleaned, zip last — parts are
     // kept EVEN WHEN they clean to '' (the engine appends clean(f) for
@@ -382,6 +424,14 @@ object Core {
          |     g -> g IS NOT NULL))[-1] AS xmlg
          |FROM ds1),
          |d2 AS (SELECT entity_seq,
+         |  CASE WHEN sel IS NULL THEN 'UNKNOWN'
+         |       ELSE ${finalScrubSql("sel")} END AS full_name_t,
+         |  CASE WHEN ${validSql(attrSql("addrs[1]", "city"))}
+         |       THEN ${scrubPlaceSql(attrSql("addrs[1]", "city"))}
+         |       ELSE '' END AS add_city_t,
+         |  CASE WHEN ${validSql(attrSql("addrs[1]", "region"))}
+         |       THEN ${scrubPlaceSql(attrSql("addrs[1]", "region"))}
+         |       ELSE '' END AS state_t,
          |  CASE WHEN xmlg IS NOT NULL AND xmlg <> ''
          |       THEN CASE WHEN upper(xmlg) = 'F' THEN 'Female' ELSE 'Male' END
          |       WHEN sel IS NOT NULL AND regexp_matches(lower(sel), '$forcedMale')
@@ -420,10 +470,11 @@ object Core {
          |         ELSE [trim(f)] END)) AS proc_fns
          |FROM ds2)
          |SELECT CAST(entity_seq AS BIGINT) AS entity_seq,
+         |  full_name_t AS "FULL_NAME",
          |  category AS "CATEGORY", gender AS "GENDER", dob AS "DOB",
-         |  nationalities AS "NATIONALITIES",
-         |  add_country AS "ADD_COUNTRY", address_t AS "ADDRESS",
-         |  alias_t AS "ALIAS",
+         |  add_city_t AS "ADD_CITY", nationalities AS "NATIONALITIES",
+         |  add_country AS "ADD_COUNTRY", state_t AS "STATE",
+         |  address_t AS "ADDRESS", alias_t AS "ALIAS",
          |  CASE WHEN len(proc_fns) > 0
          |       THEN 'Designation: ' || list_aggregate(proc_fns, 'string_agg', '; ')
          |       ELSE '' END AS "REM1",

@@ -13,8 +13,9 @@ class PipelineColsSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  private val cols = Seq("entity_seq", "CATEGORY", "GENDER", "DOB",
-    "NATIONALITIES", "ADD_COUNTRY", "ADDRESS", "ALIAS", "REM1",
+  private val cols = Seq("entity_seq", "FULL_NAME", "CATEGORY", "GENDER",
+    "DOB", "ADD_CITY", "NATIONALITIES", "ADD_COUNTRY", "STATE",
+    "ADDRESS", "ALIAS", "REM1",
     "WEB_LINK", "SOURCE", "flag_name_missing", "flag_category_missing")
 
   test("pipeline_sanctions_cols == the full pipeline's projection, " +
