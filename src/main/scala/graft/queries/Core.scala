@@ -109,10 +109,18 @@ object Core {
     // Round 12 (VERDICT r11 #4) widened the twin by GENDER (the D1/D2
     // cascade with the forced-male patterns and the bundled female-name
     // dictionary rendered as SQL literals), ALIAS (F10: Latin gate +
-    // selected-name exclusion + pyTitle clean) and ADDRESS (F9: the
-    // fixed-order per-address concat over P1 validity) — all under the
-    // fixture-ASCII parity guard (PipelineSpec), which round 12 extended
-    // to gate-passing wholeNames, gender attributes and address fields.
+    // selected-name exclusion + pyTitle clean), ADDRESS (F9: the
+    // fixed-order per-address concat over P1 validity), FULL_NAME (F6
+    // final scrub), ADD_CITY/STATE (F8 place-token scrub as a list
+    // fold) and DETAILS (F12–F16: all five blocks — title, birthdate
+    // sub-rules, birth place, second citizenship, remarks — through the
+    // ci-dedup block formatter; the fixture exercises four of the five,
+    // the Citizenship block's emptiness being itself engine-matched) —
+    // all under the fixture-ASCII parity guard (PipelineSpec), which
+    // round 12 extended to gate-passing wholeNames, gender attributes,
+    // address/title/year attrs, remark text, and bars XML entities.
+    // Every populated flagship column except REM2 (whose value needs
+    // the PDF match + fill arms) is now oracle-checked.
     // PLAN: the selected columns depend only on the XML parse + enrich
     // branch, so this entry runs exactly that — the PDF text extraction,
     // match index, and two-pass fill that runFixture would also execute
@@ -136,7 +144,7 @@ object Core {
           col("CATEGORY"), col("GENDER"),
           col("DOB"), col("ADD_CITY"), col("NATIONALITIES"),
           col("ADD_COUNTRY"), col("STATE"),
-          col("ADDRESS"), col("ALIAS"), col("REM1"),
+          col("ADDRESS"), col("DETAILS"), col("ALIAS"), col("REM1"),
           lit(graft.Pipeline.DefaultWebLink).as("WEB_LINK"),
           lit(graft.Pipeline.DefaultSource).as("SOURCE"),
           col("flag_name_missing"), col("flag_category_missing"))
@@ -372,6 +380,99 @@ object Core {
     def finalScrubSql(x: String): String =
       pyTitleSql("trim(regexp_replace(regexp_replace(" +
         s"$x, '[^A-Za-z0-9 .,''()\\-]', '', 'g'), '\\s+', ' ', 'g'))")
+    // A2 order-preserving case-insensitive dedup of a VARCHAR list
+    // (first occurrence by lower(); the block() prelude, main.py:919–927)
+    def dedupCiSql(arr: String): String =
+      s"""(list_transform([$arr], bda ->
+         |    list_transform(
+         |      list_filter(range(1, len(bda) + 1), bi ->
+         |        list_position(list_transform(bda, bx -> lower(bx)),
+         |          lower(bda[CAST(bi AS INT)])) = bi),
+         |      bi -> bda[CAST(bi AS INT)])))[1]""".stripMargin
+    // F12 details block: ci-dedup, then "Label: v" / "Label: a / b"
+    // (single entry trimmed alone; multi entries trimmed then joined);
+    // NULL when empty so concat_ws skips the block (main.py:907–945)
+    def blockSql(label: String, arr: String): String =
+      s"""(list_transform([${dedupCiSql(arr)}], bdd ->
+         |  CASE WHEN len(bdd) > 0 THEN trim('$label: ' ||
+         |    CASE WHEN len(bdd) = 1 THEN trim(bdd[1])
+         |         ELSE array_to_string(
+         |           list_transform(bdd, bc -> trim(bc)), ' / ') END)
+         |  END))[1]""".stripMargin
+    // F12 DETAILS source arrays (main.py:832–945), each over the raw
+    // tag/element extractions in scope (regs/aliases/bts/cits/rml)
+    val regTitlesArr =
+      """list_transform(list_filter(
+        |    list_transform(regs, rg -> regexp_extract(rg, 'numberTitle="([^"]*)"', 1)),
+        |    t -> t <> ''), t -> trim(t))""".stripMargin
+    val aliasTitlesArr =
+      """flatten(list_transform(
+        |    list_filter(list_transform(aliases,
+        |        a -> regexp_extract(a, '\stitle="([^"]*)"', 1)), t -> t <> ''),
+        |    t -> list_transform(
+        |      list_filter(string_split(regexp_replace(t, '\(\w\)', '', 'g'), ','),
+        |        p -> trim(p) <> ''),
+        |      p -> trim(p))))""".stripMargin
+    // F14 birthdate sub-rules: full dates after the FIRST non-empty one
+    // are emitted reversed; every 3-part date's year joins the
+    // suppression set; standalone all-digit years not suppressed are
+    // emitted; complete ranges as "F to T" — in that order
+    val bdArr = {
+      val nb = "list_filter(bds, v -> v <> '')"
+      val yrs = "list_transform(list_filter(nbx, v -> " +
+        "len(string_split(v, '-')) = 3), v -> string_split(v, '-')[1])"
+      def rev(i: String) =
+        s"string_split(nbx[CAST($i AS INT)], '-')[3] || '-' || " +
+          s"string_split(nbx[CAST($i AS INT)], '-')[2] || '-' || " +
+          s"string_split(nbx[CAST($i AS INT)], '-')[1]"
+      val out1 = "list_transform(list_filter(range(1, len(nbx) + 1), " +
+        "fi -> fi >= 2 AND len(string_split(nbx[CAST(fi AS INT)], '-')) = 3), " +
+        s"fi -> ${rev("fi")})"
+      val out2 = """list_filter(list_transform(bts,
+        |      b -> regexp_extract(b, '\syear="([^"]*)"', 1)),
+        |    v -> v <> '' AND regexp_full_match(v, '[0-9]+')
+        |      AND NOT list_contains(yrx, v))""".stripMargin
+      // NOTE: no line here may BEGIN with '||' — this text is embedded
+      // into an outer stripMargin template, which would eat the pipe
+      val out3 = """list_filter(list_transform(bts, b ->
+        |    CASE WHEN regexp_extract(b, 'yearRangeFrom="([^"]*)"', 1) <> ''
+        |          AND regexp_extract(b, 'yearRangeTo="([^"]*)"', 1) <> ''
+        |         THEN regexp_extract(b, 'yearRangeFrom="([^"]*)"', 1) ||
+        |           ' to ' ||
+        |           regexp_extract(b, 'yearRangeTo="([^"]*)"', 1) END),
+        |    x -> x IS NOT NULL)""".stripMargin
+      s"""(list_transform([$nb], nbx ->
+         |  (list_transform([$yrs], yrx ->
+         |    list_concat(list_concat($out1,
+         |      $out2),
+         |      $out3)))[1]))[1]""".stripMargin
+    }
+    val placeArr =
+      """list_transform(list_filter(list_transform(bts,
+        |    b -> regexp_extract(b, '\splace="([^"]*)"', 1)),
+        |    p -> p <> ''), p -> trim(p))""".stripMargin
+    // F16 second-citizenship rule (main.py:892–905)
+    val citArr = {
+      val cl = "list_transform(list_filter(list_transform(cits, " +
+        "ci -> regexp_extract(ci, 'countryDescription=\"([^\"]*)\"', 1)), " +
+        "dd -> trim(dd) <> '' AND upper(trim(dd)) <> 'UNKNOWN'), " +
+        s"dd -> ${pyTitleSql("trim(dd)")})"
+      s"""(list_transform([$cl], clx ->
+         |  CASE WHEN len(clx) > 1 AND trim(clx[2]) <> ''
+         |        AND lower(trim(clx[2])) <> lower(trim(clx[1]))
+         |       THEN [trim(clx[2])] ELSE []::VARCHAR[] END))[1]""".stripMargin
+    }
+    val remarkArr =
+      "list_filter(list_transform(rml, r -> trim(r)), " +
+        "r -> r <> '' AND lower(r) <> 'none')"
+    val detailsSql =
+      s"""trim(regexp_replace(concat_ws('; ',
+         |  ${blockSql("Title", s"list_concat($regTitlesArr, $aliasTitlesArr)")},
+         |  ${blockSql("Birth date", bdArr)},
+         |  ${blockSql("Birth place", placeArr)},
+         |  ${blockSql("Citizenship", citArr)},
+         |  ${blockSql("Remark", remarkArr)}), '[\\n\\r]', ' ', 'g'))"""
+        .stripMargin
     // one ADDRESS entry per <address> tag: countryDescription title-cased
     // first, then city/street/region/place cleaned, zip last — parts are
     // kept EVEN WHEN they clean to '' (the engine appends clean(f) for
@@ -400,9 +501,12 @@ object Core {
          |  regexp_extract_all(e, '<nameAlias[^>]*>', 0) AS aliases,
          |  regexp_extract_all(e, '<citizenship[^>]*>', 0) AS cits,
          |  regexp_extract_all(e, '<address[^>]*>', 0) AS addrs,
+         |  regexp_extract_all(e, '<regulation[^>]*>', 0) AS regs,
+         |  regexp_extract_all(e, '<birthdate[^>]*>', 0) AS bts,
+         |  regexp_extract_all(e, '(?s)<remark>(.*?)</remark>', 1) AS rml,
          |  regexp_extract_all(e, 'birthdate="([^"]*)"', 1) AS bds
          |FROM ents),
-         |d1 AS (SELECT entity_seq, cc, addrs,
+         |d1 AS (SELECT *,
          |  list_transform(aliases, a -> regexp_extract(a, 'wholeName="([^"]*)"', 1)) AS wns,
          |  list_transform(aliases, a -> CASE WHEN regexp_matches(a, 'gender="')
          |    THEN regexp_extract(a, 'gender="([^"]*)"', 1) END) AS gl,
@@ -432,6 +536,7 @@ object Core {
          |  CASE WHEN ${validSql(attrSql("addrs[1]", "region"))}
          |       THEN ${scrubPlaceSql(attrSql("addrs[1]", "region"))}
          |       ELSE '' END AS state_t,
+         |  $detailsSql AS details_t,
          |  CASE WHEN xmlg IS NOT NULL AND xmlg <> ''
          |       THEN CASE WHEN upper(xmlg) = 'F' THEN 'Female' ELSE 'Male' END
          |       WHEN sel IS NOT NULL AND regexp_matches(lower(sel), '$forcedMale')
@@ -474,7 +579,8 @@ object Core {
          |  category AS "CATEGORY", gender AS "GENDER", dob AS "DOB",
          |  add_city_t AS "ADD_CITY", nationalities AS "NATIONALITIES",
          |  add_country AS "ADD_COUNTRY", state_t AS "STATE",
-         |  address_t AS "ADDRESS", alias_t AS "ALIAS",
+         |  address_t AS "ADDRESS", details_t AS "DETAILS",
+         |  alias_t AS "ALIAS",
          |  CASE WHEN len(proc_fns) > 0
          |       THEN 'Designation: ' || list_aggregate(proc_fns, 'string_agg', '; ')
          |       ELSE '' END AS "REM1",

@@ -15,7 +15,7 @@ class PipelineColsSpec extends AnyFunSuite {
 
   private val cols = Seq("entity_seq", "FULL_NAME", "CATEGORY", "GENDER",
     "DOB", "ADD_CITY", "NATIONALITIES", "ADD_COUNTRY", "STATE",
-    "ADDRESS", "ALIAS", "REM1",
+    "ADDRESS", "DETAILS", "ALIAS", "REM1",
     "WEB_LINK", "SOURCE", "flag_name_missing", "flag_category_missing")
 
   test("pipeline_sanctions_cols == the full pipeline's projection, " +

@@ -149,5 +149,22 @@ class PipelineSpec extends AnyFunSuite {
          v <- (attr + "=\"([^\"]*)\"").r.findAllMatchIn(xml).map(_.group(1)))
       assert(v.forall(c => c == ' ' || (c < 128.toChar && !c.isWhitespace)),
         s"address $attr '$v' breaks the ASCII/plain-space parity guard")
+    // DETAILS reads title attrs, numberTitle, year/range attrs and
+    // remark element text through trim/lower/isdigit — same guard
+    // ('title=' is case-sensitive so it never matches 'numberTitle=')
+    for (attr <- Seq("title", "numberTitle", "year", "yearRangeFrom",
+           "yearRangeTo");
+         v <- (attr + "=\"([^\"]*)\"").r.findAllMatchIn(xml).map(_.group(1)))
+      assert(v.forall(c => c == ' ' || (c < 128.toChar && !c.isWhitespace)),
+        s"$attr '$v' breaks the ASCII/plain-space parity guard")
+    for (v <- "(?s)<remark>(.*?)</remark>".r.findAllMatchIn(xml)
+           .map(_.group(1)))
+      assert(v.forall(c => c == ' ' || (c < 128.toChar && !c.isWhitespace)),
+        s"remark '$v' breaks the ASCII/plain-space parity guard")
+    // the oracle's regexp extractions read RAW attribute/element text:
+    // an XML entity (&amp; &lt; …) would be unescaped by the engine's
+    // parser but not by the oracle — bar them from the fixture
+    assert(!xml.contains("&"),
+      "XML entities in the fixture would diverge engine vs cols oracle")
   }
 }
