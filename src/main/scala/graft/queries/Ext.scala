@@ -437,6 +437,13 @@ object Ext {
         |FROM ver WHERE CAST(inter AS DOUBLE)/(n1+n2-inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
 
+    // Round 12: the per-pair len(list_intersect(hs, hs)) verification
+    // was quadratic per candidate (19.8 s of the 20.7 s oracle at
+    // sf0.1, CTE-profiled); the intersection COUNT now comes from a
+    // hash-level inverted-index self-join (hinv/hcnt) restricted to the
+    // same shingle-candidate pairs — exactly equal because the hs lists
+    // are distinct per doc, and every shared pair has inter >= 1 so the
+    // inner join drops nothing. 20.7 s -> sub-second, rows identical.
     "x4_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT doc_id,
@@ -448,9 +455,15 @@ object Ext {
         |shared AS (SELECT a.doc_id AS id1, b.doc_id AS id2
         |  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2),
-        |ver AS (SELECT id1, id2, len(list_intersect(x.hs, y.hs)) AS inter,
+        |hinv AS (SELECT doc_id, unnest(hs) AS h FROM hsets),
+        |hcnt AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(count(*) AS BIGINT) AS inter
+        |  FROM hinv a JOIN hinv b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |ver AS (SELECT id1, id2, hcnt.inter AS inter,
         |    len(x.hs) AS n1, len(y.hs) AS n2
-        |  FROM shared JOIN hsets x ON x.doc_id = id1 JOIN hsets y ON y.doc_id = id2)
+        |  FROM shared JOIN hcnt USING (id1, id2)
+        |    JOIN hsets x ON x.doc_id = id1 JOIN hsets y ON y.doc_id = id2)
         |SELECT id1, id2, CAST(inter AS DOUBLE)/(n1 + n2 - inter) AS jaccard
         |FROM ver WHERE CAST(inter AS DOUBLE)/(n1 + n2 - inter) >= 0.6
         |ORDER BY id1, id2""".stripMargin,

@@ -221,6 +221,25 @@ object Ext3 {
         .orderBy(col("source"), col("rnk"))
     }))
 
+  /** Min-label propagation over `edges` as `rounds` chained CTEs
+    * (c0..c$rounds; see the x31 oracle note). Emitted without margin
+    * pipes — the caller's stripMargin leaves unmargined lines alone —
+    * and with plain `AS (` heads for the caller's matCtes to pin. */
+  private def labelRounds(rounds: Int): String = {
+    val c0 = "c0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents)"
+    val steps = (1 to rounds).map { k =>
+      val p = s"c${k - 1}"
+      s"""c$k AS (SELECT n.id,
+  least(n.lab, coalesce(nm.m, n.lab), coalesce(ch.lab, n.lab)) AS lab
+  FROM $p n
+  LEFT JOIN (SELECT e.b AS id2, min(r.lab) AS m
+             FROM $p r JOIN edges e ON e.a = r.id GROUP BY e.b) nm
+    ON nm.id2 = n.id
+  LEFT JOIN $p ch ON ch.id = n.lab)"""
+    }
+    (c0 +: steps).mkString(",\n") + ","
+  }
+
   val oracleSql: Map[String, String] = Map(
 
     "w10_sessionize" ->
@@ -308,6 +327,22 @@ object Ext3 {
     // replay into every reference (1.75 s → 0.10 s at sf0.01, rows
     // identical in the full base-vs-mat profile; MATERIALIZED is valid
     // on the WITH RECURSIVE chain too).
+    //
+    // Round 12: the component labeling is no longer the WITH RECURSIVE
+    // transitive closure — the sf0.1 corpus has ONE 1,862-node near-dup
+    // component, and `reach` accumulated every (node, reachable-label)
+    // pair (~|C|² rows, 22.9 s of the oracle's 23.2 s, CTE-profiled).
+    // [[labelRounds]] below is the engine's own min-label iteration
+    // (Components.connectedComponents) as FIXED chained CTEs: per round
+    // each node takes the least of its label, its neighbors' labels and
+    // its label's label (pointer chase). Identical fixpoint = component
+    // min; idempotent once converged, so extra rounds never change a
+    // value. 32 rounds = 2.3× the measured worst-case need (min-node
+    // eccentricity 6/10/14 at sf0.001/0.01/0.1; the chase usually makes
+    // depth logarithmic but is not worst-case-proven, hence the margin
+    // on the measured linear bound). A corpus needing more rounds fails
+    // the gate loudly as a hash mismatch. 20.0 s → 0.9 s at sf0.1,
+    // rows identical at all 3 SFs.
     "x31_canonical_pick" -> Ext43.matCtes {
       // same generated 48-bit simhash replay as x22, extended with the
       // recursive component labeling (x17's oracle shape) and the quality
@@ -333,11 +368,8 @@ object Ext3 {
         |pairs AS (SELECT id1, id2 FROM ver WHERE hamming <= 1),
         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
         |  UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
-        |reach AS (
-        |  SELECT doc_id AS id, doc_id AS lab FROM documents
-        |  UNION
-        |  SELECT e.b AS id, r.lab AS lab FROM reach r JOIN edges e ON e.a = r.id),
-        |lab AS (SELECT id, min(lab) AS cluster_id FROM reach GROUP BY id),
+        |${labelRounds(32)}
+        |lab AS (SELECT id, lab AS cluster_id FROM c32),
         |mem AS (SELECT id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members FROM lab),
         |ww AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -182,14 +182,13 @@ object Ext32 {
         |FROM sc2, th GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "x117_hashed_classifier" -> {
-      val ws = hashedWeights.mkString("[", ", ", "]")
+      // the fold is Ext33.duckSumW verbatim (same weights via
+      // hashedWeights = scorerWeights(ScorerMult)) — one body, never a
+      // copy, and it carries the round-12 let-bound weight literal
       s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
         |  FROM documents),
         |s AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(w, t -> $ws[
-        |      CAST((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64)
-        |        + 1 AS INT)])), (a, b) -> a + b) AS BIGINT) AS sum_w
+        |  ${Ext33.duckSumW(Ext33.ScorerMult)} AS sum_w
         |  FROM w)
         |SELECT doc_id, n_tokens, sum_w,
         |  CAST((sum_w + 500 * n_tokens) * 1000 // n_tokens AS BIGINT)

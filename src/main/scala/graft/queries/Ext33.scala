@@ -38,13 +38,19 @@ object Ext33 {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** The DuckDB spelling of [[sumWCol]] (expression over column `w`). */
+  /** The DuckDB spelling of [[sumWCol]] (expression over column `w`).
+    * Round 12: the 64-entry weight literal is LET-BOUND once per row
+    * (the 1-element list_transform trick) — DuckDB re-materializes an
+    * indexed list literal inside a per-token lambda once per ELEMENT,
+    * which made this fold the wall of every scorer-family oracle
+    * (x144's row shape: 2.37 s → 0.19 s at sf0.1, rows identical). */
   private[queries] def duckSumW(mult: Long): String = {
     val ws = scorerWeights(mult).mkString("[", ", ", "]")
-    s"""CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |    list_transform(w, t -> $ws[
+    s"""(list_transform([$ws], wsx ->
+      |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |    list_transform(w, t -> wsx[
       |      CAST((CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) % 64)
-      |        + 1 AS INT)])), (a, b) -> a + b) AS BIGINT)""".stripMargin
+      |        + 1 AS INT)])), (a, b) -> a + b) AS BIGINT)))[1]""".stripMargin
   }
 
   private[queries] def hashedScorePm(s: SparkSession, d: String): DataFrame =

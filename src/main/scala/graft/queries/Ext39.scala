@@ -63,20 +63,23 @@ object Ext39 {
     // computation into both sides (6.7 s → 3.4 s at sf0.01, rows
     // identical; the round-10 CTE re-inlining finding).
     "x137_srp_sketch" -> Ext43.matCtes {
-      def dotQ(p: Int) = {
-        val lits = plane(p).mkString("[", ", ", "]")
-        s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-           |    list_transform(range(1, 65), i -> q[i] * ($lits)[i])),
-           |    (acc, x) -> acc + x)""".stripMargin
-      }
+      // planes bound once per row via the pl CTE (round 12: a plane
+      // list LITERAL inside the lambda is re-materialized per element
+      // — the x143-oracle e0 finding; integer sums are order-free so
+      // the fold is a native list_aggregate)
+      def dotQ(p: Int) =
+        s"CAST(list_aggregate(list_transform(range(1, 65), " +
+          s"i -> q[i] * pl$p[i]), 'sum') AS BIGINT)"
       val code = (0 until 16)
         .map(p => s"(CASE WHEN ${dotQ(p)} > 0 THEN ${1L << p} ELSE 0 END)")
         .mkString(" + ")
-      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+      s"""WITH ${Ext43.planesCte(16)},
+        |e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
         |    list_transform(CAST(embedding AS DOUBLE[]),
         |      x -> CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS q
         |  FROM embeddings),
-        |c AS (SELECT vec_id, label, v, CAST($code AS BIGINT) AS code FROM e),
+        |c AS (SELECT vec_id, label, v, CAST($code AS BIGINT) AS code
+        |  FROM e CROSS JOIN pl),
         |p AS (SELECT
         |    (CAST(floor((list_reduce(list_prepend(0.0, list_transform(
         |        range(1, 65), i -> a.v[i] * b.v[i])), (x, y) -> x + y)

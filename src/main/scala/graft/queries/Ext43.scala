@@ -335,18 +335,30 @@ object Ext43 {
 
   // ---- DuckDB oracle fragments shared by x143 and x146 ----
 
-  private def iprojSql(p: Int): String = {
-    val lits = Ext39.plane(p).mkString("[", ", ", "]")
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(1, 65), i -> q[i] * ($lits)[i])),
-       |    (acc, x) -> acc + x)""".stripMargin
-  }
+  /** SRP projection against the plane bound as COLUMN pl$p (see
+    * [[planesCte]]). Round 12: the former spelling embedded the
+    * 64-element plane as a list LITERAL inside the lambda — DuckDB
+    * re-materializes a literal list per element evaluation, which made
+    * the 18-projection e0 CTE ~95% of the x143 oracle (14.6 s of
+    * 15.4 s at sf0.1, CTE-profiled). Integer sums are order-free, so
+    * the sequential list_reduce also becomes a native
+    * list_aggregate('sum') (CAST back from DuckDB's HUGEINT sum). */
+  private def iprojSql(p: Int): String =
+    s"CAST(list_aggregate(list_transform(range(1, 65), " +
+      s"i -> q[i] * pl$p[i]), 'sum') AS BIGINT)"
+
+  /** One row, one column per SRP plane — CROSS JOINed where the
+    * projections are computed so each plane is bound once per ROW
+    * instead of once per lambda element. */
+  private[queries] def planesCte(nPlanes: Int): String =
+    (0 until nPlanes)
+      .map(p => Ext39.plane(p).mkString("[", ", ", s"] AS pl$p"))
+      .mkString("pl AS (SELECT ", ",\n|    ", ")")
 
   private[queries] def idist2Sql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
-       |    list_transform(range(1, 65),
-       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))),
-       |    (acc, x) -> acc + x)""".stripMargin
+    s"""CAST(list_aggregate(list_transform(range(1, 65),
+       |      i -> ($a[i] - $b[i]) * ($a[i] - $b[i])), 'sum') AS BIGINT)"""
+      .stripMargin
 
   // rank-block candidates per band + nearest-M + symmetrize
   private def edgesCte(name: String, src: String, seqs: Seq[String],
@@ -395,13 +407,15 @@ object Ext43 {
       (3, "b2", "edges0", 32), (4, "b3", "edges0", 32))
       .map { case (i, p, ed, b) => hopCtes(i, p, ed, b) }
       .mkString(",\n|")
-    s"""e00 AS (SELECT vec_id,
+    s"""${planesCte(18)},
+      |e00 AS (SELECT vec_id,
       |    list_transform(CAST(embedding AS DOUBLE[]),
       |      x -> CAST(floor((x + 1.0) * 1000.0) AS BIGINT)) AS q
       |  FROM embeddings),
       |e0 AS (SELECT vec_id, q, CAST($code AS BIGINT) & 15 AS b1,
       |  (CAST($code AS BIGINT) >> 4) & 15 AS b2,
-      |  ${iprojSql(16)} AS p0, ${iprojSql(17)} AS p1 FROM e00),
+      |  ${iprojSql(16)} AS p0, ${iprojSql(17)} AS p1
+      |  FROM e00 CROSS JOIN pl),
       |e AS (SELECT vec_id, q, b1, b2, p0, p1,
       |  row_number() OVER (ORDER BY b1, p0, vec_id) - 1 AS s0,
       |  row_number() OVER (ORDER BY b2, p1, vec_id) - 1 AS s1 FROM e0),

@@ -268,15 +268,10 @@ object Ext45 {
   val oracleSql: Map[String, String] = Map(
 
     "x147_krippendorff_alpha" -> {
-      val ws = (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
-        .mkString("[", ", ", "]")
       s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
         |r0 AS (SELECT CAST(len(w) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(w)) AS BIGINT) AS n_distinct,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(w, t -> ($ws)[CAST(
-        |      CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) % 64 + 1
-        |      AS INT)])), (acc, x) -> acc + x) AS BIGINT) AS sum_w
+        |  ${Ext33.duckSumW(Ext33.ScorerMult)} AS sum_w
         |  FROM w),
         |r AS (SELECT
         |  CASE WHEN n_tokens >= 40 AND n_distinct * 10 >= n_tokens * 3
@@ -304,14 +299,9 @@ object Ext45 {
     },
 
     "x149_weighted_kappa" -> {
-      val ws = (0 until 64).map(i => (i * 2654435761L) % 1000 - 500)
-        .mkString("[", ", ", "]")
       s"""WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
         |r0 AS (SELECT CAST(len(w) AS BIGINT) AS n_tokens,
-        |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |    list_transform(w, t -> ($ws)[CAST(
-        |      CAST(concat('0x', substr(md5(t),1,8)) AS BIGINT) % 64 + 1
-        |      AS INT)])), (acc, x) -> acc + x) AS BIGINT) AS sum_w
+        |  ${Ext33.duckSumW(Ext33.ScorerMult)} AS sum_w
         |  FROM w),
         |g AS (SELECT
         |  CAST(CASE WHEN n_tokens >= 20 THEN 1 ELSE 0 END
