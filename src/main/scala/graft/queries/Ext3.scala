@@ -224,7 +224,16 @@ object Ext3 {
   /** Min-label propagation over `edges` as `rounds` chained CTEs
     * (c0..c$rounds; see the x31 oracle note). Emitted without margin
     * pipes — the caller's stripMargin leaves unmargined lines alone —
-    * and with plain `AS (` heads for the caller's matCtes to pin. */
+    * and with plain `AS (` heads for the caller's matCtes to pin.
+    *
+    * Convergence sentinel (ADVICE r12): the fixed round count replaces
+    * the exact WITH RECURSIVE closure, so correctness depends on the
+    * component diameter staying under the bound. Rather than letting
+    * round exhaustion surface as an opaque hash mismatch, the final
+    * labels error() loudly when the last round still moved any label
+    * (converged ⇒ one more round is an identity, so c$rounds ==
+    * c$rounds-1 iff the fixpoint was reached). The sentinel costs one
+    * extra self-join on the final (already tiny) label frame. */
   private def labelRounds(rounds: Int): String = {
     val c0 = "c0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents)"
     val steps = (1 to rounds).map { k =>
@@ -237,7 +246,15 @@ object Ext3 {
     ON nm.id2 = n.id
   LEFT JOIN $p ch ON ch.id = n.lab)"""
     }
-    (c0 +: steps).mkString(",\n") + ","
+    val sentinel =
+      s"""cconv AS (SELECT count(*) AS moved
+  FROM c$rounds a JOIN c${rounds - 1} b ON a.id = b.id AND a.lab <> b.lab),
+cfinal AS (SELECT a.id,
+  CASE WHEN (SELECT moved FROM cconv) > 0
+       THEN CAST(error('labelRounds($rounds): min-label iteration not converged — raise the round count') AS BIGINT)
+       ELSE a.lab END AS lab
+  FROM c$rounds a)"""
+    (c0 +: steps :+ sentinel).mkString(",\n") + ","
   }
 
   val oracleSql: Map[String, String] = Map(
@@ -369,7 +386,7 @@ object Ext3 {
         |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
         |  UNION ALL SELECT id2 AS a, id1 AS b FROM pairs),
         |${labelRounds(32)}
-        |lab AS (SELECT id, lab AS cluster_id FROM c32),
+        |lab AS (SELECT id, lab AS cluster_id FROM cfinal),
         |mem AS (SELECT id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS n_members FROM lab),
         |ww AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -47,12 +47,19 @@ class OracleMatSpec extends AnyFunSuite {
     val bareHead = """(?i)\b[A-Za-z_][A-Za-z0-9_]*\s+AS\s*\(""".r
     for (name <- SparkEntry.materializeAll) {
       val sql = SparkEntry.oracleSql(name)
-      val bare = bareHead.findAllIn(sql)
-        .filterNot(_.toUpperCase.contains("MATERIALIZED")).toList
+      // the regex requires '(' right after AS, so a rewritten head
+      // ('AS MATERIALIZED (') can never re-match — any match IS bare
+      val bare = bareHead.findAllIn(sql).toList
       // every regex-matchable head in an allowlisted oracle must have
       // been rewritten (WINDOW clauses are barred by the test above)
       assert(bare.isEmpty,
         s"$name: bare CTE heads left un-materialized: $bare")
+      // and the injection must be idempotent on the rendered SQL — a
+      // second pass finding something to rewrite would mean injectMat
+      // over-matches (e.g. an 'x as (' inside a string literal), which
+      // would corrupt the oracle silently (ADVICE r12)
+      assert(SparkEntry.injectMat(sql) == sql,
+        s"$name: injectMat is not idempotent on the rendered oracle")
     }
   }
 

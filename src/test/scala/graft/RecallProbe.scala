@@ -46,9 +46,13 @@ object RecallProbe {
       // round-12 cost-decision sweep (VERDICT r11 #2): the catalog
       // setting vs the two ROUND_NOTES levers (flat form, block 32)
       // and their combination, plus blk 64 as the midpoint
-      recall("CATALOG blk128m16 coarse w32/12/8")(
+      // labels track the r12 adoption: the FLAT form is the shipped
+      // catalog x143 since round 12; the coarse two-layer variant is the
+      // pre-r12 baseline kept callable as __coarse (ADVICE r12: a sweep
+      // reading 'CATALOG' must compare against the shipped form)
+      recall("coarse (pre-r12 catalog) blk128m16 w32/12/8")(
         ba(16, 2, 3, 32, 12, 8, blk = 128, m = 16))
-      recall("flat blk128m16 (4 full hops)")(
+      recall("CATALOG flat blk128m16 (4 full hops)")(
         ba(16, 2, 3, 32, 12, 8, blk = 128, m = 16, coarse = false))
       recall("blk32m16 coarse w32/12/8")(
         ba(16, 2, 3, 32, 12, 8, blk = 32, m = 16))

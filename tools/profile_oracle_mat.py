@@ -68,8 +68,15 @@ def timed(con, sql):
         return dt, "ok"
     except Exception as e:
         dt = time.time() - t0
+        # classify under the lock, with done[0] set FIRST: a Timer that
+        # races the deadline either already set interrupted[0] (we read
+        # it under the same lock) or will observe done[0] and never fire
+        # the stale con.interrupt() into the next statement (ADVICE r12)
+        with lock:
+            done[0] = True
+            was_interrupted = interrupted[0]
         is_interrupt = (isinstance(e, getattr(duckdb, "InterruptException",
-                                              ())) or interrupted[0])
+                                              ())) or was_interrupted)
         kind = "timeout" if is_interrupt else f"err:{type(e).__name__}"
         return dt, kind
     finally:
