@@ -8,8 +8,28 @@ package graft
   * compilation, which a long-lived cluster amortizes away); the cache is
   * cleared between queries so intra-query persist() calls can't subsidize a
   * later query or bloat the heap across the suite.
+  *
+  * Self-normalization (round 13, VERDICT r12 #2): cross-boot host drift on
+  * this machine reaches ~2× on identical code (r12's driver bench ran ~2×
+  * its r11 values; the builder's same-round sweeps did not), so every bench
+  * record now opens with a 3-class control panel — x9_lang_id (scan),
+  * x40_image_decode (codec/CPU), x3_minhash_lsh (shuffle) — timed
+  * warmup + min-of-3 BEFORE the sweep, plus a derived `boot_coeff`: the
+  * median ratio of each control's min to its recorded round-12 reference
+  * (min over the two bracketing r12 sweeps, sf0.1). A consumer comparing
+  * bench records across rounds divides by boot_coeff to separate host
+  * phase from code change; boot_coeff ≈ 1 on a nominal boot, > 1 on a slow
+  * phase. Refs are sf0.1-specific, so boot_coeff is null at other SFs.
   */
 object Bench {
+
+  /** The 3-class control panel with its round-12 reference minima
+    * (BENCH_FULL_r12.json / _run2.json, min of the two sweeps). */
+  val ControlRefs: Seq[(String, Double)] = Seq(
+    "x9_lang_id" -> 0.198908128,
+    "x40_image_decode" -> 1.02470981,
+    "x3_minhash_lsh" -> 0.660778765)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
@@ -32,6 +52,24 @@ object Bench {
       System.gc()
       t
     }
+
+    // ---- control panel first: warmup + 3 recorded samples per control,
+    // interleaved in rounds (BenchAB protocol) so a machine phase hits
+    // all three classes equally
+    val controlNames = ControlRefs.map(_._1)
+    controlNames.foreach(once)
+    val ctlSamples = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    for (_ <- 1 to 3; n <- controlNames) ctlSamples(n) = ctlSamples(n) :+ once(n)
+    val atRefSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val ratios = ControlRefs.map { case (n, ref) => ctlSamples(n).min / ref }.sorted
+    val bootCoeff = if (atRefSf) ratios(ratios.size / 2) else Double.NaN
+    val controlsJson = ControlRefs.map { case (n, ref) =>
+      val ss = ctlSamples(n)
+      s""""$n":{"min":${ss.min},"samples":[${ss.mkString(",")}],"ref_r12":$ref}"""
+    }.mkString("{", ",", "}")
+    val bootCoeffJson = if (atRefSf) bootCoeff.toString else "null"
+
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
     // queries (driver never sets it → full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -44,8 +82,17 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // phase side-channel (BenchPhases): entries that fold a one-time
+    // non-query phase (j12's bucketed-table write) into their wall time
+    // report it here so the record separates operator cost from setup
+    val phasesJson = BenchPhases.snapshot.toSeq.sortBy(_._1).map {
+      case (q, ps) =>
+        val inner = ps.toSeq.sortBy(_._1)
+          .map { case (p, v) => s""""$p":$v""" }.mkString("{", ",", "}")
+        s""""$q":$inner"""
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","controls":$controlsJson,"boot_coeff":$bootCoeffJson,"phases":$phasesJson,"queries":$qs,"sf":"$sfDir"}"""
     println(json)
     // the driver's BENCH artifact keeps only the stdout tail, which loses
     // most per-query times once the catalog is large — also land the full

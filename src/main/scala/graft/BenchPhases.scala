@@ -1,0 +1,28 @@
+package graft
+
+/** Side-channel for queries whose catalog entry deliberately performs a
+  * non-query phase (physical-design writes, index builds) inside the
+  * entry: the entry records the phase's wall time here and the bench
+  * emits it alongside the total, so the bench record separates "what the
+  * operator costs" from "what the one-time table preparation costs"
+  * without changing the entry's key, result frame, or oracle
+  * (VERDICT r12 #3 — j12's 2.68 s read as a slow join when ~90% of it is
+  * the in-query bucketed-table write).
+  *
+  * Last write wins per (query, phase): under Bench's min-of-2 protocol
+  * the recorded value is the second run's, which is the steadier one.
+  */
+object BenchPhases {
+
+  private val m =
+    new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
+
+  def record(query: String, phases: Map[String, Double]): Unit =
+    m.update(query, phases)
+
+  def get(query: String): Option[Map[String, Double]] = m.get(query)
+
+  def snapshot: Map[String, Map[String, Double]] = m.readOnlySnapshot().toMap
+
+  def clear(): Unit = m.clear()
+}

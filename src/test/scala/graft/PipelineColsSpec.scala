@@ -3,11 +3,13 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
 
-/** pipeline_sanctions_cols runs ONLY the XML parse + enrich branch (the
-  * PDF / match / fill arms are dead weight for its projection and are
-  * pruned by construction) — this golden pins that the shortcut is
-  * value-identical to projecting the FULL pipeline output, cell for
-  * cell, so the pruning can never silently diverge from the flagship.
+/** Since round 13, pipeline_sanctions_cols runs the COMPOSED pipeline
+  * (Pipeline.runFixture — XML parse + enrich + PDF match + two-pass fill)
+  * and projects every oracle-covered column, REM2 and its flags included.
+  * This golden pins that the catalog entry stays in lockstep with the
+  * flagship frame cell for cell — a drifted projection list, a dropped
+  * column, or a shortcut reintroduced without oracle coverage fails here
+  * before it reaches the driver gate.
   */
 class PipelineColsSpec extends AnyFunSuite {
 
@@ -16,17 +18,25 @@ class PipelineColsSpec extends AnyFunSuite {
   private val cols = Seq("entity_seq", "FULL_NAME", "CATEGORY", "GENDER",
     "DOB", "ADD_CITY", "NATIONALITIES", "ADD_COUNTRY", "STATE",
     "ADDRESS", "DETAILS", "ALIAS", "REM1",
-    "WEB_LINK", "SOURCE", "flag_name_missing", "flag_category_missing")
+    "WEB_LINK", "SOURCE", "REM2",
+    "flag_name_missing", "flag_category_missing",
+    "flag_rem2_missing", "flag_rem2_conflict")
 
   test("pipeline_sanctions_cols == the full pipeline's projection, " +
-    "cell for cell") {
-    val short = SparkEntry.queries("pipeline_sanctions_cols")(spark, "")
-      .collect().map(_.toSeq).toSeq
+    "cell for cell, REM2 + fill flags included") {
+    val twin = SparkEntry.queries("pipeline_sanctions_cols")(spark, "")
+    assert(twin.columns.toSeq == cols,
+      "the twin's projection drifted from the oracle-covered column list")
+    val short = twin.collect().map(_.toSeq).toSeq
     val full = graft.Pipeline.runFixture(spark)
       .select(cols.map(col): _*)
       .collect().map(_.toSeq).toSeq
     assert(short.nonEmpty)
     assert(short == full)
+    // the REM2 arm is genuinely exercised: the fixture fills all four
+    // chain-fill rows (PipelineSpec pins the exact values)
+    val rem2 = short.map(r => r(cols.indexOf("REM2")).asInstanceOf[String])
+    assert(rem2.count(_.nonEmpty) == 7)
     GraftCaches.releasePrior()
   }
 }

@@ -167,4 +167,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(!xml.contains("&"),
       "XML entities in the fixture would diverge engine vs cols oracle")
   }
+
+  test("pdf fixture guard: the REM2 oracle arm's parity invariants hold " +
+    "on the bundled pdf.txt — printable-ASCII + newline + plain Cyrillic " +
+    "only, so the oracle's bare-regex Latin gate, ASCII pyTitle/lower and " +
+    "RE2 \\s agree exactly with the engine's Unicode kernels") {
+    val in = getClass.getResourceAsStream("/graft/fixtures/pdf.txt")
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+              finally in.close()
+    assert(txt.nonEmpty)
+    for (c <- txt.distinct) {
+      val printableAscii = c >= 0x20.toChar && c <= 0x7E.toChar
+      val cyrillic = c >= 0x0400.toChar && c <= 0x04FF.toChar
+      assert(printableAscii || cyrillic || c == '\n',
+        f"pdf.txt char U+${c.toInt}%04X is outside printable-ASCII/" +
+          "Cyrillic/newline — exotic whitespace or typographic chars " +
+          "diverge the oracle's RE2 \\s/trim from the engine's Python-" +
+          "compatible strip/collapse; extend the REM2 oracle first")
+      // the engine's Latin gate maps '"' to ' ' and the 4 Cyrillic
+      // confusables (І і Ё ё) into Latin BEFORE matching; the oracle's
+      // bare regexp_full_match does neither — a candidate containing
+      // them could pass one gate and fail the other
+      assert(c != '"' && !"\u0406\u0456\u0401\u0451".contains(c),
+        f"pdf.txt char U+${c.toInt}%04X is rewritten by the engine's " +
+          "Latin-gate normalization — the oracle's bare regex would " +
+          "diverge; extend Core.pipelineColsOracle's REM2 arm first")
+    }
+    // belt and braces on the derivation the oracle actually consumes:
+    // every chunk name the engine's real parser extracts (these feed the
+    // index keys and the oracle's ASCII pyTitle/lower spellings) is
+    // pure ASCII, and at least one chunk parses (the arm is exercised)
+    val chunks = txt.split("(?U)(?=Entity\\s+\\d+\\b)").map(_.strip())
+      .filter(c => c.nonEmpty && c.toLowerCase.startsWith("entity"))
+    val names = chunks.map(graft.matching.PdfParse.parseChunk(_).name)
+      .filter(_ != null)
+    assert(names.nonEmpty, "pdf.txt lost its parseable chunks?")
+    for (n <- names)
+      assert(n.forall(_ < 128.toChar),
+        s"non-ASCII parsed chunk name '$n' — the oracle's ASCII " +
+          "pyTitle/lower key variants would diverge")
+  }
 }
