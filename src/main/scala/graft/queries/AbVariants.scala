@@ -321,6 +321,115 @@ object AbVariants {
     }),
 
 
+    // x35 round-13 probe (VERDICT r12 #5): the Components cadence —
+    // per-round persist + count + LogicalRDD freeze + unpersist of the
+    // prior round — applied to the rank frame. At 3 fixed rounds the
+    // lineage is only 3 joins deep, so the hypothesis is that the extra
+    // per-round materialization actions COST more than the truncation
+    // saves; measured to adopt-or-close.
+    // RETAINED NEGATIVE (round 13, BENCH_AB_r13_x35.json +
+    // _confirm.json, X35ProbeCheck rank-equality gate): __trunc is a
+    // wash (5.44 vs 5.39 min-of-5 same-boot), __conv read 12% FASTER
+    // on a noisy boot (4.76 vs 5.39) but 12% SLOWER on the cleaner
+    // confirmation boot (4.76 vs 4.25 min-of-7, controls ~at-ref) —
+    // boot noise, not signal. The catalog's fixed-round lazy chain
+    // stays; truncation earns its cost only at Components-scale round
+    // counts, exactly as the r6 probe concluded for deeper variants.
+    "x35_pagerank__trunc" -> ((s, d) => {
+      import org.apache.spark.sql.types.{StructType, StructField, LongType}
+      val rankSchema = StructType(Seq(
+        StructField("id", LongType, nullable = true),
+        StructField("r", LongType, nullable = true)))
+      def frozen(df: org.apache.spark.sql.DataFrame) =
+        s.createDataFrame(df.select(col("id"), col("r")).rdd, rankSchema)
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      val degA = e0.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      val degB = e0.groupBy(col("b")).agg(count(lit(1)).as("outdeg"))
+      val edd = e0.join(degA, "a")
+          .select(col("a").as("src"), col("b").as("dst"), col("outdeg"))
+        .union(e0.join(degB, "b")
+          .select(col("b").as("src"), col("a").as("dst"), col("outdeg")))
+        .persistTracked()
+      var cached = edd
+        .select(col("dst"), expr("1000000 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+        .persistTracked()
+      cached.count()
+      var r = frozen(cached)
+      for (_ <- 2 to 3) {
+        val next = edd.join(r, col("src") === col("id"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+          .persistTracked()
+        next.count()
+        cached.unpersist(blocking = false)
+        cached = next
+        r = frozen(next)
+      }
+      r.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
+
+    // x35 round-13 probe: convergence detection instead of a fixed round
+    // count — each round persists the rank frame and counts ranks that
+    // moved vs the previous round, stopping early when none did. The
+    // fixture graph does not converge inside 3 rounds, so this measures
+    // the pure DETECTION overhead (per-round persist + count + compare
+    // join) against the catalog's fixed-round lazy chain.
+    "x35_pagerank__conv" -> ((s, d) => {
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      val degA = e0.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      val degB = e0.groupBy(col("b")).agg(count(lit(1)).as("outdeg"))
+      val edd = e0.join(degA, "a")
+          .select(col("a").as("src"), col("b").as("dst"), col("outdeg"))
+        .union(e0.join(degB, "b")
+          .select(col("b").as("src"), col("a").as("dst"), col("outdeg")))
+        .persistTracked()
+      var prev = edd
+        .select(col("dst"), expr("1000000 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+        .persistTracked()
+      var round = 1
+      var converged = false
+      while (!converged && round < 3) {
+        val next = edd.join(prev, col("src") === col("id"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+          .persistTracked()
+        val moved = next.as("n")
+          .join(prev.select(col("id").as("pid"), col("r").as("pr")),
+            col("id") === col("pid"), "left")
+          .filter(col("pr").isNull || col("pr") =!= col("r"))
+          .count()
+        prev.unpersist(blocking = false)
+        prev = next
+        converged = moved == 0
+        round += 1
+      }
+      prev.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
+
     // x143 candidate: single ranking band for full-layer construction
     // (half the candidates, one less GlobalSeq sort) — A/B for recall+time
     "x143_beam_ann__oneband" -> ((s, d) =>
