@@ -604,7 +604,7 @@ object Core {
          |    row_number() OVER (PARTITION BY chunk_seq ORDER BY i DESC) AS rn
          |  FROM pscan) WHERE rn = 1),
          |prem2 AS (SELECT chunk_seq,
-         |  array_to_string(list_concat(
+         |  coalesce(array_to_string(list_concat(
          |    (list_transform([list_transform(list_filter(nums, v -> trim(v) <> ''),
          |        v -> trim(regexp_replace(v, '\\s+', ' ', 'g')))], nc ->
          |      CASE WHEN len(nc) > 0 THEN ['Number: ' || array_to_string(nc, ' / ')]
@@ -613,7 +613,7 @@ object Core {
          |         THEN ['Programme: ' || coalesce(
          |            (list_filter(list_transform(string_split(prog, '|'), pp -> trim(pp)),
          |               pp -> pp <> ''))[-1], trim(prog))]
-         |         ELSE []::VARCHAR[] END), '; ') AS rem2
+         |         ELSE []::VARCHAR[] END), '; '), '') AS rem2
          |FROM pparsed),
          |pnamed AS (SELECT n.chunk_seq, ${cleanSql("n.rawname")} AS name, r.rem2
          |  FROM pname n JOIN prem2 r USING (chunk_seq) WHERE n.rawname IS NOT NULL),
