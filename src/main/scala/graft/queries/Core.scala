@@ -96,8 +96,11 @@ object Core {
 
     // The flagship: the complete sanctions pipeline (parse → enrich → match
     // → two-pass fill → 28-column projection) over the bundled fixture feed.
-    // UDF-bearing end to end, so no SQL oracle (rows-only check here); the
-    // golden PipelineSpec asserts every cell of this exact output.
+    // Rows-only at the driver gate BY REFERENCE (round 13): every populated
+    // column of this frame is hash-checked through the completed
+    // pipeline_sanctions_cols twin below (same code path; PipelineColsSpec
+    // pins lockstep), and the golden PipelineSpec asserts every cell of
+    // this exact output including the constant empty columns.
     "pipeline_sanctions_e2e" -> ((s, _) => graft.Pipeline.runFixture(s)),
 
     // VERDICT r7 #4: the SQL-expressible projection of the flagship output
