@@ -128,7 +128,14 @@ object SparkEntry {
     // corpus after adoption)
     "x4_ngram_jaccard", "x156_wer", "x145_video_neardup",
     "x22_simhash_neardup", "x57_source_overlap", "x3_minhash_lsh",
-    "x52_incremental_dedup")
+    "x52_incremental_dedup",
+    // round 13: the REM2-complete cols oracle chains ~28 CTEs with
+    // several referenced twice (ds2, pname, fstat, fp2 output) —
+    // re-inlined it costs 4.5–7.9 s on a 9-ROW fixture; materialized
+    // 0.74 s, hash-identical (MATERIALIZED is accepted on the genuinely
+    // self-referencing pscan/fp2/fp3 heads too; all 28 regex sites
+    // hand-audited as real CTE heads, no WINDOW clause present)
+    "pipeline_sanctions_cols")
 
   private[graft] def injectMat(sql: String): String =
     // (?i) matches the profiler's CTE_HEAD regex (case-insensitive) so

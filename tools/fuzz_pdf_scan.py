@@ -96,8 +96,9 @@ def cmd_check(chunks_path, engine_tsv, oracle_json):
     assert len(engine) == len(chunks), "engine dump row count mismatch"
 
     sql = json.load(open(oracle_json))["pipeline_sanctions_cols"]
-    start = sql.index("plines AS (")
-    end = sql.index("pidx AS (")
+    # markers tolerate the render-time AS MATERIALIZED injection
+    start = re.search(r"plines AS (MATERIALIZED )?\(", sql).start()
+    end = re.search(r"pidx AS (MATERIALIZED )?\(", sql).start()
     scanner = sql[start:end]
     # the oracle's plines reads pchunks(chunk_seq, ch); feed it from a table
     q = ("WITH RECURSIVE pchunks AS (SELECT chunk_seq, ch FROM fuzz_chunks),\n"
