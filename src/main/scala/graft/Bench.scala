@@ -53,27 +53,37 @@ object Bench {
       t
     }
 
-    // ---- control panel first: warmup + 3 recorded samples per control,
-    // interleaved in rounds (BenchAB protocol) so a machine phase hits
-    // all three classes equally
-    val controlNames = ControlRefs.map(_._1)
-    controlNames.foreach(once)
-    val ctlSamples = scala.collection.mutable.Map
-      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
-    for (_ <- 1 to 3; n <- controlNames) ctlSamples(n) = ctlSamples(n) :+ once(n)
-    val atRefSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
-    val ratios = ControlRefs.map { case (n, ref) => ctlSamples(n).min / ref }.sorted
-    val bootCoeff = if (atRefSf) ratios(ratios.size / 2) else Double.NaN
-    val controlsJson = ControlRefs.map { case (n, ref) =>
-      val ss = ctlSamples(n)
-      s""""$n":{"min":${ss.min},"samples":[${ss.mkString(",")}],"ref_r12":$ref}"""
-    }.mkString("{", ",", "}")
-    val bootCoeffJson = if (atRefSf) bootCoeff.toString else "null"
-
     // dev-loop filter: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those
     // queries (driver never sets it → full suite)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // ---- control panel first: warmup + 3 recorded samples per control,
+    // interleaved in rounds (BenchAB protocol) so a machine phase hits
+    // all three classes equally. Skipped in the filtered dev loop —
+    // a one-query iteration shouldn't pay ~12 control runs; every
+    // full-suite record (the driver's, BENCH_FULL) always carries it.
+    val runControls = only.isEmpty
+    val controlNames = ControlRefs.map(_._1)
+    val ctlSamples = scala.collection.mutable.Map
+      .empty[String, Vector[Double]].withDefaultValue(Vector.empty)
+    if (runControls) {
+      controlNames.foreach(once)
+      for (_ <- 1 to 3; n <- controlNames) ctlSamples(n) = ctlSamples(n) :+ once(n)
+    }
+    val atRefSf = sfDir.replaceAll("/+$", "").endsWith("sf0.1")
+    val controlsJson =
+      if (!runControls) "{}"
+      else ControlRefs.map { case (n, ref) =>
+        val ss = ctlSamples(n)
+        s""""$n":{"min":${ss.min},"samples":[${ss.mkString(",")}],"ref_r12":$ref}"""
+      }.mkString("{", ",", "}")
+    val bootCoeffJson =
+      if (!runControls || !atRefSf) "null"
+      else {
+        val ratios = ControlRefs.map { case (n, ref) => ctlSamples(n).min / ref }.sorted
+        ratios(ratios.size / 2).toString
+      }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val results = names.map { name =>

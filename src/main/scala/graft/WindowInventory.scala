@@ -48,7 +48,7 @@ object WindowInventory {
     case _: RangeExec => true
     case a: AdaptiveSparkPlanExec => physBounded(a.inputPlan)
     case s: InMemoryTableScanExec => physBounded(s.relation.cachedPlan)
-    case g: org.apache.spark.sql.execution.GenerateExec => false
+    case _: org.apache.spark.sql.execution.GenerateExec => false
     case j: BaseJoinExec => physBounded(j.left) && physBounded(j.right)
     case _: LeafExecNode => false
     case other => other.children.nonEmpty && other.children.forall(physBounded)
