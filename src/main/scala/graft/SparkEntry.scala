@@ -135,7 +135,13 @@ object SparkEntry {
     // 0.74 s, hash-identical (MATERIALIZED is accepted on the genuinely
     // self-referencing pscan/fp2/fp3 heads too; all 28 regex sites
     // hand-audited as real CTE heads, no WINDOW clause present)
-    "pipeline_sanctions_cols")
+    "pipeline_sanctions_cols",
+    // round 14 (VERDICT r13 #1/#2): the e2e and unicode oracles are the
+    // SAME CTE chain as the cols twin (wider projection / swapped
+    // Unicode spellings) — identical 28 audited CTE heads, identical
+    // materialization economics
+    "pipeline_sanctions_e2e",
+    "pipeline_sanctions_unicode")
 
   private[graft] def injectMat(sql: String): String =
     // (?i) matches the profiler's CTE_HEAD regex (case-insensitive) so
@@ -150,7 +156,7 @@ object SparkEntry {
     k -> (if (materializeAll(k)) injectMat(v) else v)
   }
 
-  private def oracleSqlRaw: Map[String, String] =
+  private[graft] def oracleSqlRaw: Map[String, String] =
     graft.queries.Core.oracleSql ++
       graft.queries.Windows.oracleSql ++
       graft.queries.Relational.oracleSql ++
