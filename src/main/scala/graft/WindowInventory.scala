@@ -23,7 +23,18 @@ object WindowInventory {
     * inputs bounded. Generate (explode) is NOT treated as pass-through:
     * re-expanding a collapsed frame can restore corpus-scale row counts.
     * Cached frames (InMemoryRelation) are judged by the same walk over
-    * their cached physical plan. */
+    * their cached physical plan.
+    *
+    * KNOWN LIMITATION (ADVICE r13): "Aggregate ⇒ bounded" is a
+    * CARDINALITY heuristic, not a proof — an Aggregate grouped on a
+    * near-unique key (e.g. a raw doc_id) emits corpus-scale rows and
+    * would still pass this machine check. Static plans carry no
+    * group-count statistics, so that case is guarded by the HUMAN leg of
+    * the closed-world protocol: every enrolled global window's grouping
+    * keys are printed by [[main]] (GROUPS column) for allowlist review,
+    * and `GlobalWindowInventorySpec`'s allowlist is the reviewed record.
+    * An enrollment whose Aggregate groups on an id-like scan column must
+    * be rejected there even though valueBounded says true. */
   def valueBounded(p: LogicalPlan): Boolean = p match {
     case _: Aggregate => true
     case _: GlobalLimit => true
@@ -70,7 +81,14 @@ object WindowInventory {
         for (w <- wins) {
           val exprs = w.windowExpressions.map(_.sql).mkString("; ").take(120)
           val chain = w.child.collect { case n => n.nodeName }.mkString(">")
-          println(s"GW\t$name\tbounded=${valueBounded(w.child)}\t$exprs\t$chain")
+          // grouping keys of every Aggregate under the window: the
+          // manual-review input for the valueBounded Aggregate
+          // limitation (a near-unique grouping key ⇒ reject enrollment)
+          val groups = w.child.collect {
+            case a: Aggregate =>
+              a.groupingExpressions.map(_.sql).mkString("(", ",", ")")
+          }.mkString(";")
+          println(s"GW\t$name\tbounded=${valueBounded(w.child)}\t$exprs\t$chain\tGROUPS=$groups")
         }
       } catch {
         case e: Throwable => println(s"ERR\t$name\t${e.getMessage}")

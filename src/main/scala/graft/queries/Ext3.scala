@@ -221,22 +221,24 @@ object Ext3 {
         .orderBy(col("source"), col("rnk"))
     }))
 
-  /** Min-label propagation over `edges` as `rounds` chained CTEs
-    * (c0..c$rounds; see the x31 oracle note). Emitted without margin
-    * pipes — the caller's stripMargin leaves unmargined lines alone —
-    * and with plain `AS (` heads for the caller's matCtes to pin.
+  /** Min-label propagation over `edges` as chained CTEs (c0..; see the
+    * x31 oracle note). Emitted without margin pipes — the caller's
+    * stripMargin leaves unmargined lines alone — and with plain `AS (`
+    * heads for the caller's matCtes to pin.
     *
-    * Convergence sentinel (ADVICE r12): the fixed round count replaces
-    * the exact WITH RECURSIVE closure, so correctness depends on the
-    * component diameter staying under the bound. Rather than letting
-    * round exhaustion surface as an opaque hash mismatch, the final
-    * labels error() loudly when the last round still moved any label
-    * (converged ⇒ one more round is an identity, so c$rounds ==
-    * c$rounds-1 iff the fixpoint was reached). The sentinel costs one
-    * extra self-join on the final (already tiny) label frame. */
+    * Convergence sentinel (ADVICE r12, sharpened per ADVICE r13): the
+    * fixed round count replaces the exact WITH RECURSIVE closure, so
+    * correctness depends on the component diameter staying under the
+    * bound. The sentinel runs ONE EXTRA probe round (c$rounds+1) and
+    * errors loudly when it still moves any label vs c$rounds — so a
+    * fixpoint reached exactly AT the final budgeted round is provable
+    * (the old c$rounds-vs-c$rounds-1 compare rejected that case, making
+    * the effective proven budget rounds-1). The final labels read from
+    * the probe round, which equals c$rounds whenever the sentinel
+    * passes. Costs one extra (tiny-frame) propagation + self-join. */
   private def labelRounds(rounds: Int): String = {
     val c0 = "c0 AS (SELECT doc_id AS id, doc_id AS lab FROM documents)"
-    val steps = (1 to rounds).map { k =>
+    val steps = (1 to rounds + 1).map { k =>
       val p = s"c${k - 1}"
       s"""c$k AS (SELECT n.id,
   least(n.lab, coalesce(nm.m, n.lab), coalesce(ch.lab, n.lab)) AS lab
@@ -248,12 +250,12 @@ object Ext3 {
     }
     val sentinel =
       s"""cconv AS (SELECT count(*) AS moved
-  FROM c$rounds a JOIN c${rounds - 1} b ON a.id = b.id AND a.lab <> b.lab),
+  FROM c${rounds + 1} a JOIN c$rounds b ON a.id = b.id AND a.lab <> b.lab),
 cfinal AS (SELECT a.id,
   CASE WHEN (SELECT moved FROM cconv) > 0
        THEN CAST(error('labelRounds($rounds): min-label iteration not converged — raise the round count') AS BIGINT)
        ELSE a.lab END AS lab
-  FROM c$rounds a)"""
+  FROM c${rounds + 1} a)"""
     (c0 +: steps :+ sentinel).mkString(",\n") + ","
   }
 

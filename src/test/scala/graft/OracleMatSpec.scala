@@ -54,12 +54,37 @@ class OracleMatSpec extends AnyFunSuite {
       // been rewritten (WINDOW clauses are barred by the test above)
       assert(bare.isEmpty,
         s"$name: bare CTE heads left un-materialized: $bare")
-      // and the injection must be idempotent on the rendered SQL — a
-      // second pass finding something to rewrite would mean injectMat
-      // over-matches (e.g. an 'x as (' inside a string literal), which
-      // would corrupt the oracle silently (ADVICE r12)
-      assert(SparkEntry.injectMat(sql) == sql,
-        s"$name: injectMat is not idempotent on the rendered oracle")
+    }
+  }
+
+  test("injectMat rewrites exactly the CTE heads outside string literals") {
+    // ADVICE r13: the old idempotence check ran on the RENDERED SQL,
+    // where a literal already corrupted by the first pass can never
+    // re-match — it only caught second-pass over-matches. Count instead
+    // on the RAW SQL: the number of rewrites injectMat performs must
+    // equal the number of CTE-head matches in the raw SQL with quoted
+    // string literals blanked — so a head-shaped substring INSIDE a
+    // literal ('x as (' in embedded fixture text) showing up as an
+    // extra rewrite fails here, before the driver hash gate.
+    val bareHead = """(?i)\b[A-Za-z_][A-Za-z0-9_]*\s+AS\s*\(""".r
+    // SQL string literal with '' escapes; (?s) so embedded newlines
+    // (the fixture feed/pdf literals) stay inside one literal. Unrolled
+    // possessive form — the naive ([^']|'')* alternation-in-loop
+    // stack-overflows Java regex on the multi-KB fixture literals
+    val litRe = """(?s)'[^']*+(?:''[^']*+)*+'""".r
+    val matRe = """(?i)\bAS\s+MATERIALIZED\s*\(""".r
+    for (name <- SparkEntry.materializeAll) {
+      val raw = SparkEntry.oracleSqlRaw(name)
+      assert(matRe.findFirstIn(raw).isEmpty,
+        s"$name: raw oracle already contains MATERIALIZED")
+      val injected = SparkEntry.injectMat(raw)
+      val rewrites = matRe.findAllIn(injected).size
+      val headsOutsideLiterals =
+        bareHead.findAllIn(litRe.replaceAllIn(raw, "''")).size
+      assert(rewrites == headsOutsideLiterals,
+        s"$name: injectMat performed $rewrites rewrites but the raw SQL " +
+          s"has $headsOutsideLiterals CTE heads outside string literals " +
+          "— the regex matched inside a literal or missed a head")
     }
   }
 

@@ -33,10 +33,15 @@ class PipelineColsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(short.nonEmpty)
     assert(short == full)
-    // the REM2 arm is genuinely exercised: the fixture fills all four
-    // chain-fill rows (PipelineSpec pins the exact values)
-    val rem2 = short.map(r => r(cols.indexOf("REM2")).asInstanceOf[String])
-    assert(rem2.count(_.nonEmpty) == 7)
+    // the REM2 arm is genuinely exercised, by SPECIFIC rows (ADVICE r13:
+    // a bare count of 7 would survive a fill-vs-direct swap): direct/
+    // match hits land on entity_seq 0, 6, 7; the four chain-fill rows
+    // are 2–5; rows 1 and 8 stay empty (PipelineSpec pins exact values)
+    val seqIdx = cols.indexOf("entity_seq")
+    val nonEmptySeqs = short
+      .filter(r => r(cols.indexOf("REM2")).asInstanceOf[String].nonEmpty)
+      .map(r => r(seqIdx).asInstanceOf[Long]).toSet
+    assert(nonEmptySeqs == Set(0L, 2L, 3L, 4L, 5L, 6L, 7L))
     GraftCaches.releasePrior()
   }
 }
