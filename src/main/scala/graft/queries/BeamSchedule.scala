@@ -122,13 +122,29 @@ object BeamSchedule {
       scored.withColumn("rn", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("dist2"), col("id"))))
         .filter(col("rn") <= b)
+    // Per-hop LOGICAL lineage cut (round 14): the catalog form's
+    // persist-per-hop keeps EXECUTION linear, but the analyzed plan
+    // still nests each hop's InMemoryRelation (whose cachedPlan embeds
+    // the previous hop's physical tree) TWICE per hop (kept ∪ expanded)
+    // — tree-shaped walks (plan stringification, parts of planning) go
+    // 2^hops. Invisible at the catalog's 5 hops / 2k vectors; at the
+    // SCHEDULE's 9 hops on a 100k corpus it cost ~14 min of pure
+    // driver-side Catalyst work and OOM'd a 4g driver rendering the
+    // explain string (measured, BeamProbe round 14). createDataFrame on
+    // the hop output's RDD makes the next hop's plan start from a
+    // LogicalRDD leaf — plan size O(1) per hop, distributed execution
+    // unchanged. The persist stays load-bearing: the beam feeds two
+    // branches, and without it the RDD lineage would recompute the
+    // whole chain per branch.
+    def lineageCut(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
     def hop(beam0: DataFrame, edges: DataFrame, b: Int): DataFrame = {
       val beam = beam0.persistTracked()
       val expanded = beam
         .join(edges, col("id") === col("src"))
         .select(col("q_id"), col("dst").as("id"))
-      topB(score(beam.union(expanded).distinct()), b)
-        .select(col("q_id"), col("id"))
+      lineageCut(topB(score(beam.union(expanded).distinct()), b)
+        .select(col("q_id"), col("id")))
     }
     var beam = topB(score(
       qs.select(col("q_id")).crossJoin(broadcast(entries))), 8)
