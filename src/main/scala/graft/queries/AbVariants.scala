@@ -93,6 +93,26 @@ object AbVariants {
     "x143_beam_ann__persistqr" -> ((s, d) => Ext43.beamAnn(s, d,
       twoBands = true, persistQuant = true, persistRank = true)),
 
+    // r14 optimization probes on the FLAT catalog form (the r8 persist
+    // probe above predates the r12 flat adoption): (a) cache the
+    // quantized+SRP projection so the rank chain's eager re-executions
+    // (GlobalSeq's range sampling + zipWithIndex count jobs, then the
+    // persist materialization) stop recomputing the 18 interpreted HOF
+    // projections from parquet per pass; (b) also cache the inner
+    // ranked frame; (c) per-hop logical lineage cut (BeamSchedule's
+    // round-14 pattern) on top. All three are execution-only knobs —
+    // row-identical by construction.
+    "x143_beam_ann__pqflat" -> ((s, d) => Ext43.beamAnn(s, d,
+      twoBands = true, coarseLayer = false, persistQuant = true)),
+    "x143_beam_ann__pqrflat" -> ((s, d) => Ext43.beamAnn(s, d,
+      twoBands = true, coarseLayer = false, persistQuant = true,
+      persistRank = true)),
+    "x143_beam_ann__pqrlincut" -> ((s, d) => Ext43.beamAnn(s, d,
+      twoBands = true, coarseLayer = false, persistQuant = true,
+      persistRank = true, lineageCutHops = true)),
+    "x143_beam_ann__lincut" -> ((s, d) => Ext43.beamAnn(s, d,
+      twoBands = true, coarseLayer = false, lineageCutHops = true)),
+
     // x155 single-pass side-flag form (union both sides into ONE
     // (pair, n, gram) groupBy, clip = least with no join) — the round-8
     // NEGATIVE result: 9.76 vs 5.26 s min-of-3 same-boot at sf0.1

@@ -157,6 +157,7 @@ object Ext43 {
       blkFull: Int = 128, mFull: Int = 16, bands3: Boolean = false,
       hopPersist: Boolean = true,
       persistQuant: Boolean = false, persistRank: Boolean = false,
+      lineageCutHops: Boolean = false,
       perturbQueries: Boolean = false): DataFrame = {
       // the narrow-rank branch computes only the s0/s1 rank joins — it
       // has no b3/p2 path, so a third band there would reference an
@@ -262,8 +263,14 @@ object Ext43 {
         val expanded = beam
           .join(edges, col("id") === col("src"))
           .select(col("q_id"), col("dst").as("id"))
-        topB(score(beam.union(expanded).distinct()), b)
+        val out = topB(score(beam.union(expanded).distinct()), b)
           .select(col("q_id"), col("id"))
+        // per-hop LOGICAL lineage cut (BeamSchedule's round-14 pattern):
+        // the next hop references this frame twice, so the analyzed plan
+        // nests 2^hops deep without it — row-identical, probe-gated
+        if (lineageCutHops)
+          out.sparkSession.createDataFrame(out.rdd, out.schema)
+        else out
       }
       var beam = topB(score(
         qs.select(col("q_id")).crossJoin(broadcast(entries))), bEntry)
@@ -300,8 +307,16 @@ object Ext43 {
     // x143_beam_ann__scheduled with its 30k-vector spec). blk 32/64
     // also measured: cheaper graphs REGRESS recall (0.833/0.908 at
     // sf0.1) — rejected, recorded in the same A/B.
+    // Round 14 (optimization): per-hop LOGICAL lineage cut adopted —
+    // each hop references the prior beam twice, so the analyzed plan
+    // nests 2^hops InMemoryRelation-bearing subtrees (the formatted
+    // plan was 886 KB for 120 rows); cutting to a LogicalRDD leaf per
+    // hop is row-identical (hash-green re-gated) and measured 4.97 vs
+    // 7.34 s min-of-5 same-boot (BENCH_AB_r14_x143lincut.json; the
+    // construction persists re-probed on the flat form stay neutral,
+    // same record).
     "x143_beam_ann" -> ((s, d) => beamAnn(s, d, twoBands = true,
-      coarseLayer = false)),
+      coarseLayer = false, lineageCutHops = true)),
 
     // X3k HELD-OUT RECALL AUDIT for the beam ANN (x90's contract):
     // score the graph search against brute-force ground truth for
@@ -323,7 +338,7 @@ object Ext43 {
             .orderBy(col("dist2"), col("vec_id"))))
         .filter(col("rn") <= 3).select(col("q_id"), col("vec_id"))
       val beam3 = beamAnn(s, d, twoBands = true, coarseLayer = false,
-        perturbQueries = true)
+        lineageCutHops = true, perturbQueries = true)
         .select(col("q_id"), col("vec_id"))
       val hits = beam3.join(gt, Seq("q_id", "vec_id"))
         .groupBy(col("q_id")).agg(count(lit(1)).as("n_hits"))

@@ -112,4 +112,24 @@ class Ext43Spec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"cartesian crept in:\n$p")
     GraftCaches.releasePrior()
   }
+
+  test("x143 per-hop lineage cut (r14 optimization): row-identical to the " +
+    "uncut hop chain, and the final plan stays O(1) per hop (the uncut " +
+    "form's formatted plan was 886 KB at 4 hops — 2^hops nesting)") {
+    import graft.queries.Ext43
+    val d = "/root/testdata/sf0.001"
+    val cutDf = Ext43.beamAnn(spark, d, twoBands = true,
+      coarseLayer = false, lineageCutHops = true)
+    val cut = cutDf.collect()
+    GraftCaches.releasePrior()
+    val uncut = Ext43.beamAnn(spark, d, twoBands = true,
+      coarseLayer = false, lineageCutHops = false).collect()
+    GraftCaches.releasePrior()
+    assert(cut.toSeq == uncut.toSeq,
+      s"lineage cut changed rows: ${cut.length} vs ${uncut.length}")
+    val planChars = cutDf.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode).length
+    assert(planChars < 60000,
+      s"cut plan should be a few KB, got $planChars chars")
+  }
 }
