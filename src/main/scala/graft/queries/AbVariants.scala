@@ -113,6 +113,46 @@ object AbVariants {
     "x143_beam_ann__lincut" -> ((s, d) => Ext43.beamAnn(s, d,
       twoBands = true, coarseLayer = false, lineageCutHops = true)),
 
+    // r14 shared-subtree probes (guide §2.4), same-boot evidence in
+    // BENCH_AB_r14_sharedsubtrees.json: q9's twice-inlined late CTE
+    // (exchange-less shared subtree — genuinely recomputed; the persist
+    // form won 1.60 vs 2.16 s and was adopted), x66's thrice-read pair
+    // set and x138's twice-read union source (both end at identical
+    // exchanges AQE stage reuse already shares — wash/regression,
+    // persist-free forms kept).
+    "q9_sole_late_supplier__sqlcte" -> ((s, d) => {
+      graft.tables.Tables.registerViews(s, d)
+      s.sql("""
+        WITH late AS (
+          SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders
+            ON l_orderkey = o_orderkey
+          WHERE unix_micros(CAST(l_shipdate AS TIMESTAMP)) -
+                unix_micros(CAST(o_orderdate AS TIMESTAMP))
+                > 60 * 86400000000
+        )
+        SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
+        FROM late l1
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+            WHERE l2.l_orderkey = l1.l_orderkey
+              AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM late l3
+            WHERE l3.l_orderkey = l1.l_orderkey
+              AND l3.l_suppkey <> l1.l_suppkey)
+        GROUP BY l1.l_suppkey
+        ORDER BY numwait DESC, suppkey""")
+    }),
+    "x66_triangle_count__nopersist" -> ((s, d) => {
+      val e = Ext.lshVerifiedPairs(s, d, 0.5).select(col("id1"), col("id2"))
+      val wedge = e.select(col("id1").as("a"), col("id2").as("b"))
+        .join(e.select(col("id1").as("b"), col("id2").as("c")), "b")
+      wedge.join(e.select(col("id1").as("a"), col("id2").as("c")),
+          Seq("a", "c"), "left_semi")
+        .select(col("a"), col("b"), col("c"))
+        .orderBy(col("a"), col("b"), col("c"))
+    }),
+    "x138_label_propagation__pairpersist" -> ((s, d) =>
+      Ext40.labelPropagation(s, d, persistPairs = true)),
+
     // x155 single-pass side-flag form (union both sides into ONE
     // (pair, n, gram) groupBy, clip = least with no join) — the round-8
     // NEGATIVE result: 9.76 vs 5.26 s min-of-3 same-boot at sf0.1

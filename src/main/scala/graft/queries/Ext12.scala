@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.GraftCaches.TrackedPersist
 import graft.tables.Tables._
 import graft.ext.TextOps
 
@@ -46,6 +47,15 @@ object Ext12 {
     // orientation trick: every triangle is counted exactly once as
     // a<b<c, and wedge fan-out is bounded by out-degree, not degree. Two
     // equi-joins, no explosion on high-degree nodes.
+    // Round 14 (optimization, guide §2.4) NEGATIVE result: `e` is
+    // referenced three times uncached (45 Exchanges in the static plan),
+    // but persisting it measured a same-boot WASH (1.09 vs 1.13 s
+    // min-of-4, BENCH_AB_r14_sharedsubtrees.json) — all three references
+    // share the verify pipeline's exchanges, and AQE's runtime stage
+    // reuse already dedupes subtrees that end at an identical Exchange
+    // (only exchange-less shared subtrees like q9's late CTE genuinely
+    // recompute). Kept persist-free: one fewer cached frame, per the
+    // r8 x143 precedent.
     "x66_triangle_count" -> ((s, d) => {
       val e = Ext.lshVerifiedPairs(s, d, 0.5).select(col("id1"), col("id2"))
       val wedge = e.select(col("id1").as("a"), col("id2").as("b"))

@@ -23,37 +23,7 @@ object Ext40 {
     // deterministic). Per round: ONE equi-join + ONE partial-aggregable
     // (node, label) rollup + ONE argmax rollup — the same per-round
     // shape as x35's pagerank, iteration count fixed at 2.
-    "x138_label_propagation" -> ((s, d) => {
-      val pairs = Ext.lshVerifiedPairs(s, d, 0.5)
-        .select(col("id1"), col("id2"))
-      val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-        .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-        .persistTracked()
-      val seed = documents(s, d)
-        .select(col("doc_id").as("node"), col("source").as("lab"))
-        .persistTracked()
-      def round(labels: DataFrame): DataFrame =
-        edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
-          .groupBy(col("src"), col("lab"))
-          .agg(count(lit(1)).as("votes"))
-          .groupBy(col("src"))
-          .agg(min(struct((-col("votes")).as("nv"), col("lab"))).as("m"))
-          .select(col("src").as("node"), col("m.lab").as("lab"))
-      // only nodes WITH neighbors update; isolated docs keep their seed
-      val r1 = round(seed)
-      val l1 = seed.join(r1.withColumnRenamed("lab", "new_lab"), Seq("node"), "left")
-        .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
-        .persistTracked()
-      val r2 = round(l1)
-      val l2 = seed.select(col("node"), col("lab").as("seed_lab"))
-        .join(l1.withColumnRenamed("lab", "lab1"), Seq("node"))
-        .join(r2.withColumnRenamed("lab", "lab2"), Seq("node"), "left")
-        .select(col("node"), col("seed_lab"), col("lab1"),
-          coalesce(col("lab2"), col("lab1")).as("lab2"))
-      l2.filter(col("seed_lab") =!= col("lab2") || col("seed_lab") =!= col("lab1"))
-        .withColumn("flipped", col("seed_lab") =!= col("lab2"))
-        .orderBy(col("node"))
-    }),
+    "x138_label_propagation" -> ((s, d) => labelPropagation(s, d)),
 
     // W33 FIRST-TOUCH ATTRIBUTION: w30's twin — credit each purchase to
     // the EARLIEST preceding non-purchase event (acquisition channel)
@@ -109,6 +79,50 @@ object Ext40 {
             .as("mean_ppm"))
         .orderBy(col("rep"))
     }))
+
+  // Round 14 (optimization, guide §2.4) NEGATIVE result: persisting
+  // `pairs` before the symmetrizing union measured a small same-boot
+  // REGRESSION (1.87 vs 1.73 s min-of-4,
+  // BENCH_AB_r14_sharedsubtrees.json) — the two union branches are
+  // identical up to the final projection, so AQE's runtime stage reuse
+  // already shares every exchange-bounded stage between them and the
+  // persist only adds a materialization barrier. (The old "union
+  // branches only share work via a cached source" rule predates AQE
+  // stage reuse; it still holds for exchange-LESS shared subtrees —
+  // see q9.) persistPairs = true kept callable as the A/B arm.
+  private[graft] def labelPropagation(s: SparkSession, d: String,
+      persistPairs: Boolean = false): DataFrame = {
+    val pairs0 = Ext.lshVerifiedPairs(s, d, 0.5)
+      .select(col("id1"), col("id2"))
+    val pairs = if (persistPairs) pairs0.persistTracked() else pairs0
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .unionByName(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .persistTracked()
+    val seed = documents(s, d)
+      .select(col("doc_id").as("node"), col("source").as("lab"))
+      .persistTracked()
+    def round(labels: DataFrame): DataFrame =
+      edges.join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src"), col("lab"))
+        .agg(count(lit(1)).as("votes"))
+        .groupBy(col("src"))
+        .agg(min(struct((-col("votes")).as("nv"), col("lab"))).as("m"))
+        .select(col("src").as("node"), col("m.lab").as("lab"))
+    // only nodes WITH neighbors update; isolated docs keep their seed
+    val r1 = round(seed)
+    val l1 = seed.join(r1.withColumnRenamed("lab", "new_lab"), Seq("node"), "left")
+      .select(col("node"), coalesce(col("new_lab"), col("lab")).as("lab"))
+      .persistTracked()
+    val r2 = round(l1)
+    val l2 = seed.select(col("node"), col("lab").as("seed_lab"))
+      .join(l1.withColumnRenamed("lab", "lab1"), Seq("node"))
+      .join(r2.withColumnRenamed("lab", "lab2"), Seq("node"), "left")
+      .select(col("node"), col("seed_lab"), col("lab1"),
+        coalesce(col("lab2"), col("lab1")).as("lab2"))
+    l2.filter(col("seed_lab") =!= col("lab2") || col("seed_lab") =!= col("lab1"))
+      .withColumn("flipped", col("seed_lab") =!= col("lab2"))
+      .orderBy(col("node"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

@@ -175,28 +175,37 @@ object Ext8 {
     // which Catalyst turns into a semi + anti self-join pair (no per-row
     // subquery survives). "Late" = shipped more than 60 days after the
     // order date (exact integer day arithmetic on epoch micros — no
-    // engine-specific date functions). The base, semi and anti sides all
-    // shuffle on l_orderkey, so AQE can reuse one exchange layout.
+    // engine-specific date functions).
+    // Round 14 (optimization, guide §2.4): the former SQL spelling's
+    // `late` CTE was INLINED at both references (Catalyst does not
+    // materialize WITH), so the plan scanned lineitem 3× and orders 2×
+    // (plans/r14/q9_sole_late_supplier_before.txt). The DataFrame
+    // spelling persists `late` once: 2 lineitem scans + 1 orders scan,
+    // anti side reads the cache — at 100 TB that removes one full pass
+    // over the fact table. Semi/anti conditions and output are
+    // byte-identical to the SQL form (same oracle, re-gated;
+    // BENCH_AB_r14_sharedsubtrees.json).
     "q9_sole_late_supplier" -> ((s, d) => {
-      graft.tables.Tables.registerViews(s, d)
-      s.sql("""
-        WITH late AS (
-          SELECT l_orderkey, l_suppkey FROM lineitem JOIN orders
-            ON l_orderkey = o_orderkey
-          WHERE unix_micros(CAST(l_shipdate AS TIMESTAMP)) -
-                unix_micros(CAST(o_orderdate AS TIMESTAMP))
-                > 60 * 86400000000
-        )
-        SELECT l1.l_suppkey AS suppkey, count(*) AS numwait
-        FROM late l1
-        WHERE EXISTS (SELECT 1 FROM lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey
-              AND l2.l_suppkey <> l1.l_suppkey)
-          AND NOT EXISTS (SELECT 1 FROM late l3
-            WHERE l3.l_orderkey = l1.l_orderkey
-              AND l3.l_suppkey <> l1.l_suppkey)
-        GROUP BY l1.l_suppkey
-        ORDER BY numwait DESC, suppkey""")
+      val late = lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey") &&
+            expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) - " +
+              "unix_micros(CAST(o_orderdate AS TIMESTAMP)) > 60 * 86400000000"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .persistTracked()
+      late
+        .join(lineitem(s, d)
+            .select(col("l_orderkey").as("lo"), col("l_suppkey").as("ls")),
+          col("l_orderkey") === col("lo") && col("l_suppkey") =!= col("ls"),
+          "left_semi")
+        .join(late.select(col("l_orderkey").as("ro"), col("l_suppkey").as("rs")),
+          col("l_orderkey") === col("ro") && col("l_suppkey") =!= col("rs"),
+          "left_anti")
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("numwait"))
+        .select(col("l_suppkey").as("suppkey"), col("numwait"))
+        .orderBy(col("numwait").desc, col("suppkey"))
     }),
 
     // X4v BOILERPLATE / FAMILIARITY SCORE: score each document by how
