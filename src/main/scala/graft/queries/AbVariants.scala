@@ -153,6 +153,19 @@ object AbVariants {
     "x138_label_propagation__pairpersist" -> ((s, d) =>
       Ext40.labelPropagation(s, d, persistPairs = true)),
 
+    // r14: x47 WITH the pre-r14 up-front doc_id repartition (the catalog
+    // dropped it — a wash at sf0.1, an extra corpus exchange at scale;
+    // kept callable for single-unsplittable-file sources and as the A/B
+    // control)
+    "x47_sparse_cosine__repart" -> ((s, d) =>
+      Ext7.sparseCosineTopK(graft.tables.Tables.documents(s, d),
+        dfLo = 2, dfHi = 4, k = 25, repartitionByDoc = true)),
+
+    // r14: j12 with the pre-r14 SERIAL physical-design writes (guide
+    // §2.6 overlap adopted in the catalog; this is the control)
+    "j12_bucketed_join__serialwrite" -> ((s, d) =>
+      Ext9.bucketedJoin(s, d, parallelWrites = false)),
+
     // x155 single-pass side-flag form (union both sides into ONE
     // (pair, n, gram) groupBy, clip = least with no join) — the round-8
     // NEGATIVE result: 9.76 vs 5.26 s min-of-3 same-boot at sf0.1

@@ -157,7 +157,16 @@ object Ext45 {
       var hi = math.min(
         toks.agg(coalesce(max(size(col("w"))).cast("long"), lit(0L)))
           .head().getLong(0), SpanCap)
-      for (_ <- 1 to SpanRounds) {
+      // Round 14 (optimization): stop once lo == hi — the remaining
+      // budgeted rounds are provable no-ops (mid = (2·lo+1)/2 = lo, and
+      // the invariant "a repeat of length lo exists" makes the probe
+      // answer true, leaving (lo, hi) unchanged), but each one paid a
+      // full corpus probe pass. The 9-round budget is unchanged — only
+      // converged rounds are skipped; the unrolled oracle computes the
+      // same no-op rounds symbolically, so results are identical.
+      var round = 0
+      while (round < SpanRounds && lo < hi) {
+        round += 1
         val mid = (lo + hi + 1L) / 2L
         val exists = mid >= 1L && !spans1(mid)
           .groupBy(col("h")).agg(count(lit(1)).as("c"))
@@ -212,7 +221,12 @@ object Ext45 {
       var hi = math.min(
         toks.agg(coalesce(max(size(col("w"))).cast("long"), lit(0L)))
           .head().getLong(0), SpanCap)
-      for (_ <- 1 to SpanRounds) {
+      // converged-round early exit — see x148 above (identical argument,
+      // the cross-source invariant "a span of length lo crosses sources"
+      // holds the same way)
+      var round = 0
+      while (round < SpanRounds && lo < hi) {
+        round += 1
         val mid = (lo + hi + 1L) / 2L
         val exists = mid >= 1L && !spans1(mid)
           .groupBy(col("h")).agg(countDistinct(col("source")).as("c"))

@@ -42,8 +42,17 @@ object Ext7 {
     // in commoner terms needs a higher cap (Ext7RecallSpec pins exactly
     // that behavior on a statistics-shifted corpus). The oracle replays
     // the same [2,4] index term-identically.
+    // Round 14 (optimization, guide §2.4): the up-front repartition by
+    // doc_id — an extra full-corpus exchange before the shingle explode —
+    // measured a same-boot wash at sf0.1 (3.09 vs 3.18 s min-of-3,
+    // BENCH_AB_r14_misc.json: the scan already yields enough splits), so
+    // the catalog drops it; at 100 TB it was a pure extra corpus shuffle.
+    // The repartitioning form stays callable (__repart … via the
+    // sparseCosineTopK knob) for sources that really do arrive in one
+    // unsplittable file.
     "x47_sparse_cosine" -> ((s, d) =>
-      sparseCosineTopK(documents(s, d), dfLo = 2, dfHi = 4, k = 25)),
+      sparseCosineTopK(documents(s, d), dfLo = 2, dfHi = 4, k = 25,
+        repartitionByDoc = false)),
 
     // X4q SNAPSHOT DIFF: the audit between two dataset releases — which
     // docs were added, removed, changed, unchanged. Snapshot B is derived
@@ -107,8 +116,15 @@ object Ext7 {
     * exact on any engine. dfHi = Int.MaxValue degenerates to the exact
     * all-shared-term candidate set (complete support of dot > 0) — the
     * ground truth Ext7RecallSpec measures recall against. */
-  def sparseCosineTopK(docs: DataFrame, dfLo: Int, dfHi: Int, k: Int): DataFrame = {
-    val tf = docs.repartition(col("doc_id"))
+  def sparseCosineTopK(docs: DataFrame, dfLo: Int, dfHi: Int, k: Int,
+      repartitionByDoc: Boolean = true): DataFrame = {
+    // repartitionByDoc spreads the shingle explode across task slots when
+    // the source arrives in few scan partitions (one unsplittable file);
+    // everywhere else it is a pure extra corpus exchange. r14 A/B at
+    // sf0.1: a wash (3.09 vs 3.18 s min-of-3, BENCH_AB_r14_misc.json),
+    // so the catalog passes false and saves the shuffle at scale.
+    val base = if (repartitionByDoc) docs.repartition(col("doc_id")) else docs
+    val tf = base
       .select(col("doc_id"), TextOps.words(col("text")).as("w"))
       .filter(size(col("w")) >= 3)
       .select(col("doc_id"),
