@@ -555,5 +555,41 @@ object AbVariants {
     // truncation now in the catalog)
     "x143_beam_ann__nohoppersist" -> ((s, d) =>
       Ext43.beamAnn(s, d, twoBands = true, hopPersist = false)),
+
+    // r15: GlobalSeq "one child execution" probes (VERDICT r14 #1) —
+    // BOTH RETAINED NEGATIVES, measured same-boot at sf0.1
+    // (BENCH_AB_r15_globalseq.json; catalog keeps the zipWithIndex
+    // spelling). __offsetseq is the fully-lazy SQL form (range exchange +
+    // per-partition count offsets + broadcast join): ~2× wall on the beam
+    // queries — it forfeits the zip spelling's LogicalRDD lineage cut and
+    // pays two extra exchanges' driver orchestration per call; wash on
+    // the simple consumers. __zippersistseq persists the sorted Row RDD
+    // across zipWithIndex's two passes (the Quantile pattern): 1.2–1.7× —
+    // Row-object cache churn exceeds the saved reduce-side re-run.
+    // Value identity of all three spellings is pinned by GlobalSeqSpec.
+    "x143_beam_ann__offsetseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withOffsets(Ext43.beamAnn(s, d,
+        twoBands = true, coarseLayer = false, lineageCutHops = true))),
+    "x146_beam_recall__offsetseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withOffsets(
+        Ext43.queries("x146_beam_recall")(s, d))),
+    "x125_epoch_shuffle__offsetseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withOffsets(
+        Ext35.queries("x125_epoch_shuffle")(s, d))),
+    "x159_kendall_tau__offsetseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withOffsets(
+        Ext48.queries2("x159_kendall_tau")(s, d))),
+    "x143_beam_ann__zippersistseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withZipPersist(Ext43.beamAnn(s, d,
+        twoBands = true, coarseLayer = false, lineageCutHops = true))),
+    "x146_beam_recall__zippersistseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withZipPersist(
+        Ext43.queries("x146_beam_recall")(s, d))),
+    "x125_epoch_shuffle__zippersistseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withZipPersist(
+        Ext35.queries("x125_epoch_shuffle")(s, d))),
+    "x159_kendall_tau__zippersistseq" -> ((s, d) =>
+      graft.ingest.GlobalSeq.withZipPersist(
+        Ext48.queries2("x159_kendall_tau")(s, d))),
   )
 }

@@ -195,13 +195,17 @@ object Ext43 {
           .select(col("vec_id"), col("s1"))
         base.join(r0, "vec_id").join(r1, "vec_id")
       } else {
-        // VERDICT r7 #3 probe knobs: the nested rank chain EXECUTES its
-        // input several times (each GlobalSeq.withSeq runs its child for
-        // range-partitioner sampling plus zipWithIndex's O(P) count job,
-        // and the outer sort re-runs the inner), so without a persist the
-        // SRP quantize projection recomputes from parquet per pass.
-        // persistQuant caches the quantized projection before the chain;
-        // persistRank additionally caches the inner ranked frame.
+        // VERDICT r7 #3 probe knobs: the rank chain's zipWithIndex runs
+        // range sampling + an eager count job per level and the consumer
+        // re-runs the reduce side (the CHILD itself is bounded at one
+        // map pass by shuffle reuse — GlobalSeqSpec pins it). These
+        // persists probed caching (a) the quantized projection and (b)
+        // the inner ranked frame — both measured neutral (r8, r14), and
+        // the r15 one-child-execution GlobalSeq redesigns both measured
+        // SLOWER (BENCH_AB_r15_globalseq.json), so the persist-free
+        // zip chain stays. persistQuant caches the quantized projection
+        // before the chain; persistRank additionally caches the inner
+        // ranked frame.
         val eq = if (persistQuant) e0.persistTracked() else e0
         val one =
           GlobalSeq.withSeq(eq, Seq(col("b1"), col("p0"), col("vec_id")), "s0")

@@ -36,7 +36,13 @@ class GlobalWindowInventorySpec extends AnyFunSuite {
     * apportionment (per-source remainders), x120/x163/x164 drift
     * statistics (value histograms), x121 AUC (score buckets),
     * x136 waterfall (stage counts), x157 conformal alphas,
-    * x162 Heaps vocab (doc-count curve), x172 Zipf buckets. */
+    * x162 Heaps vocab (doc-count curve), x172 Zipf buckets.
+    *
+    * (Round 15 note: GlobalSeq's A/B-only "offsets" spelling carries a
+    * cumsum window over its per-partition count rollup — bounded by the
+    * shuffle partition count. It is NOT the catalog spelling — it lost
+    * the same-boot A/B — so no consumer enrolls for it; if it is ever
+    * adopted, unpersisted consumers x125/x158/x159 must enroll here.) */
   private val allowlist: Set[String] = Set(
     "w29_interleave", "x73_mixture_apportion", "x107_token_budget",
     "x120_ks_drift", "x121_classifier_auc", "x136_filter_waterfall",
