@@ -16,13 +16,30 @@ object BenchPhases {
 
   private val m =
     new scala.collection.concurrent.TrieMap[String, Map[String, Double]]
+  private val excl =
+    new scala.collection.concurrent.TrieMap[String, Boolean]
 
-  def record(query: String, phases: Map[String, Double]): Unit =
+  /** `excludedFromQueryTime = true` marks a phase whose wall time is NOT
+    * inside any per-query bench number (the session-memoized fixture
+    * pipeline: min-of-2 keeps the memo-reading sample, discarding the
+    * one-time run). The bench folds these into `total_with_phases`
+    * (VERDICT r14 #3) so round-over-round totals keep counting that real
+    * work; phases folded into their entry's own wall time (j12's
+    * bucketed write) are informational only and NOT re-added. */
+  def record(query: String, phases: Map[String, Double],
+      excludedFromQueryTime: Boolean = false): Unit = {
     m.update(query, phases)
+    excl.update(query, excludedFromQueryTime)
+  }
 
   def get(query: String): Option[Map[String, Double]] = m.get(query)
 
   def snapshot: Map[String, Map[String, Double]] = m.readOnlySnapshot().toMap
 
-  def clear(): Unit = m.clear()
+  /** Sum of all phase seconds recorded with `excludedFromQueryTime`. */
+  def excludedSeconds: Double = m.readOnlySnapshot().toMap.collect {
+    case (q, ps) if excl.getOrElse(q, false) => ps.values.sum
+  }.sum
+
+  def clear(): Unit = { m.clear(); excl.clear() }
 }

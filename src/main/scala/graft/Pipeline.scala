@@ -152,7 +152,8 @@ object Pipeline {
       val local = s.createDataFrame(
         java.util.Arrays.asList(rows: _*), composed.schema)
       BenchPhases.record(s"pipeline_sanctions_$key",
-        Map("fixture_pipeline_run_sec" -> (System.nanoTime() - t0) / 1e9))
+        Map("fixture_pipeline_run_sec" -> (System.nanoTime() - t0) / 1e9),
+        excludedFromQueryTime = true)
       local
     })
   }

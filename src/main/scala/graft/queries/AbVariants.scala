@@ -154,8 +154,9 @@ object AbVariants {
       Ext40.labelPropagation(s, d, persistPairs = true)),
 
     // r14: x47 WITH the pre-r14 up-front doc_id repartition (the catalog
-    // dropped it — a wash at sf0.1, an extra corpus exchange at scale;
-    // kept callable for single-unsplittable-file sources and as the A/B
+    // dropped it — a wash at sf0.1; r15 correction: NOT a saved shuffle,
+    // the aggregation re-inserts its own exchange — see Ext7. Kept
+    // callable for single-unsplittable-file sources and as the A/B
     // control)
     "x47_sparse_cosine__repart" -> ((s, d) =>
       Ext7.sparseCosineTopK(graft.tables.Tables.documents(s, d),
