@@ -21,8 +21,11 @@ object PlanDump {
     val spark = Sessions.local("graft-plandump")
     spark.sparkContext.setLogLevel("ERROR")
     java.nio.file.Files.createDirectories(outDir)
+    // r15: also resolve BenchAB variants so before/after plan pairs can
+    // be dumped for A/B arms (e.g. <q>__rangesel as the "before" side)
+    val all = SparkEntry.queries ++ BenchAB.variants
     for (name <- names) {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      val df = all(name)(spark, sfDir)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(outDir.resolve(s"${name}_$suffix.txt"),

@@ -454,6 +454,60 @@ object AbVariants {
         .orderBy(col("rank").desc, col("id")).limit(100)
     }),
 
+    // x116 round-15 probes (VERDICT r14 #5): __rangesel is the pre-r15
+    // form (terciles via ext/Quantile's range-sort selection, 2 jobs +
+    // an RDD persist); the catalog adopted the integer-histogram
+    // selection (one partial-agg job over the value-bounded score
+    // rollup). __nopersistc2 additionally drops the c2 persist (its two
+    // consumers share the groupBy exchange — the r14 stage-reuse rule).
+    "x116_perplexity_buckets__rangesel" -> ((s, d) =>
+      Ext32.perplexityBuckets(s, d, histSel = false, persistC2 = true)),
+    "x116_perplexity_buckets__nopersistc2" -> ((s, d) =>
+      Ext32.perplexityBuckets(s, d, histSel = true, persistC2 = false)),
+
+    // x35 round-15 probe (VERDICT r14 #4): the PURE per-round lineage
+    // cut — x143's createDataFrame(rdd, schema) pattern with NO per-round
+    // persist/count (r13's __trunc bundled those and measured a wash).
+    // x35's rank plan is linear (each round references the previous rank
+    // frame once), so the expected win is small; measured to
+    // adopt-or-close per the verdict.
+    "x35_pagerank__lincut" -> ((s, d) => {
+      import org.apache.spark.sql.types.{StructType, StructField, LongType}
+      val rankSchema = StructType(Seq(
+        StructField("id", LongType, nullable = true),
+        StructField("r", LongType, nullable = true)))
+      def frozen(df: org.apache.spark.sql.DataFrame) =
+        s.createDataFrame(df.select(col("id"), col("r")).rdd, rankSchema)
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      val degA = e0.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      val degB = e0.groupBy(col("b")).agg(count(lit(1)).as("outdeg"))
+      val edd = e0.join(degA, "a")
+          .select(col("a").as("src"), col("b").as("dst"), col("outdeg"))
+        .union(e0.join(degB, "b")
+          .select(col("b").as("src"), col("a").as("dst"), col("outdeg")))
+        .persistTracked()
+      var r = frozen(edd
+        .select(col("dst"), expr("1000000 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r")))
+      for (_ <- 2 to 3) {
+        r = frozen(edd.join(r, col("src") === col("id"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r")))
+      }
+      r.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
+
     // x35 round-13 probe: convergence detection instead of a fixed round
     // count — each round persists the rank frame and counts ranks that
     // moved vs the previous round, stopping early when none did. The
