@@ -454,6 +454,14 @@ object AbVariants {
         .orderBy(col("rank").desc, col("id")).limit(100)
     }),
 
+    // x4 round-15 probe (VERDICT r14 #6): the window-free prefix-rank
+    // spelling — sort_array(collect_list) + slice + posexplode instead of
+    // row_number over the per-doc window. RETAINED NEGATIVE: same-boot
+    // wash both ways (BENCH_AB_r15_x4prefix{,_confirm}.json) and no
+    // at-scale edge (see Ext.ngramJaccard); catalog keeps the window.
+    "x4_ngram_jaccard__aggprefix" -> ((s, d) =>
+      Ext.ngramJaccard(s, d, windowPrefix = false)),
+
     // x116 round-15 probes (VERDICT r14 #5): __rangesel is the pre-r15
     // form (terciles via ext/Quantile's range-sort selection, 2 jobs +
     // an RDD persist); the catalog adopted the integer-histogram
