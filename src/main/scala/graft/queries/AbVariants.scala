@@ -454,6 +454,28 @@ object AbVariants {
         .orderBy(col("rank").desc, col("id")).limit(100)
     }),
 
+    // x143/x146 round-15 probe: construction with AQE disabled — the
+    // per-hop lineage cut's .rdd normally triggers AQE's EAGER stage-by-
+    // stage materialization at construction (each hop = several
+    // sequential driver-orchestrated jobs; the listener probe counted 53
+    // for one x143 run). With adaptive off during construction the hop
+    // RDDs compile LAZILY and the whole search executes under the final
+    // action, where independent arms overlap. Results are AQE-invariant.
+    // Outcome (BENCH_AB_r15_noaqecons{,_confirm}.json): x146 ADOPTED the
+    // lazy construction (~1.4× — its brute-force gt arm overlaps the
+    // beam); x143 measured ~2× SLOWER lazily (no independent arm, and
+    // the lazy hop chain loses AQE coalescing) — retained negative here.
+    "x143_beam_ann__noaqecons" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try Ext43.beamAnn(s, d, twoBands = true, coarseLayer = false,
+        lineageCutHops = true)
+      finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }),
+    // the pre-r15 EAGER x146 construction (AQE on throughout) — the
+    // same-boot control for the catalog's lazy-construction adoption
+    "x146_beam_recall__aqecons" -> ((s, d) => Ext43.x146Body(s, d)),
+
     // x4 round-15 probe (VERDICT r14 #6): the window-free prefix-rank
     // spelling — sort_array(collect_list) + slice + posexplode instead of
     // row_number over the per-doc window. RETAINED NEGATIVE: same-boot

@@ -330,7 +330,26 @@ object Ext43 {
     // can. The brute-force arm is |Q|·n with Q the bounded audit
     // sample — exactly x90's scale contract; the beam arm is the
     // unmodified catalog search fed the perturbed queries.
+    // Round 15: constructed with AQE DISABLED for the construction scope
+    // (restored in finally; results are AQE-invariant). The per-hop
+    // lineage cut's .rdd otherwise triggers AdaptiveSparkPlanExec's EAGER
+    // stage-by-stage materialization at construction, serializing the
+    // whole beam behind driver round-trips BEFORE the brute-force
+    // ground-truth arm even starts; compiled lazily, the beam's stages
+    // and the independent gt arm overlap inside the one consuming job
+    // (guide §2.6). Same-boot min-of-5/7 across two boots: 3.95/3.98 vs
+    // 5.78/5.49 s (BENCH_AB_r15_noaqecons{,_confirm}.json, ~1.4×). x143
+    // measured the OPPOSITE (no independent arm to overlap, and its lazy
+    // hop chain loses AQE coalescing: 10.7 vs 5.9 s) and keeps the eager
+    // form — the __aqecons/__noaqecons variants hold both controls.
     "x146_beam_recall" -> ((s, d) => {
+      val prev = s.conf.get("spark.sql.adaptive.enabled", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      try x146Body(s, d)
+      finally s.conf.set("spark.sql.adaptive.enabled", prev)
+    }))
+
+  private[queries] def x146Body(s: SparkSession, d: String): DataFrame = {
       val e0 = quantized(s, d).persistTracked()
       val qs = e0.filter(col("vec_id") % 50 === 0)
         .select(col("vec_id").as("q_id"), expr(PerturbSql).as("qq"))
@@ -350,7 +369,7 @@ object Ext43 {
         .select(col("q_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           expr("coalesce(n_hits, 0L) * 1000 div 3").as("recall_pm"))
         .orderBy(col("q_id"))
-    }))
+  }
 
   // ---- DuckDB oracle fragments shared by x143 and x146 ----
 
