@@ -484,6 +484,11 @@ object AbVariants {
     "x4_ngram_jaccard__aggprefix" -> ((s, d) =>
       Ext.ngramJaccard(s, d, windowPrefix = false)),
 
+    // x85 round-15 control: the pre-r15 form with the c2 persist (the
+    // catalog dropped it, mirroring x116's measured twin).
+    "x85_bigram_lm_score__persistc2" -> ((s, d) =>
+      Ext20.bigramLmScore(s, d, persistC2 = true)),
+
     // x116 round-15 probes (VERDICT r14 #5): __rangesel is the pre-r15
     // form (terciles via ext/Quantile's range-sort selection, 2 jobs +
     // an RDD persist); the catalog adopted the integer-histogram
