@@ -484,10 +484,17 @@ object AbVariants {
     "x4_ngram_jaccard__aggprefix" -> ((s, d) =>
       Ext.ngramJaccard(s, d, windowPrefix = false)),
 
-    // x85 round-15 control: the pre-r15 form with the c2 persist (the
-    // catalog dropped it, mirroring x116's measured twin).
+    // x85/x167/x97 round-15 controls: the pre-r15 forms with their count
+    // tables persisted (the catalog dropped those persists — every
+    // consumer pair shares the table's own groupBy exchange, so AQE
+    // stage reuse dedupes the heavy work persist-free; the x116 twin,
+    // BENCH_AB_r15_{x85,c2persists}.json).
     "x85_bigram_lm_score__persistc2" -> ((s, d) =>
       Ext20.bigramLmScore(s, d, persistC2 = true)),
+    "x167_min_k_prob__persistc2" -> ((s, d) =>
+      Ext49.minKProb(s, d, persistC2 = true)),
+    "x97_backoff_lm__persisttables" -> ((s, d) =>
+      Ext25.backoffLm(s, d, persistTables = true)),
 
     // x116 round-15 probes (VERDICT r14 #5): __rangesel is the pre-r15
     // form (terciles via ext/Quantile's range-sort selection, 2 jobs +

@@ -120,7 +120,7 @@ object Ext49 {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queries1 ++ queries2
+    queries1 ++ queries2 ++ queries3
 
   private val queries1: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -408,7 +408,16 @@ object Ext49 {
     // doc-length-bounded arrays, the x61 per-group precedent. Docs
     // with < 2 tokens have no transitions and emit NO row (both
     // engines).
-    "x167_min_k_prob" -> ((s, d) => {
+    "x167_min_k_prob" -> ((s, d) =>
+      // Round 15: c2 persist dropped — the x85/x116 measured twin (both
+      // consumers share the (l, r) groupBy exchange; AQE stage reuse
+      // dedupes persist-free). A/B in BENCH_AB_r15_c2persists.json.
+      minKProb(s, d, persistC2 = false)),
+  )
+
+  /** x167 body with the round-15 c2-persist knob (see the catalog entry). */
+  private[graft] def minKProb(s: SparkSession, d: String,
+      persistC2: Boolean): DataFrame = {
       import graft.GraftCaches.TrackedPersist
       val bg = documents(s, d)
         .select(col("doc_id"), graft.ext.TextOps.words(col("text")).as("w"))
@@ -418,8 +427,8 @@ object Ext49 {
             " (x, i) -> struct(x AS l, w[i+1] AS r))")).as("p"))
         .select(col("doc_id"), col("p.l").as("l"), col("p.r").as("r"))
         .persistTracked()
-      val c2 = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
-        .persistTracked()
+      val c2base = bg.groupBy(col("l"), col("r")).agg(count(lit(1)).as("c2"))
+      val c2 = if (persistC2) c2base.persistTracked() else c2base
       val c1 = c2.groupBy(col("l")).agg(sum(col("c2")).as("c1"))
       val score = c2.join(c1, Seq("l"))
         .select(col("l"), col("r"), expr("c2 * 1000000 div c1").as("ppm"))
@@ -437,7 +446,9 @@ object Ext49 {
           expr("(mink_sum div greatest(k, 1L)) >= 50000L")
             .as("flag_memorized"))
         .orderBy(col("doc_id"))
-    }),
+  }
+
+  private def queries3: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X168 EMBEDDING CENTROID DRIFT between the even/odd vec_id splits
     // — the representation-space sibling of the x163/x164/x165 signal
