@@ -496,6 +496,18 @@ object AbVariants {
     "x97_backoff_lm__persisttables" -> ((s, d) =>
       Ext25.backoffLm(s, d, persistTables = true)),
 
+    // r15: value-bounded rollup persists dropped in the catalog (same
+    // rule; BENCH_AB_r15_rollups.json) — these controls keep the
+    // persisted forms callable.
+    "x100_t_closeness__persistrollup" -> ((s, d) =>
+      Ext26.tCloseness(s, d, persistRollup = true)),
+    "x122_chi2_independence__persistrollup" -> ((s, d) =>
+      Ext34.chi2Independence(s, d, persistRollup = true)),
+    "x129_dataset_merkle__persistrollup" -> ((s, d) =>
+      Ext36.datasetMerkle(s, d, persistRollup = true)),
+    "x136_filter_waterfall__persistrollup" -> ((s, d) =>
+      Ext38.filterWaterfall(s, d, persistRollup = true)),
+
     // x116 round-15 probes (VERDICT r14 #5): __rangesel is the pre-r15
     // form (terciles via ext/Quantile's range-sort selection, 2 jobs +
     // an RDD persist); the catalog adopted the integer-histogram

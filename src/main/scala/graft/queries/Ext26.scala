@@ -28,32 +28,10 @@ object Ext26 {
     // int64); past that the same shape runs in decimal(38,0). Two keyed
     // aggregations + one broadcast of the segment margins — no join
     // touches the fact table twice.
-    "x100_t_closeness" -> ((s, d) => {
-      val per = customer(s, d)
-        .groupBy(col("c_nationkey"), col("c_mktsegment"))
-        .agg(count(lit(1)).as("cnt"))
-        .persistTracked()
-      val glob = per.groupBy(col("c_mktsegment")).agg(sum(col("cnt")).as("gcnt"))
-      val tot = glob.agg(sum(col("gcnt")).as("n_total"))
-      val gs = per.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("n_g"))
-      per
-        .join(broadcast(glob), Seq("c_mktsegment"))
-        .join(gs, Seq("c_nationkey"))
-        .crossJoin(broadcast(tot))
-        .groupBy(col("c_nationkey"))
-        .agg(max(col("n_g")).as("n_g"), max(col("n_total")).as("n_total"),
-          // Σ over the group's PRESENT segments of |cnt·N − gcnt·n_g| …
-          sum(abs(col("cnt") * col("n_total") - col("gcnt") * col("n_g")))
-            .as("sp"),
-          // … plus Σ_present gcnt·n_g, whose complement against n_g·N is
-          // the ABSENT segments' contribution
-          sum(col("gcnt") * col("n_g")).as("spg"))
-        .select(col("c_nationkey"), col("n_g").as("n"),
-          expr("(sp + n_g * n_total - spg) * 1000000L div (2L * n_g * n_total)")
-            .as("tv_ppm"))
-        .withColumn("at_risk", col("tv_ppm") >= 200000L)
-        .orderBy(col("c_nationkey"))
-    }),
+    // Round 15: rollup persist dropped (the x85/x97/x116/x167 rule —
+    // all three consumers share the rollup's own exchange, AQE stage
+    // reuse dedupes; BENCH_AB_r15_rollups.json).
+    "x100_t_closeness" -> ((s, d) => tCloseness(s, d, persistRollup = false)),
 
     // X6b MATRYOSHKA TRUNCATION AUDIT: recall@5 of the 16-dim PREFIX
     // cosine ranking against the full 64-dim ground truth, per query —
@@ -102,6 +80,35 @@ object Ext26 {
     "list_reduce(list_prepend(0.0, list_transform(range(1, 17), i -> qv[i]*qv[i])), (a,b) -> a+b)"
   private val nb16Sql =
     "list_reduce(list_prepend(0.0, list_transform(range(1, 17), i -> v[i]*v[i])), (a,b) -> a+b)"
+
+  /** x100 body with the round-15 rollup-persist knob. */
+  private[graft] def tCloseness(s: SparkSession, d: String,
+      persistRollup: Boolean): DataFrame = {
+      val per0 = customer(s, d)
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"))
+      val per = if (persistRollup) per0.persistTracked() else per0
+      val glob = per.groupBy(col("c_mktsegment")).agg(sum(col("cnt")).as("gcnt"))
+      val tot = glob.agg(sum(col("gcnt")).as("n_total"))
+      val gs = per.groupBy(col("c_nationkey")).agg(sum(col("cnt")).as("n_g"))
+      per
+        .join(broadcast(glob), Seq("c_mktsegment"))
+        .join(gs, Seq("c_nationkey"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("c_nationkey"))
+        .agg(max(col("n_g")).as("n_g"), max(col("n_total")).as("n_total"),
+          // Σ over the group's PRESENT segments of |cnt·N − gcnt·n_g| …
+          sum(abs(col("cnt") * col("n_total") - col("gcnt") * col("n_g")))
+            .as("sp"),
+          // … plus Σ_present gcnt·n_g, whose complement against n_g·N is
+          // the ABSENT segments' contribution
+          sum(col("gcnt") * col("n_g")).as("spg"))
+        .select(col("c_nationkey"), col("n_g").as("n"),
+          expr("(sp + n_g * n_total - spg) * 1000000L div (2L * n_g * n_total)")
+            .as("tv_ppm"))
+        .withColumn("at_risk", col("tv_ppm") >= 200000L)
+        .orderBy(col("c_nationkey"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

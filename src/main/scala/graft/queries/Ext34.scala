@@ -28,24 +28,11 @@ object Ext34 {
     // ONE partial-aggregable shuffle; margins roll up from the cell frame
     // (never a second corpus pass) and the full category cross restores
     // the O=0 cells a join on observed pairs would silently drop.
-    "x122_chi2_independence" -> ((s, d) => {
-      val cells = documents(s, d)
-        .groupBy(col("source"), col("lang"))
-        .agg(count(lit(1)).as("o"))
-        .persistTracked()
-      val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
-      val cols = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
-      val n = cells.agg(sum(col("o")).as("n"))
-      rows.crossJoin(cols)
-        .join(cells, Seq("source", "lang"), "left")
-        .na.fill(0L, Seq("o"))
-        .crossJoin(broadcast(n))
-        .select(col("source"), col("lang"), col("o"),
-          expr("r * c * 1000000L div n").as("e_ppm"),
-          expr("(o * n - r * c) * (o * n - r * c) * 1000000L div (n * r * c)")
-            .as("cell_ppm"))
-        .orderBy(col("source"), col("lang"))
-    }),
+    // Round 15: rollup persist dropped (the x85/x97/x116/x167 rule —
+    // all four consumers share the contingency rollup's own exchange,
+    // AQE stage reuse dedupes; BENCH_AB_r15_rollups.json).
+    "x122_chi2_independence" -> ((s, d) =>
+      chi2Independence(s, d, persistRollup = false)),
 
     // X8e BENFORD LEADING-DIGIT AUDIT: the first significant digit of
     // o_totalprice against Benford's law — the classic synthetic-data /
@@ -70,6 +57,27 @@ object Ext34 {
           abs(expr("n * 1000000L div t") - col("benford_ppm")).as("dev_ppm"))
         .orderBy(col("digit"))
     }))
+
+  /** x122 body with the round-15 rollup-persist knob. */
+  private[graft] def chi2Independence(s: SparkSession, d: String,
+      persistRollup: Boolean): DataFrame = {
+      val cells0 = documents(s, d)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("o"))
+      val cells = if (persistRollup) cells0.persistTracked() else cells0
+      val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+      val cols = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+      val n = cells.agg(sum(col("o")).as("n"))
+      rows.crossJoin(cols)
+        .join(cells, Seq("source", "lang"), "left")
+        .na.fill(0L, Seq("o"))
+        .crossJoin(broadcast(n))
+        .select(col("source"), col("lang"), col("o"),
+          expr("r * c * 1000000L div n").as("e_ppm"),
+          expr("(o * n - r * c) * (o * n - r * c) * 1000000L div (n * r * c)")
+            .as("cell_ppm"))
+        .orderBy(col("source"), col("lang"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

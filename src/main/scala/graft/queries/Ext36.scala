@@ -83,19 +83,11 @@ object Ext36 {
     // overflow-error in DuckDB and wrap in Spark; xor cannot). One
     // partial-aggregable shuffle over K sources; the root folds the K
     // per-source rows, never re-reading the corpus.
-    "x129_dataset_merkle" -> ((s, d) => {
-      val rowH = expr(
-        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)")
-      val per = documents(s, d)
-        .select(col("source"), rowH.as("h"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fp"))
-        .persistTracked()
-      val root = per.agg(sum(col("n_rows")).as("n_rows"),
-          expr("bit_xor(fp)").as("fp"))
-        .select(lit("__root__").as("source"), col("n_rows"), col("fp"))
-      per.unionByName(root).orderBy(col("source"))
-    }),
+    // Round 15: rollup persist dropped (the x85/x97/x116/x167 rule —
+    // both consumers share the per-source rollup's own exchange, AQE
+    // stage reuse dedupes; BENCH_AB_r15_rollups.json).
+    "x129_dataset_merkle" -> ((s, d) =>
+      datasetMerkle(s, d, persistRollup = false)),
 
     // X3g GREEDY MMR SELECTION: pick k=4 exemplars balancing relevance
     // (dot with the corpus centroid) against redundancy (max dot with
@@ -174,6 +166,22 @@ object Ext36 {
           expr("(co * 1000000L div ca) * u div cb").as("lift_ppm"))
         .orderBy(col("type_a"), col("type_b"))
     }))
+
+  /** x129 body with the round-15 rollup-persist knob. */
+  private[graft] def datasetMerkle(s: SparkSession, d: String,
+      persistRollup: Boolean): DataFrame = {
+      val rowH = expr(
+        "CAST(conv(substring(md5(concat(CAST(doc_id AS STRING), ':', text)), 1, 15), 16, 10) AS BIGINT)")
+      val per0 = documents(s, d)
+        .select(col("source"), rowH.as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("fp"))
+      val per = if (persistRollup) per0.persistTracked() else per0
+      val root = per.agg(sum(col("n_rows")).as("n_rows"),
+          expr("bit_xor(fp)").as("fp"))
+        .select(lit("__root__").as("source"), col("n_rows"), col("fp"))
+      per.unionByName(root).orderBy(col("source"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

@@ -51,7 +51,13 @@ object Ext38 {
     // bench side is 1% of the corpus, so it shuffles rather than
     // broadcasts); the waterfall arithmetic then runs on the bounded
     // 5-row stage frame.
-    "x136_filter_waterfall" -> ((s, d) => {
+    "x136_filter_waterfall" -> ((s, d) =>
+      filterWaterfall(s, d, persistRollup = false)),
+  )
+
+  /** x136 body with the round-15 rollup-persist knob. */
+  private[graft] def filterWaterfall(s: SparkSession, d: String,
+      persistRollup: Boolean): DataFrame = {
       import s.implicits._
       val stops = Seq("the", "and", "of", "to", "a")
       val w = TextOps.words(col("text"))
@@ -86,8 +92,12 @@ object Ext38 {
         .select(when(!col("p1"), 1).when(!col("p2"), 2).when(!col("p3"), 3)
           .when(!col("p4"), 4).when(!col("p5"), 5).otherwise(0)
           .as("first_fail"))
-      val drops = flagged.groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
-        .persistTracked()
+      // Round 15: rollup persist dropped (the x85/x97/x116/x167 rule —
+      // both consumers share the 6-row stage rollup's own exchange, AQE
+      // stage reuse dedupes; BENCH_AB_r15_rollups.json). The heavy
+      // flagged pipeline above runs once either way.
+      val drops0 = flagged.groupBy(col("first_fail")).agg(count(lit(1)).as("n"))
+      val drops = if (persistRollup) drops0.persistTracked() else drops0
       val total = drops.agg(sum(col("n")).as("n_total"))
       val stages = Seq((1, "lang_en"), (2, "length"), (3, "quality"),
         (4, "dedup"), (5, "decontam")).toDF("stage_no", "stage")
@@ -102,7 +112,7 @@ object Ext38 {
           col("n").as("n_drop"), (col("n_in") - col("n")).as("n_out"),
           expr("n * 1000000L div greatest(n_in, 1L)").as("drop_ppm"))
         .orderBy(col("stage_no"))
-    }))
+  }
 
   val oracleSql: Map[String, String] = Map(
 
