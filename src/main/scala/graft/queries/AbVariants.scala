@@ -45,15 +45,16 @@ object AbVariants {
     "x183_wilcoxon_signed_rank__nopersist" -> ((s, d) =>
       Ext59.wilcoxon(s, d, persist = false)),
 
-    // x187/x189 persist-free forms (round 11): the new operators ship
-    // with their multi-consumer frames persisted (the splitHistogram
-    // rule — at 100 TB a re-run is a corpus re-scan); these controls
-    // record the toy-scale cost of that choice
-    // (BENCH_AB_r11_newpersists.json).
-    "x187_kruskal_wallis__nopersist" -> ((s, d) =>
-      Ext60.kruskalWallis(s, d, persist = false)),
-    "x189_meteor_lite__nopersist" -> ((s, d) =>
-      Ext61.meteorLite(s, d, persist = false)),
+    // x187/x189 persisted forms: the r11 catalog choice, REVERSED in
+    // round 15 (BENCH_AB_r15_r11persists.json — the frames are
+    // exchange-topped, so stage reuse dedupes their consumers and the
+    // persists were pure materialization barriers; the r11 "corpus
+    // re-scan" rationale predated the r14 stage-reuse insight). Kept
+    // callable as the same-boot controls.
+    "x187_kruskal_wallis__persist" -> ((s, d) =>
+      Ext60.kruskalWallis(s, d, persist = true)),
+    "x189_meteor_lite__persist" -> ((s, d) =>
+      Ext61.meteorLite(s, d, persist = true)),
 
     // x64 persist-free form (round 10): without the hash-frame persist
     // the REAL PNG/BMP encode+decode pipeline runs three times (band
@@ -231,15 +232,11 @@ object AbVariants {
     "x160_kendall_tau_b__nopersist" ->
       ((s, d) => Ext49.kendallTauB(s, d, persist = false)),
 
-    // x163 unpersisted-histogram control (round 9 review refactor):
-    // the shared splitHistogram persists the value-bounded histogram
-    // so the statistic and the derived counts cost ONE corpus scan;
-    // this control re-runs the histogram per consumer (the shape the
-    // review flagged). BENCH_AB_r09_drifthist.json records the toy-
-    // scale trade; the catalog keeps the persist regardless — the
-    // multiscan form pays 3+ corpus scans at 100 TB.
-    "x163_wasserstein_drift__multiscan" ->
-      ((s, d) => Ext49.wasserstein(s, d, persist = false)),
+    // x163 persisted-histogram control: the r9 catalog choice, REVERSED
+    // in round 15 (same rule as x187/x189 above — the histogram is
+    // exchange-topped; no consumer re-scans the corpus persist-free).
+    "x163_wasserstein_drift__persist" ->
+      ((s, d) => Ext49.wasserstein(s, d, persist = true)),
 
     "x143_beam_ann__scheduled" -> ((s, d) => {
       val eQ = Ext43.quantized(s, d)

@@ -351,7 +351,12 @@ object Ext49 {
     // with conditional sums → cumsum + lead over the VALUE-BOUNDED
     // distinct-values frame (the x157/x126 single-window precedent —
     // bounded by the value domain, never corpus rows) → one global agg.
-    "x163_wasserstein_drift" -> ((s, d) => wasserstein(s, d, persist = true)),
+    // Round 15: histogram persist dropped (BENCH_AB_r15_r11persists.json,
+    // 0.33 vs 0.57 s min same-boot) — the histogram is exchange-topped,
+    // so AQE stage reuse already dedupes its consumers; the r9 "re-scans
+    // the corpus" rationale predated that insight. x164/x165 ride the
+    // same splitHistogram default.
+    "x163_wasserstein_drift" -> ((s, d) => wasserstein(s, d, persist = false)),
 
     // X164 MANN-WHITNEY U / RANK-BISERIAL between the even/odd
     // token-count distributions — the nonparametric "did the signal
@@ -505,18 +510,21 @@ object Ext49 {
   )
 
   /** Shared by the drift family x163/x164/x165: the value-keyed
-    * even/odd split histogram of the token-count signal — PERSISTED
-    * (it is value-bounded, and both the statistic and the split
-    * counts read it) — and the 1-row (n_a, n_b) frame DERIVED from it
-    * (n_a = Σca, n_b = Σcb; the x121/x120 precedent). One corpus scan
-    * total: the original per-query filter-count frames re-scanned the
-    * corpus up to four extra times (review finding, round 9) — at
-    * sf0.1 the persist materialization costs a little wall time
-    * (BENCH_AB_r09_drifthist.json), the right trade for a 100 TB scan.
-    * One helper, not three copies — the f2ae8a2 shared-kernel rule.
-    * `persist = false` is the AbVariants cost control. */
+    * even/odd split histogram of the token-count signal, and the 1-row
+    * (n_a, n_b) frame DERIVED from it (n_a = Σca, n_b = Σcb; the
+    * x121/x120 precedent). One helper, not three copies — the f2ae8a2
+    * shared-kernel rule.
+    *
+    * Round 15: the persist default flipped to FALSE — the histogram's
+    * top is its own groupBy exchange, so AQE stage reuse dedupes every
+    * consumer's heavy work (corpus scan + partial agg + shuffle) and
+    * only the final aggregation re-runs per consumer; the round-9
+    * "persist or the corpus re-scans per consumer" rationale predated
+    * that insight and the A/B now reverses it (0.33 vs 0.57 s min on
+    * x163, BENCH_AB_r15_r11persists.json). `persist = true` is the
+    * retained AbVariants control. */
   private[graft] def splitHistogram(s: SparkSession, d: String,
-      persist: Boolean = true): (DataFrame, DataFrame) = {
+      persist: Boolean = false): (DataFrame, DataFrame) = {
     import graft.GraftCaches.TrackedPersist
     val h0 = documents(s, d)
       .select(col("doc_id"),

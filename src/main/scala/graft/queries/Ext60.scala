@@ -71,14 +71,16 @@ object Ext60 {
   private val queries1: Map[String, (SparkSession, String) => DataFrame] =
     Map(
 
+    // Round 15: persists dropped (BENCH_AB_r15_r11persists.json, 0.83 vs
+    // 1.12 s min same-boot) — hist and cum are exchange-topped, so AQE
+    // stage reuse dedupes their consumers persist-free; the r11
+    // "corpus scan re-runs per consumer" rationale predated that insight.
     "x187_kruskal_wallis" -> ((s, d) => kruskalWallis(s, d,
-      persist = true)))
+      persist = false)))
 
-  /** x187 body — ONE spelling for the catalog entry (persist = true:
-    * hist feeds both the value marginal and the rank join, cum feeds
-    * both the tie-cube action and the join — without the persists the
-    * corpus scan re-runs per consumer) and the AbVariants multiscan
-    * control (persist = false; value-identical). */
+  /** x187 body — ONE spelling for the catalog entry (persist = false
+    * since round 15) and the AbVariants persisted control
+    * (value-identical either way). */
   private[graft] def kruskalWallis(s: SparkSession, d: String,
       persist: Boolean): DataFrame = {
       val v = documents(s, d)

@@ -80,7 +80,10 @@ object Ext61 {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    "x189_meteor_lite" -> ((s, d) => meteorLite(s, d, persist = true)))
+    // Round 15: persists dropped (BENCH_AB_r15_r11persists.json, 0.42 vs
+    // 0.55 s min same-boot) — the persisted frames' consumers share
+    // their exchanges, AQE stage reuse dedupes persist-free.
+    "x189_meteor_lite" -> ((s, d) => meteorLite(s, d, persist = false)))
 
   /** x189 body — ONE spelling for the catalog entry (persist = true:
     * pairs feeds both explodes + the length rollup, ct/rt each feed
