@@ -504,6 +504,19 @@ object AbVariants {
       Ext36.datasetMerkle(s, d, persistRollup = true)),
     "x136_filter_waterfall__persistrollup" -> ((s, d) =>
       Ext38.filterWaterfall(s, d, persistRollup = true)),
+    "x79_vocab_coverage__persistrollup" -> ((s, d) =>
+      Ext19.vocabCoverage(s, d, persistFreq = true)),
+    "x96_skew_audit__persistrollup" -> ((s, d) =>
+      Ext24.skewAudit(s, d, persistCounts = true)),
+    // x172: the drop REVERSED (0.66 vs 0.52 persisted — GlobalSeq's
+    // eager zip jobs read freq 3+ times); catalog keeps the persist and
+    // this control is the persist-free arm.
+    "x172_zipf_buckets__nopersistrollup" -> ((s, d) =>
+      Ext52.zipfBuckets(s, d, persistFreq = false)),
+    "x106_cluster_purity__persistrollup" -> ((s, d) => {
+      val ct = Ext28.cellLabelContingency(s, d, persist = true)
+      Ext28.clusterPurityFrom(ct)
+    }),
 
     // x116 round-15 probes (VERDICT r14 #5): __rangesel is the pre-r15
     // form (terciles via ext/Quantile's range-sort selection, 2 jobs +

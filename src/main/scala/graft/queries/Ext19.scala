@@ -68,22 +68,10 @@ object Ext19 {
     // three points; each top-k is a bounded TakeOrdered (never a global
     // sort of the vocabulary), and the share is integer per-mille
     // (multiply before `div` — exact on both engines).
-    "x79_vocab_coverage" -> ((s, d) => {
-      import graft.GraftCaches.TrackedPersist
-      val freq = documents(s, d)
-        .select(explode(TextOps.words(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("c"))
-        .persistTracked()
-      val total = freq.agg(sum(col("c")).as("total"))
-      val pts = Seq(100, 1000, 10000).map { k =>
-        freq.orderBy(col("c").desc, col("word")).limit(k)
-          .agg(lit(k.toLong).as("k"), sum(col("c")).as("covered"))
-      }.reduce(_.union(_))
-      pts.crossJoin(broadcast(total))
-        .select(col("k"), col("covered"), col("total"),
-          expr("(covered * 1000) div total").as("per_mille"))
-        .orderBy(col("k"))
-    }),
+    // Round 15: freq persist dropped (the exchange-topped-rollup rule;
+    // BENCH_AB_r15_rollups2.json) — all four consumers share the vocab
+    // groupBy's exchange.
+    "x79_vocab_coverage" -> ((s, d) => vocabCoverage(s, d, persistFreq = false)),
 
     // X80 DUP-CLUSTER SIZE HISTOGRAM: the dedup AUDIT view — how many
     // exact-duplicate clusters exist at each size (1 = unique). Two
@@ -187,6 +175,25 @@ object Ext19 {
           sum(col("is_e") - col("is_s")).as("covered_len"))
         .orderBy(col("doc_id"))
     }))
+
+  /** x79 body with the round-15 freq-persist knob. */
+  private[graft] def vocabCoverage(s: SparkSession, d: String,
+      persistFreq: Boolean): DataFrame = {
+      import graft.GraftCaches.TrackedPersist
+      val freq0 = documents(s, d)
+        .select(explode(TextOps.words(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("c"))
+      val freq = if (persistFreq) freq0.persistTracked() else freq0
+      val total = freq.agg(sum(col("c")).as("total"))
+      val pts = Seq(100, 1000, 10000).map { k =>
+        freq.orderBy(col("c").desc, col("word")).limit(k)
+          .agg(lit(k.toLong).as("k"), sum(col("c")).as("covered"))
+      }.reduce(_.union(_))
+      pts.crossJoin(broadcast(total))
+        .select(col("k"), col("covered"), col("total"),
+          expr("(covered * 1000) div total").as("per_mille"))
+        .orderBy(col("k"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

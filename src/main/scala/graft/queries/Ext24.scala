@@ -85,11 +85,18 @@ object Ext24 {
     // engine. NOTE: like x24/x17, this constructor EXECUTES the
     // selection jobs (scalar results are inherently actions) and returns
     // a local 1-row frame.
-    "x96_skew_audit" -> ((s, d) => {
+    // Round 15: counts persist dropped (the exchange-topped-rollup rule;
+    // BENCH_AB_r15_rollups2.json) — the three scalar jobs and the
+    // quantile selection all share the per-key groupBy's exchange.
+    "x96_skew_audit" -> ((s, d) => skewAudit(s, d, persistCounts = false)))
+
+  /** x96 body with the round-15 counts-persist knob. */
+  private[graft] def skewAudit(s: SparkSession, d: String,
+      persistCounts: Boolean): DataFrame = {
       import s.implicits._
-      val counts = events(s, d)
+      val counts0 = events(s, d)
         .groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-        .persistTracked()
+      val counts = if (persistCounts) counts0.persistTracked() else counts0
       val (nKeys, qs) =
         Quantile.nearestRank(counts, col("cnt"), Seq(0.5, 0.99, 1.0))
       val (p50, p99, mx) = (qs(0).toLong, qs(1).toLong, qs(2).toLong)
@@ -102,7 +109,7 @@ object Ext24 {
           math.max(1L, (mx * 32L + nRows - 1L) / nRows))) // salt_factor
         .toDF("n_rows", "n_keys", "max_cnt", "p50_cnt", "p99_cnt",
           "top10_cnt", "top10_share_ppm", "skew_x100", "salt_factor")
-    }))
+  }
 
   val oracleSql: Map[String, String] = Map(
 

@@ -23,7 +23,8 @@ import graft.GraftCaches.TrackedPersist
   */
 object Ext28 {
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
 
     // X3h CLUSTER PURITY + RAND INDEX: x23's Voronoi cell assignment
     // (argmax dot over the K baked Rademacher anchors, first-index
@@ -33,8 +34,13 @@ object Ext28 {
     // ( C(n,2) − Σ_cells C(n_c,2) − Σ_labels C(n_l,2) + 2·Σ_ij C(n_ij,2),
     // over C(n,2) ) all run on the K×|labels| contingency frame in exact
     // integer arithmetic. rand_ppm rides every row via a 1-row broadcast.
-    "x106_cluster_purity" -> ((s, d) => {
-      val ct = cellLabelContingency(s, d)
+    "x106_cluster_purity" -> ((s, d) =>
+      clusterPurityFrom(cellLabelContingency(s, d))),
+  ) ++ moreQueries
+
+  /** x106 body over a (cell, label, n_cl) contingency frame — factored
+    * so the AbVariants persisted-contingency control shares it. */
+  private[graft] def clusterPurityFrom(ct: DataFrame): DataFrame = {
       val byCell = Window.partitionBy(col("cell"))
       val perCell = ct
         .withColumn("n", sum(col("n_cl")).over(byCell))
@@ -59,7 +65,9 @@ object Ext28 {
         .select(col("cell"), col("n"), col("top_label"), col("top_n"),
           col("purity_ppm"), col("rand_ppm"))
         .orderBy(col("cell"))
-    }),
+  }
+
+  private def moreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // X4t TOKEN-BUDGET PLAN: a 1,000,000-token budget split across sources
     // ∝ floor(sqrt(token count)) (x86's T=2 flattening — the only
@@ -96,11 +104,17 @@ object Ext28 {
     }))
 
   /** The x23 Voronoi cell assignment cross-tabulated against the label
-    * column — (cell, label, n_cl), PERSISTED (multiple consumers) —
-    * shared by x106 and x182 (the no-drift rule). The only corpus-scale
-    * work is the partial-aggregable (cell, label) groupBy. */
-  private[graft] def cellLabelContingency(s: SparkSession, d: String)
-      : DataFrame = {
+    * column — (cell, label, n_cl) — shared by x106 and x182/x186 (the
+    * no-drift rule). The only corpus-scale work is the
+    * partial-aggregable (cell, label) groupBy.
+    *
+    * Round 15: persist default flipped to FALSE (the exchange-topped-
+    * rollup rule, BENCH_AB_r15_rollups2.json): x106's four references
+    * share the groupBy exchange via AQE stage reuse, and the Ext59
+    * callers collect the frame exactly once, so the persist never paid
+    * anywhere. */
+  private[graft] def cellLabelContingency(s: SparkSession, d: String,
+      persist: Boolean = false): DataFrame = {
     import graft.ext.IvfCentroids.{K, c}
     val withDots = embeddings(s, d)
       .select(col("vec_id"), col("label"),
@@ -113,10 +127,10 @@ object Ext28 {
       else when((k + 1 until K).map(j => col(s"d$k") >= col(s"d$j")).reduce(_ && _),
         lit(k)).otherwise(rest)
     }
-    withDots.select(cell.as("cell"), col("label"))
+    val ct = withDots.select(cell.as("cell"), col("label"))
       .groupBy(col("cell"), col("label"))
       .agg(count(lit(1)).as("n_cl"))
-      .persistTracked()
+    if (persist) ct.persistTracked() else ct
   }
 
   /** The DuckDB spelling of [[cellLabelContingency]]: CTEs `anchors`,

@@ -62,34 +62,13 @@ object Ext52 {
     // − 1 groups ranks [2^k, 2^(k+1)). Output per bucket: rank bounds
     // (hi clamped to vocab size), token count, total mass, and the
     // mass-over-previous-bucket ratio in ppm (NULL for bucket 0).
-    "x172_zipf_buckets" -> ((s, d) => {
-      val f = documents(s, d)
-        .select(explode(split(col("text"), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .persistTracked()
-      val nVocab = f.agg(count(lit(1)).as("n_vocab"))
-      val ranked = GlobalSeq.withSeq(
-          f, Seq(col("freq").desc, col("w")), "z")
-        .select(col("freq"), (col("z") + 1L).as("rnk"))
-      val b = ranked
-        .select((length(bin(col("rnk"))) - 1).cast("long").as("bucket"),
-          col("freq"))
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("mass"))
-      // the lag window orders ≤ 64 bucket rows — value-bounded, the
-      // x157 histogram-window convention
-      b.crossJoin(broadcast(nVocab))
-        .withColumn("prev_mass",
-          lag(col("mass"), 1).over(Window.orderBy(col("bucket"))))
-        .select(col("bucket"),
-          expr("shiftleft(1L, cast(bucket AS INT))").as("rank_lo"),
-          least(expr("shiftleft(1L, cast(bucket + 1 AS INT)) - 1L"),
-            col("n_vocab")).as("rank_hi"),
-          col("n_tokens"), col("mass"),
-          expr("mass * 1000000L div prev_mass").as("mass_ratio_ppm"))
-        .orderBy(col("bucket"))
-    }),
+    // Round 15: freq persist PROBED and KEPT (the one reversal in the
+    // exchange-topped-rollup sweep, BENCH_AB_r15_rollups2.json: 0.52
+    // persisted vs 0.66 dropped) — GlobalSeq's eager zipWithIndex
+    // consumes freq across 3+ separate jobs (range sampling, count job,
+    // consumer), so the final-agg re-runs add up where a single lazy
+    // query's stage reuse would not.
+    "x172_zipf_buckets" -> ((s, d) => zipfBuckets(s, d, persistFreq = true)),
 
     // X173 TERM BURSTINESS (Fano factor over per-doc counts, zeros
     // included): top-15 clumpiest tokens by exact VMR ppm. n_docs is
@@ -112,6 +91,37 @@ object Ext52 {
         .orderBy(col("vmr_ppm").desc, col("token"))
         .limit(15)
     }))
+
+  /** x172 body with the round-15 freq-persist knob. */
+  private[graft] def zipfBuckets(s: SparkSession, d: String,
+      persistFreq: Boolean): DataFrame = {
+      val f0 = documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      val f = if (persistFreq) f0.persistTracked() else f0
+      val nVocab = f.agg(count(lit(1)).as("n_vocab"))
+      val ranked = GlobalSeq.withSeq(
+          f, Seq(col("freq").desc, col("w")), "z")
+        .select(col("freq"), (col("z") + 1L).as("rnk"))
+      val b = ranked
+        .select((length(bin(col("rnk"))) - 1).cast("long").as("bucket"),
+          col("freq"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("freq")).as("mass"))
+      // the lag window orders ≤ 64 bucket rows — value-bounded, the
+      // x157 histogram-window convention
+      b.crossJoin(broadcast(nVocab))
+        .withColumn("prev_mass",
+          lag(col("mass"), 1).over(Window.orderBy(col("bucket"))))
+        .select(col("bucket"),
+          expr("shiftleft(1L, cast(bucket AS INT))").as("rank_lo"),
+          least(expr("shiftleft(1L, cast(bucket + 1 AS INT)) - 1L"),
+            col("n_vocab")).as("rank_hi"),
+          col("n_tokens"), col("mass"),
+          expr("mass * 1000000L div prev_mass").as("mass_ratio_ppm"))
+        .orderBy(col("bucket"))
+  }
 
   val oracleSql: Map[String, String] = Map(
 
