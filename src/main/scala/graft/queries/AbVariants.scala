@@ -517,6 +517,42 @@ object AbVariants {
       val ct = Ext28.cellLabelContingency(s, d, persist = true)
       Ext28.clusterPurityFrom(ct)
     }),
+    "x131_cooccurrence_lift__persistrollup" -> ((s, d) =>
+      Ext36.cooccurrenceLift(s, d, persistBaskets = true)),
+
+    // x35 round-15 control: the pre-r15 form WITH the e0 persist (the
+    // catalog dropped it — 3.72 vs 4.45 s min same-boot,
+    // BENCH_AB_r15_rollups3.json; edd's exchange-less persist stays).
+    "x35_pagerank__e0persist" -> ((s, d) => {
+      val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+        .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
+        .persistTracked()
+      val degA = e0.groupBy(col("a")).agg(count(lit(1)).as("outdeg"))
+      val degB = e0.groupBy(col("b")).agg(count(lit(1)).as("outdeg"))
+      val edd = e0.join(degA, "a")
+          .select(col("a").as("src"), col("b").as("dst"), col("outdeg"))
+        .union(e0.join(degB, "b")
+          .select(col("b").as("src"), col("a").as("dst"), col("outdeg")))
+        .persistTracked()
+      var r = edd
+        .select(col("dst"), expr("1000000 div outdeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+        .select(col("dst").as("id"),
+          (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      for (_ <- 2 to 3) {
+        r = edd.join(r, col("src") === col("id"))
+          .select(col("dst"), expr("r div outdeg").as("c"))
+          .groupBy(col("dst")).agg(sum(col("c")).as("cs"))
+          .select(col("dst").as("id"),
+            (lit(150000L) + expr("(85 * cs) div 100")).as("r"))
+      }
+      r.select(col("id"), col("r").as("rank"))
+        .orderBy(col("rank").desc, col("id")).limit(100)
+    }),
 
     // x116 round-15 probes (VERDICT r14 #5): __rangesel is the pre-r15
     // form (terciles via ext/Quantile's range-sort selection, 2 jobs +

@@ -144,10 +144,18 @@ object Ext36 {
     // lift·1e6 is floored in two steps, (co·1e6 div cₐ)·U div c_b: since
     // co ≤ cₐ the first factor is ≤ 1e6, so the intermediate stays
     // Long-safe to ~9e12 users (the naive co·U·1e6 wraps past ~3M users).
-    "x131_cooccurrence_lift" -> ((s, d) => {
-      val baskets = events(s, d)
+    // Round 15: baskets persist dropped (the exchange-topped-rollup
+    // rule; BENCH_AB_r15_rollups3.json) — all four consumers share the
+    // distinct's exchange.
+    "x131_cooccurrence_lift" -> ((s, d) =>
+      cooccurrenceLift(s, d, persistBaskets = false)))
+
+  /** x131 body with the round-15 baskets-persist knob. */
+  private[graft] def cooccurrenceLift(s: SparkSession, d: String,
+      persistBaskets: Boolean): DataFrame = {
+      val baskets0 = events(s, d)
         .select(col("user_id"), col("event_type")).distinct()
-        .persistTracked()
+      val baskets = if (persistBaskets) baskets0.persistTracked() else baskets0
       val users = baskets.select(col("user_id")).distinct()
         .agg(count(lit(1)).as("u"))
       val singles = baskets.groupBy(col("event_type"))
@@ -165,7 +173,7 @@ object Ext36 {
         .select(col("type_a"), col("type_b"), col("co"), col("ca"), col("cb"),
           expr("(co * 1000000L div ca) * u div cb").as("lift_ppm"))
         .orderBy(col("type_a"), col("type_b"))
-    }))
+  }
 
   /** x129 body with the round-15 rollup-persist knob. */
   private[graft] def datasetMerkle(s: SparkSession, d: String,

@@ -103,23 +103,25 @@ object Ext4 {
     // with ranks; a cluster deployment would bucket both by src). Top-100
     // via TakeOrderedAndProject, never a global sort.
     "x35_pagerank" -> ((s, d) => {
-      // persist the joined+distinct edge set: the union below reads it
-      // twice and each degree aggregate once more — uncached, the
-      // join+distinct pipeline would execute once per read inside the edd
-      // materialization (union branches only share work via a cached source)
       // edge-build diet (round 5): narrow both join inputs so the orders
       // side broadcasts (2 cols × #orders — well under the threshold; at
       // cluster scale AQE falls back to a shuffle join), leaving ONE
-      // shuffle in the whole build: the pair distinct. Node-id arithmetic
-      // stays after the distinct so the aggregation keys are the narrow
-      // natural columns.
+      // shuffle in the whole build: the pair distinct.
+      // Round 15: e0's persist DROPPED (the exchange-topped-rollup rule,
+      // 4th x35 probe and the first to land — 3.72 vs 4.45 s min
+      // same-boot, BENCH_AB_r15_rollups3.json): its four consumers
+      // (degA, degB, the two edd joins) share the distinct's exchange,
+      // so AQE stage reuse dedupes the join+distinct pipeline
+      // persist-free; the pre-r14 "union branches only share work via a
+      // cached source" rationale predated stage reuse. edd's persist
+      // STAYS — its union-of-broadcast-joins top is exchange-less (the
+      // q9 rule) and the three rank rounds re-read it.
       val e0 = lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
         .join(orders(s, d).select(col("o_orderkey"), col("o_custkey")),
           col("o_orderkey") === col("l_orderkey"))
         .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
         .distinct()
         .select((col("ck") * 2).as("a"), (col("sk") * 2 + 1).as("b"))
-        .persistTracked()
       // degree per SIDE of the bipartite edge set instead of a window over
       // the doubled (src, dst) union: deg_a/deg_b are node-cardinality
       // aggregates (map-side combinable, tiny next to the edge set), so the
