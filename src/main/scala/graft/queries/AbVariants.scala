@@ -519,6 +519,13 @@ object AbVariants {
     }),
     "x131_cooccurrence_lift__persistrollup" -> ((s, d) =>
       Ext36.cooccurrenceLift(s, d, persistBaskets = true)),
+    // x47 control: the pre-r15 form WITH the weighted-index persist
+    // (the catalog dropped it — 2.24 vs 4.15 s min same-boot,
+    // BENCH_AB_r15_x47w.json).
+    "x47_sparse_cosine__persistw" -> ((s, d) =>
+      Ext7.sparseCosineTopK(graft.tables.Tables.documents(s, d),
+        dfLo = 2, dfHi = 4, k = 25, repartitionByDoc = false,
+        persistW = true)),
 
     // x35 round-15 control: the pre-r15 form WITH the e0 persist (the
     // catalog dropped it — 3.72 vs 4.45 s min same-boot,

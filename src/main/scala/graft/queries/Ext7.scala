@@ -53,9 +53,16 @@ object Ext7 {
     // remove a shuffle. The repartitioning form stays callable
     // (__repart … via the sparseCosineTopK knob) for sources that really
     // do arrive in one unsplittable file.
+    // Round 15: the weighted-index persist dropped — 2.24 vs 4.15 s min
+    // same-boot (BENCH_AB_r15_x47w.json). All four w consumers share
+    // tf's and dfq's exchanges via stage reuse, so persist-free costs
+    // them only reduce-side re-joins — far cheaper than materializing
+    // the full (doc, term, w) index into cache; no consumer re-scans
+    // the corpus either way (the scan + explode + partial agg sit below
+    // tf's shared exchange).
     "x47_sparse_cosine" -> ((s, d) =>
       sparseCosineTopK(documents(s, d), dfLo = 2, dfHi = 4, k = 25,
-        repartitionByDoc = false)),
+        repartitionByDoc = false, persistW = false)),
 
     // X4q SNAPSHOT DIFF: the audit between two dataset releases — which
     // docs were added, removed, changed, unchanged. Snapshot B is derived
@@ -120,7 +127,8 @@ object Ext7 {
     * all-shared-term candidate set (complete support of dot > 0) — the
     * ground truth Ext7RecallSpec measures recall against. */
   def sparseCosineTopK(docs: DataFrame, dfLo: Int, dfHi: Int, k: Int,
-      repartitionByDoc: Boolean = true): DataFrame = {
+      repartitionByDoc: Boolean = true,
+      persistW: Boolean = true): DataFrame = {
     // repartitionByDoc spreads the shingle explode across task slots when
     // the source arrives in few scan partitions (one unsplittable file).
     // r14 A/B at sf0.1: a wash (3.09 vs 3.18 s min-of-3,
@@ -146,10 +154,10 @@ object Ext7 {
       .agg(count(lit(1)).as("tfreq"))
     val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
-    val w = tf.join(dfq, "term").crossJoin(broadcast(n))
+    val w0 = tf.join(dfq, "term").crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"),
         expr("(tfreq * n) div df").as("w"))
-      .persistTracked()
+    val w = if (persistW) w0.persistTracked() else w0
     val rare = dfq.filter(col("df") >= dfLo && col("df") <= dfHi)
       .select(col("term"))
     val idx = w.join(rare, "term").select(col("term"), col("doc_id"))
