@@ -480,6 +480,10 @@ object AbVariants {
     // at-scale edge (see Ext.ngramJaccard); catalog keeps the window.
     "x4_ngram_jaccard__aggprefix" -> ((s, d) =>
       Ext.ngramJaccard(s, d, windowPrefix = false)),
+    // x4 probe: prefix un-persisted — the self-join's two references
+    // share the window's doc_id exchange; the window+filter re-run 2×.
+    "x4_ngram_jaccard__nopersistprefix" -> ((s, d) =>
+      Ext.ngramJaccard(s, d, windowPrefix = true, persistPrefix = false)),
 
     // x85/x167/x97 round-15 controls: the pre-r15 forms with their count
     // tables persisted (the catalog dropped those persists — every

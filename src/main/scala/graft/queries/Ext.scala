@@ -157,7 +157,7 @@ object Ext {
     * pruning materializes. The catalog keeps the window spelling; the
     * aggregate arm stays callable (__aggprefix). */
   private[queries] def ngramJaccard(s: SparkSession, d: String,
-      windowPrefix: Boolean): DataFrame = {
+      windowPrefix: Boolean, persistPrefix: Boolean = true): DataFrame = {
       val t = 0.6
       val sh = docShinglesHashed(documents(s, d)).persistTracked()
       val inv = sh.select(col("doc_id"), size(col("hs")).as("n"),
@@ -180,9 +180,9 @@ object Ext {
             .select(col("doc_id"), col("n"),
               (col("pos") + 1).as("pos"), col("col.shingle").as("shingle"))
         }
-      val prefix = prefix0
+      val prefix1 = prefix0
         .select(col("doc_id"), col("n"), col("pos"), col("shingle"))
-        .persistTracked()
+      val prefix = if (persistPrefix) prefix1.persistTracked() else prefix1
       // length filter: Jaccard ≥ t ⇒ ⌈t·n1⌉ ≤ n2 (both directions).
       // POSITIONAL filter (full PPJoin): at a shared token sitting at
       // 1-based rank pos within each doc's df-sorted order, the remaining
