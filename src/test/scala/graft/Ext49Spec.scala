@@ -334,21 +334,20 @@ class Ext49Spec extends AnyFunSuite {
     GraftCaches.releasePrior()
   }
 
-  test("drift-family plan pins: x163/x164/x165 consume the PERSISTED " +
-    "histogram (InMemoryTableScans in every branch — the corpus " +
-    "materializes once; plan TEXT repeats the cache's scan recipe per " +
-    "reference, so path-counting would over-count) and have no " +
-    "CartesianProduct") {
+  test("drift-family plan pins: x163/x164/x165 are PERSIST-FREE since " +
+    "round 15 (the histogram is exchange-topped, so AQE stage reuse " +
+    "dedupes its consumers at runtime — BENCH_AB_r15_r11persists.json " +
+    "reversed the r9 persist) and have no CartesianProduct") {
     for (q <- Seq("x163_wasserstein_drift", "x164_mann_whitney",
         "x165_total_variation")) {
       val df = SparkEntry.queries(q)(spark, sf)
       val p = df.queryExecution.executedPlan.toString
       assert(!p.contains("CartesianProduct"), s"$q: cartesian:\n$p")
       val cacheScans = "InMemoryTableScan".r.findAllIn(p).size
-      assert(cacheScans >= 2,
-        s"$q: expected both the statistic and the derived counts to " +
-          s"read the persisted histogram, saw $cacheScans cache " +
-          s"scans:\n$p")
+      assert(cacheScans == 0,
+        s"$q: the r15 persist-free drift form must not cache — a persist " +
+          s"here was measured as a pure materialization barrier, saw " +
+          s"$cacheScans cache scans:\n$p")
       GraftCaches.releasePrior()
     }
   }

@@ -356,11 +356,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("x85 bigram LM: one materialized bigram frame feeds counts and score") {
     val p = plan("x85_bigram_lm_score")
-    // bg persist serves the c2 build and the doc join; the c2 persist
-    // serves the c1 rollup and the score join (c1 = Σ_r c2 — never a
-    // second corpus-scale shuffle of bg)
-    assert(count(p, "InMemoryTableScan (") >= 4,
-      s"bg and c2 persists must serve all four readers:\n$p")
+    // bg's persist (exchange-less explode) serves the c2 build and the
+    // doc join; c2 is PERSIST-FREE since round 15 (exchange-topped —
+    // AQE stage reuse dedupes the c1 rollup and the score join at
+    // runtime, BENCH_AB_r15_x85.json)
+    assert(count(p, "InMemoryTableScan (") >= 2,
+      s"the bg persist must serve both its readers:\n$p")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"score join must stay equi on (l, r):\n$p")
     GraftCaches.releasePrior()
@@ -494,8 +495,10 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1-row total may nested-loop:\n$p")
     assert(p.contains("partial_count"),
       s"the QI-cell counts must map-side combine:\n$p")
-    assert(count(p, "InMemoryTableScan (") >= 2,
-      s"margins must reuse the persisted cell frame, not re-aggregate:\n$p")
+    // round 15: the cell rollup is persist-free (exchange-topped — AQE
+    // stage reuse dedupes the margins at runtime, BENCH_AB_r15_rollups.json)
+    assert(count(p, "InMemoryTableScan (") == 0,
+      s"x100 must stay persist-free after the r15 reversal:\n$p")
     GraftCaches.releasePrior()
   }
 
@@ -543,13 +546,14 @@ class PlanSpec extends AnyFunSuite {
       s"only the 1-row min may nested-loop:\n$p")
   }
 
-  test("x106 cluster eval: ONE corpus-scale aggregate; contingency reused " +
-    "from cache for every derived stat") {
+  test("x106 cluster eval: ONE corpus-scale aggregate; contingency " +
+    "persist-free since round 15 (exchange-topped, stage reuse dedupes)") {
     val p = plan("x106_cluster_purity")
     assert(p.contains("partial_count"),
       s"the (cell,label) contingency must map-side combine:\n$p")
-    assert(count(p, "InMemoryTableScan (") >= 3,
-      s"marginals and Rand must reuse the persisted contingency:\n$p")
+    assert(count(p, "InMemoryTableScan (") == 0,
+      s"x106 must stay persist-free after the r15 reversal " +
+        s"(BENCH_AB_r15_rollups2.json):\n$p")
     assert(!p.contains("CartesianProduct"),
       s"only broadcast nested-loop for the 1-row frames:\n$p")
     GraftCaches.releasePrior()
